@@ -1,0 +1,140 @@
+"""Reference-parity queries (SURVEY.md §2.2/§2.3, build plan §7.1–§7.2).
+
+Each entry pairs the Spark operator with a DuckDB oracle over the same
+parquet views. Column aliases match exactly on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yamr_spark.functions import WORD_BREAK_RE
+from yamr_spark.operators.keyvalue import combine_per_key, kv, max_per_key, sum_per_key
+from yamr_spark.operators.temperature import max_value_per_year_ts
+from yamr_spark.operators.wordcount import top_words, word_count
+from yamr_spark.registry import register
+from yamr_spark.tables import table
+
+
+@register(
+    "word_count",
+    oracle=f"""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT unnest(regexp_split_to_array(lower(text), '{WORD_BREAK_RE}')) AS word
+      FROM documents
+    ) t
+    WHERE length(word) > 0
+    GROUP BY word
+    """,
+)
+def q_word_count(spark, sf_dir):
+    """C1–C5/F1–F5: the reference's flagship word-count job
+    (map_libs/word_count.py) as scan→explode→filter→hash-agg."""
+    return word_count(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "top_words",
+    oracle=f"""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT unnest(regexp_split_to_array(lower(text), '{WORD_BREAK_RE}')) AS word
+      FROM documents
+    ) t
+    WHERE length(word) > 0
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 20
+    """,
+)
+def q_top_words(spark, sf_dir):
+    """C10 + top-k: global top-20 words (TakeOrderedAndProject — per-
+    partition heaps, no global sort)."""
+    return top_words(table(spark, sf_dir, "documents"), k=20)
+
+
+@register(
+    "max_value_per_year",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM ts) AS BIGINT) AS year,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_max_value_per_year(spark, sf_dir):
+    """C6/F7: the max-year-temp job (map_libs/max_year_temp.py) on the
+    events table — max(value) per year(ts)."""
+    return max_value_per_year_ts(table(spark, sf_dir, "events"))
+
+
+@register(
+    "sum_per_key",
+    oracle="""
+    SELECT l_returnflag AS key, SUM(l_quantity) AS value
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_sum_per_key(spark, sf_dir):
+    """C5 on the generic kv projection: lineitem (l_returnflag,
+    l_quantity) per FIXTURES.md §4. l_quantity is integral so the
+    double sum is exact under any aggregation order."""
+    return sum_per_key(kv(table(spark, sf_dir, "lineitem"), "l_returnflag", "l_quantity"))
+
+
+@register(
+    "max_per_key",
+    oracle="""
+    SELECT l_returnflag AS key, MAX(l_extendedprice) AS value
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_max_per_key(spark, sf_dir):
+    """C6 on the generic kv projection (order-insensitive, FP-exact)."""
+    return max_per_key(kv(table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"))
+
+
+@register(
+    "combine_per_key",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS key,
+           string_agg(CAST(l_linenumber AS VARCHAR), ','
+                      ORDER BY CAST(l_linenumber AS VARCHAR)) AS values_csv
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q_combine_per_key(spark, sf_dir):
+    """C4: ``combine_data`` grouping (word_count.py:37-59) — all values
+    collected under their key. Rendered as a sorted CSV string so the
+    array content is hash-comparable across engines."""
+    grouped = combine_per_key(
+        kv(table(spark, sf_dir, "lineitem"), "l_orderkey", "l_linenumber").select(
+            "key", F.col("value").cast("string").alias("value")
+        )
+    )
+    return grouped.select("key", F.concat_ws(",", "values").alias("values_csv"))
+
+
+@register(
+    "kv_json_render",
+    oracle="""
+    SELECT '["' || l_returnflag || '","' ||
+           CAST(CAST(SUM(l_quantity) AS BIGINT) AS VARCHAR) || '"]' AS kv_json
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_kv_json_render(spark, sf_dir):
+    """F9/S6: the reference's result-file rendering — each reduced (key,
+    value) pair serialized as a JSON array string (mapper.py:152-155,
+    reducer.py:146)."""
+    summed = sum_per_key(kv(table(spark, sf_dir, "lineitem"), "l_returnflag", "l_quantity"))
+    return summed.select(
+        F.to_json(
+            F.array(F.col("key"), F.col("value").cast("long").cast("string"))
+        ).alias("kv_json")
+    )

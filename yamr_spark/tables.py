@@ -1,0 +1,74 @@
+"""Loaders for the driver-generated star schema (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under an sf dir.
+
+Reading through ``spark.read.parquet`` keeps column pruning + predicate
+pushdown available to every downstream operator (check ``PushedFilters`` /
+``ReadSchema`` in ``.explain``); at 100 TB these scans are the dominant
+cost, so nothing in this engine materializes a table eagerly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table from ``sf_dir``.
+
+    Timestamps are normalized to ``timestamp_ntz`` (the driver's parquet
+    stores naive wall-clock times; NTZ keeps Spark's schema aligned with
+    the DuckDB oracle's TIMESTAMP). Nanosecond-precision parquet columns
+    (``events.ts`` is timestamp[ns]) are illegal for Spark's vectorized
+    reader, so they're read as raw int64 nanos via the ``nanosAsLong``
+    conf and rebuilt — a metadata-only footer sniff decides per file, no
+    data is read eagerly.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols: list[str] = []
+    ts_cols: list[str] = []
+    try:
+        arrow_schema = pq.read_schema(path)
+        for field in arrow_schema:
+            if pa.types.is_timestamp(field.type):
+                (ns_cols if field.type.unit == "ns" else ts_cols).append(field.name)
+    except (OSError, pa.ArrowInvalid):  # directory-of-files dataset: let Spark infer
+        pass
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(
+            c, F.timestamp_micros((F.col(c) / 1000).cast("long")).cast("timestamp_ntz")
+        )
+    for c in ts_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table (lazy — just plan roots, nothing is read yet)."""
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
