@@ -4,7 +4,15 @@ import os
 
 import pytest
 
-from yamr_spark.session import get_spark
+# Python workers must be able to unpickle classes defined in test modules
+# (pickled by reference). Local-mode workers inherit the driver env, so
+# exposing the tests dir via PYTHONPATH before the JVM starts is enough.
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+os.environ["PYTHONPATH"] = (
+    _TESTS_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
+)
+
+from yamr_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 

@@ -1,0 +1,112 @@
+"""The compat shim runs reference-style Mapper/Reducer classes unmodified.
+
+The classes below are duck-typed the way the reference's job scripts are
+(run_map(data)->pairs, run_reduce(pairs)->pairs); goldens mirror
+/root/reference/tests/test_base_mappers.py and test_reducers.py.
+"""
+
+from __future__ import annotations
+
+import re
+from itertools import groupby
+
+import pytest
+
+from yamr_spark.compat import run_job
+
+
+class WordCountMapper:
+    """Word-count job mapper: lowercase \\w+ tokens → (word, 1)."""
+
+    def run_map(self, data):
+        return [(w.lower(), 1) for w in re.findall(r"\w+", data) if w]
+
+
+class SumReducer:
+    """Sum values per key (expects key-sorted input, like the reference)."""
+
+    def run_reduce(self, pairs):
+        return [
+            (k, sum(v for _, v in grp)) for k, grp in groupby(pairs, key=lambda t: t[0])
+        ]
+
+
+class YearMaxMapper:
+    """Temperature job: data is 'yyyymm,temp' → (year, temp)."""
+
+    def run_map(self, data):
+        ym, temp = data.split(",")
+        return [(int(ym[:4]), float(temp))]
+
+
+class MaxReducer:
+    def run_reduce(self, pairs):
+        return [
+            (k, max(v for _, v in grp)) for k, grp in groupby(pairs, key=lambda t: t[0])
+        ]
+
+
+class RegionStatsReducer:
+    """A cross-key reducer (only valid in region mode): emits one pair per
+    region counting distinct keys — exercises whole-region delivery."""
+
+    def run_reduce(self, pairs):
+        return [("distinct_keys", len({k for k, _ in pairs}))]
+
+
+@pytest.mark.parametrize("mode", ["grouped", "region"])
+def test_word_count_job(spark, mode):
+    df = spark.createDataFrame([("aa yy jj aa",), ("  aa cc.   yy jj,   aa",)], ["text"])
+    got = run_job(
+        spark, df, WordCountMapper(), SumReducer(), mode=mode, num_regions=3
+    )
+    assert dict(got.collect()) == {"aa": 4, "yy": 2, "jj": 2, "cc": 1}
+
+
+@pytest.mark.parametrize("mode", ["grouped", "region"])
+def test_max_temp_job(spark, mode):
+    rows = [("201501,31.2",), ("201502,41",), ("201601,11",)]
+    df = spark.createDataFrame(rows, ["line"])
+    got = run_job(
+        spark,
+        df,
+        YearMaxMapper(),
+        MaxReducer(),
+        map_schema="key int, value double",
+        mode=mode,
+    )
+    assert dict(got.collect()) == {2015: 41.0, 2016: 11.0}
+
+
+def test_region_mode_cross_key(spark):
+    df = spark.createDataFrame([("a b c a",)], ["text"])
+    got = run_job(
+        spark,
+        df,
+        WordCountMapper(),
+        RegionStatsReducer(),
+        mode="region",
+        num_regions=1,
+    )
+    assert dict(got.collect()) == {"distinct_keys": 3}
+
+
+def test_duck_typing_enforced(spark):
+    df = spark.createDataFrame([("x",)], ["text"])
+    with pytest.raises(TypeError):
+        run_job(spark, df, object(), SumReducer())
+    with pytest.raises(TypeError):
+        run_job(spark, df, WordCountMapper(), object())
+
+
+def test_compat_matches_native(spark, sf_dir):
+    """The shim and the native operator agree on real documents."""
+    from yamr_spark.operators.wordcount import word_count
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    native = dict(word_count(docs).collect())
+    shim = dict(
+        run_job(spark, docs, WordCountMapper(), SumReducer(), text_col="text").collect()
+    )
+    assert shim == native

@@ -1,0 +1,210 @@
+"""Relational operators — the capability gaps the reference leaves open
+(SURVEY.md §2.4: no joins, windows, distinct, top-k, set ops) surfaced as
+first-class engine operators over the star schema.
+
+Everything here is a declarative DataFrame plan; Catalyst supplies the
+physical strategy. Scale guardrails baked in:
+
+- Dimension joins (`region`, `nation`, `supplier`, `part`) are explicitly
+  ``F.broadcast``-hinted: at 100 TB the fact side never shuffles for a
+  dim join.
+- Fact-fact joins (orders ⋈ lineitem) shuffle on the join key and rely on
+  AQE skew-join splitting (enabled in session.py).
+- Top-k uses ``orderBy().limit(k)`` which Spark plans as
+  TakeOrderedAndProject: per-partition heaps of k rows, merge at the
+  driver — no global sort at any scale.
+- Money arithmetic goes through ``decimal(18,2)`` before summing so
+  results are exact and engine-order-independent (then cast to double
+  for a stable comparable schema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def money_sum(col, alias: str):
+    """Exact, order-independent sum of a 2-decimal money column."""
+    return (
+        F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+    )
+
+
+def pricing_summary(lineitem: DataFrame, ship_before: str = "2001-09-01") -> DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) pricing rollup."""
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        lineitem.filter(F.col("l_shipdate") < F.lit(ship_before).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def revenue_per_nation(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Fact ⋈ broadcast-dims rollup: order revenue per nation/region."""
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            money_sum("o_totalprice", "revenue"),
+        )
+    )
+
+
+def shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, segment: str = "BUILDING"
+) -> DataFrame:
+    """TPC-H Q3 shape: top-10 open orders by revenue for one segment.
+
+    Deterministic under ties via the (revenue desc, orderkey) sort key.
+    """
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        customer.filter(F.col("c_mktsegment") == segment)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def top_orders(orders: DataFrame, k: int = 10) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject), orderkey tiebreak."""
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def rank_customers_in_nation(customer: DataFrame, top_n: int = 3) -> DataFrame:
+    """Window rank: top-N customers by acctbal within each nation."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.select(
+            "c_nationkey", "c_custkey", "c_acctbal", F.rank().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= top_n)
+    )
+
+
+def moving_stats_per_user(events: DataFrame, frame: int = 2) -> DataFrame:
+    """Sliding window over an ordered per-user event stream: moving sum
+    of the current + ``frame`` preceding rows, plus the previous value
+    (lag). Deterministic order via (ts, event_id)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w.rowsBetween(-frame, 0)), 6).alias("moving_sum"),
+        # coalesce: NULL floats surface as NaN through Arrow, which is not
+        # equality-comparable for the driver's value hash
+        F.coalesce(F.lag("value", 1).over(w), F.lit(0.0)).alias("prev_value"),
+    )
+
+
+def rollup_pricing(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total."""
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+def cube_pricing(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping-set combinations."""
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT SEMI join — customers having ≥1 order."""
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey")
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT ANTI join — customers having no orders."""
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+def active_custkeys_intersect(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Set op: customer keys ∩ ordering-customer keys."""
+    return (
+        customer.select(F.col("c_custkey").alias("custkey"))
+        .intersect(orders.select(F.col("o_custkey").alias("custkey")))
+    )
+
+
+def distinct_parts_per_flag(lineitem: DataFrame) -> DataFrame:
+    """Exact distinct aggregation (expand+two-phase agg in Spark)."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts")
+    )
+
+
+def orders_above_avg(orders: DataFrame) -> DataFrame:
+    """Scalar-subquery filter: orders pricier than the global average.
+
+    The average is computed exactly (decimal sum / count) so the
+    boundary predicate is engine-order-independent; Catalyst broadcasts
+    the 1-row aggregate (no shuffle of the fact side).
+    """
+    avg_df = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            / F.count("*").cast("decimal(18,0)")
+        )
+        .cast("double")
+        .alias("avg_price")
+    )
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def order_priority_counts(
+    orders: DataFrame, lineitem: DataFrame, late_days: int = 60
+) -> DataFrame:
+    """TPC-H Q4 shape: orders-per-priority among orders with ≥1 lineitem
+    shipped more than ``late_days`` after the order date. LEFT SEMI keeps
+    the fact side un-duplicated (EXISTS semantics, one shuffle)."""
+    late = orders.join(
+        lineitem,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_cnt"))
+
+
+def dedupe_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """dropDuplicates — exact row dedup (hash-agg on the subset key)."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()

@@ -1,0 +1,238 @@
+"""Relational query registrations (SURVEY.md §7.4) with DuckDB oracles.
+
+Money sums go through DECIMAL(18,2) on BOTH engines, then cast to double:
+exact, aggregation-order-independent, and schema-aligned for the driver's
+value hash.
+"""
+
+from __future__ import annotations
+
+from yamr_spark.operators import relational as R
+from yamr_spark.registry import register
+from yamr_spark.tables import table
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           AVG(l_quantity) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    return R.pricing_summary(table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "revenue_per_nation",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_revenue_per_nation(spark, sf_dir):
+    return R.revenue_per_nation(
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark, sf_dir):
+    return R.shipping_priority(
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "top_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_top_orders(spark, sf_dir):
+    return R.top_orders(table(spark, sf_dir, "orders"))
+
+
+@register(
+    "rank_customers_in_nation",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             RANK() OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer
+    ) t WHERE rnk <= 3
+    """,
+)
+def q_rank_customers_in_nation(spark, sf_dir):
+    return R.rank_customers_in_nation(table(spark, sf_dir, "customer"))
+
+
+@register(
+    "moving_stats_per_user",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+               AS moving_sum,
+           COALESCE(LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    0.0) AS prev_value
+    FROM events
+    """,
+)
+def q_moving_stats_per_user(spark, sf_dir):
+    return R.moving_stats_per_user(table(spark, sf_dir, "events"))
+
+
+@register(
+    "rollup_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_pricing(spark, sf_dir):
+    return R.rollup_pricing(table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "cube_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_pricing(spark, sf_dir):
+    return R.cube_pricing(table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_customers_with_orders(spark, sf_dir):
+    return R.customers_with_orders(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_customers_without_orders(spark, sf_dir):
+    return R.customers_without_orders(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "active_custkeys_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def q_active_custkeys_intersect(spark, sf_dir):
+    return R.active_custkeys_intersect(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "distinct_parts_per_flag",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distinct_parts_per_flag(spark, sf_dir):
+    return R.distinct_parts_per_flag(table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "orders_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) / COUNT(*) AS DOUBLE)
+      FROM orders
+    )
+    """,
+)
+def q_orders_above_avg(spark, sf_dir):
+    return R.orders_above_avg(table(spark, sf_dir, "orders"))
+
+
+@register(
+    "order_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_cnt
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority_counts(spark, sf_dir):
+    return R.order_priority_counts(
+        table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "dedup_lineitem_rows",
+    oracle="""
+    SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem
+    """,
+)
+def q_dedup_lineitem_rows(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    return R.dedupe_rows(li)
