@@ -1,0 +1,80 @@
+"""Behavioral tests for dedup operators on constructed near-duplicates
+(the synthetic corpus is all-distinct, so these fixtures prove the
+detectors actually detect)."""
+
+from __future__ import annotations
+
+import pytest
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun"
+)
+NEAR = BASE.replace("afternoon", "morning")  # one token differs
+FAR = "completely different content about spark query engines and shuffles"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(1, BASE), (2, NEAR), (3, FAR), (4, BASE)]  # 4 == exact dup of 1
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    from yamr_spark.operators.dedup import exact_dedup
+
+    got = {r.keep_id: r.dup_cnt for r in exact_dedup(docs).collect()}
+    assert got == {1: 2, 2: 1, 3: 1}
+
+
+def test_word_shingles(spark):
+    from yamr_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    got = sorted(r.shingle for r in word_shingles(df, n=3).collect())
+    assert got == ["a b c", "b c d"]
+    short = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    assert word_shingles(short, n=3).count() == 0
+
+
+def test_minhash_finds_near_dup(docs):
+    from yamr_spark.operators.dedup import minhash_near_dup
+
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_near_dup(docs).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0  # near dup
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_near_dup(docs):
+    from yamr_spark.operators.dedup import simhash, simhash_near_dup
+
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sigs[1] == sigs[4]
+    assert all(0 <= v < 2**16 for v in sigs.values())
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_dup(docs).collect()}
+    assert pairs.get((1, 4)) == 0
+    assert (1, 2) in pairs  # single-token edit stays within hamming 3
+
+
+def test_ngram_jaccard_pairs(docs):
+    from yamr_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert 0.2 <= pairs[(1, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_jaccard_values_exact(spark):
+    from yamr_spark.operators.dedup import jaccard_for_pairs, word_shingles
+
+    # doc1: shingles {a b c, b c d}; doc2: {a b c}; jaccard = 1/2
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c")], ["doc_id", "text"])
+    sh = word_shingles(df, n=3)
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    got = jaccard_for_pairs(pairs, sh).collect()[0]
+    assert got.jaccard == 0.5

@@ -1,0 +1,95 @@
+"""Behavioral tests for similarity search on constructed vectors."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import types as T
+
+
+def _vec(*xs):
+    return [float(x) for x in xs]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # 0, 1, 4 nearly parallel; 2 orthogonal; 3 antiparallel to 0
+    rows = [
+        (0, _vec(1, 0, 0, 0)),
+        (1, _vec(0.99, 0.01, 0, 0)),
+        (2, _vec(0, 0, 1, 0)),
+        (3, _vec(-1, 0, 0, 0)),
+        (4, _vec(0.98, 0.02, 0, 0)),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_brute_force_topk(emb):
+    from yamr_spark.operators.similarity import brute_force_topk
+
+    got = brute_force_topk(emb, k=2, num_queries=1).collect()
+    assert {r.query_id for r in got} == {0}
+    by_rank = {r.rnk: r for r in got}
+    assert by_rank[1].neighbor_id == 1  # closest direction
+    assert by_rank[2].neighbor_id == 4
+    assert by_rank[1].cosine > 0.999
+
+
+def test_cosine_math(spark):
+    from yamr_spark.operators.similarity import with_cosine
+
+    df = spark.createDataFrame(
+        [(_vec(1, 0), _vec(0, 1)), (_vec(1, 1), _vec(1, 1))], ["va", "vb"]
+    )
+    got = [r.cosine for r in with_cosine(df).collect()]
+    assert got[0] == 0.0
+    assert math.isclose(got[1], 1.0, abs_tol=1e-6)
+
+
+def test_ivf_assign_covers_all(emb):
+    from yamr_spark.operators.similarity import ivf_assign
+
+    got = ivf_assign(emb, c=2).collect()
+    assert {r.vec_id for r in got} == {0, 1, 2, 3, 4}
+    by_id = {r.vec_id: r.centroid_id for r in got}
+    assert by_id[4] in (0, 1)  # near-parallel vector lands with 0/1's cell
+    assert all(r.centroid_cosine <= 1.0 for r in got)
+
+
+def test_embedding_near_dup_single_cell(emb):
+    from yamr_spark.operators.similarity import embedding_near_dup
+
+    # c=1: every vector in one cell → candidate set is all pairs, so the
+    # threshold alone decides
+    pairs = {(r.vec_a, r.vec_b): r.cosine for r in embedding_near_dup(emb, c=1).collect()}
+    assert set(pairs) == {(0, 1), (0, 4), (1, 4)}
+    assert all(v > 0.999 for v in pairs.values())
+
+
+def test_embedding_near_dup_cell_blocking(emb):
+    from yamr_spark.operators.similarity import embedding_near_dup
+
+    # c=2: centroids are vectors 0 and 1 themselves, so the near-parallel
+    # trio splits across two cells — documents the IVF recall/cost
+    # trade-off: only same-cell pairs are compared
+    pairs = set(
+        (r.vec_a, r.vec_b) for r in embedding_near_dup(emb, c=2).collect()
+    )
+    assert pairs <= {(0, 1), (0, 4), (1, 4)}
+
+
+def test_real_embeddings_smoke(spark, sf_dir):
+    from yamr_spark.operators.similarity import brute_force_topk
+    from yamr_spark.tables import table
+
+    got = brute_force_topk(table(spark, sf_dir, "embeddings"), k=3, num_queries=3)
+    rows = got.collect()
+    assert len(rows) == 9  # 3 queries × 3 neighbors
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)

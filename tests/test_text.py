@@ -1,0 +1,66 @@
+"""Behavioral tests for text-analysis operators."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox, and the lazy dog. It is fine."),
+        (2, "le chat est sur la table et le chien est la"),
+        (3, "1234 5678 90"),
+        (4, "x"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_stats(docs):
+    from yamr_spark.operators.text import token_stats
+
+    by_id = {r.doc_id: r for r in token_stats(docs).collect()}
+    assert by_id[1].n_tokens == 11
+    assert by_id[1].n_ws_tokens == 11
+    assert by_id[3].n_tokens == 3
+    assert by_id[4].n_tokens == 1 and by_id[4].avg_token_len == 1.0
+
+
+def test_quality_score_ranges(docs):
+    from yamr_spark.operators.text import quality_score
+
+    by_id = {r.doc_id: r for r in quality_score(docs).collect()}
+    for r in by_id.values():
+        assert 0.0 <= r.quality <= 1.0
+    assert by_id[1].quality > by_id[3].quality  # prose beats digit soup
+    assert by_id[3].digit_ratio > 0.8
+    assert by_id[1].stopword_ratio > 0.3
+
+
+def test_lang_id(docs):
+    from yamr_spark.operators.text import lang_id
+
+    by_id = {r.doc_id: r for r in lang_id(docs).collect()}
+    assert by_id[1].pred_lang == "en"
+    assert by_id[2].pred_lang == "fr"
+    assert by_id[4].pred_lang == "und"  # no profile hits
+
+
+def test_doc_fingerprint_stability(spark):
+    from yamr_spark.operators.text import doc_fingerprint
+
+    a = spark.createDataFrame([(1, "hello world this is a document")], ["doc_id", "text"])
+    b = spark.createDataFrame([(2, "hello world this is a document")], ["doc_id", "text"])
+    fa = doc_fingerprint(a).collect()[0]
+    fb = doc_fingerprint(b).collect()[0]
+    assert (fa.fp_min, fa.fp_max) == (fb.fp_min, fb.fp_max)  # content-addressed
+    # min/max-gram fingerprints tolerate small edits (that's the point of
+    # winnowing-style fingerprints); only a fully different text must move
+    # both extremes with near-certainty
+    c = doc_fingerprint(
+        spark.createDataFrame(
+            [(3, "zebra quartz vortex jumble frantic wizard oxygen")],
+            ["doc_id", "text"],
+        )
+    ).collect()[0]
+    assert (fa.fp_min, fa.fp_max) != (c.fp_min, c.fp_max)

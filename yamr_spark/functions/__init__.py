@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 # the same pattern, keeping Spark and oracle tokenization identical.
 WORD_BREAK_RE = r"[^\p{L}\p{N}_]+"
 
+# The same pattern for use INSIDE a Spark SQL string literal (F.expr):
+# Spark SQL's string parser consumes one level of backslash escapes.
+WORD_BREAK_SQL = WORD_BREAK_RE.replace("\\", "\\\\")
+
 
 def tokenize(col: Column | str) -> Column:
     """F1+F3: lowercase then split into ``\\w+``-style word tokens.

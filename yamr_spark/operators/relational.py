@@ -104,7 +104,11 @@ def rank_customers_in_nation(customer: DataFrame, top_n: int = 3) -> DataFrame:
     )
     return (
         customer.select(
-            "c_nationkey", "c_custkey", "c_acctbal", F.rank().over(w).alias("rnk")
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            # long: aligns with the BIGINT the oracle's RANK() produces
+            F.rank().over(w).cast("long").alias("rnk"),
         )
         .filter(F.col("rnk") <= top_n)
     )

