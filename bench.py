@@ -1,0 +1,79 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Execution is forced with the noop sink (full pipeline runs, nothing is
+collected to the driver), so timings measure scan→shuffle→agg work, not
+driver materialization. AQE is on — at sf0.1 it coalesces the 32 shuffle
+partitions down to fit the data, and at cluster scale the same plan
+re-splits skewed partitions instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    # reference-parity core (SURVEY §2): scan → explode → hash agg
+    "word_count",
+    "top_words",
+    # relational surface (§7.4): TPC-H-ish agg / joins / windows
+    "pricing_summary",
+    "revenue_per_nation",
+    "shipping_priority",
+    "moving_stats_per_user",
+    # north-star LLM ops (§7.5)
+    "dedup_exact",
+    "minhash_near_dup",
+    "ann_brute_topk",
+    "quality_score",
+    # event-time windows
+    "window_tumbling_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from yamr_spark.registry import all_queries
+    from yamr_spark.session import get_spark
+
+    spark = get_spark("yamr_spark_bench", shuffle_partitions=int(cpus))
+    queries = all_queries()
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

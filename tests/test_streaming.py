@@ -1,0 +1,92 @@
+"""Streaming / windowed-aggregation tests (SURVEY.md §7.5).
+
+Golden-case unit tests on synthetic rows (mirroring the reference's
+hand-written golden style, tests/test_base_mappers.py) plus a
+stream-equals-batch differential on the real events table.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from yamr_spark.streaming.events import (
+    run_stream_to_memory,
+    session_user_windows,
+    sliding_user_activity,
+    streaming_tumbling_counts,
+    tumbling_event_counts,
+)
+from yamr_spark.tables import table
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _at(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_tumbling_golden(spark):
+    ev = _events(
+        spark,
+        [
+            (1, _at(0), 1, "click", 1.0),
+            (2, _at(30), 1, "click", 2.0),
+            (3, _at(61), 2, "click", 4.0),  # next hour window
+            (4, _at(62), 2, "view", 8.0),
+        ],
+    )
+    out = {
+        (r["window_start"].hour, r["event_type"]): (r["event_cnt"], r["value_sum"])
+        for r in tumbling_event_counts(ev, "1 hour").collect()
+    }
+    assert out == {(10, "click"): (2, 3.0), (11, "click"): (1, 4.0), (11, "view"): (1, 8.0)}
+
+
+def test_sliding_each_event_in_two_windows(spark):
+    ev = _events(spark, [(1, _at(30), 7, "click", 1.0)])
+    rows = sliding_user_activity(ev, "2 hours", "1 hour").collect()
+    starts = sorted(r["window_start"] for r in rows)
+    assert starts == [dt.datetime(2024, 1, 1, 9), dt.datetime(2024, 1, 1, 10)]
+    assert all(r["event_cnt"] == 1 for r in rows)
+
+
+def test_session_gap_splits(spark):
+    ev = _events(
+        spark,
+        [
+            (1, _at(0), 1, "c", 0.0),
+            (2, _at(20), 1, "c", 0.0),   # within 30min gap → same session
+            (3, _at(70), 1, "c", 0.0),   # 50min silence → new session
+            (4, _at(0), 2, "c", 0.0),    # other user: own session
+        ],
+    )
+    rows = sorted(
+        session_user_windows(ev, "30 minutes").collect(),
+        key=lambda r: (r["user_id"], r["session_start"]),
+    )
+    assert [(r["user_id"], r["session_start"], r["event_cnt"]) for r in rows] == [
+        (1, _at(0), 2),
+        (1, _at(70), 1),
+        (2, _at(0), 1),
+    ]
+
+
+@pytest.mark.slow
+def test_stream_matches_batch(spark, sf_dir):
+    batch = tumbling_event_counts(table(spark, sf_dir, "events"), "1 hour")
+    sdf = streaming_tumbling_counts(spark, sf_dir, width="1 hour", delay="2 hours")
+    streamed = run_stream_to_memory(spark, sdf, "t_stream_vs_batch")
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, streamed.collect()))
+    assert b == s and len(b) > 0

@@ -1,0 +1,125 @@
+"""Windowed / streaming queries over the events table (SURVEY.md §7.5).
+
+The reference has no streaming (its heartbeats are control-plane liveness,
+worker.py:31-37 — see SURVEY.md §2.4); these are the north-star event-time
+operators, built on Structured Streaming semantics. Each windowed shape is
+registered twice where possible:
+
+- a BATCH form (``window_*``) — the same ``F.window`` logical plan Catalyst
+  uses for streams, checked against a DuckDB oracle;
+- a STREAMING form (``streaming_*``) — the identical plan executed through
+  ``readStream`` + watermark + availableNow trigger and drained to a memory
+  sink, checked against the SAME oracle. That makes the stream path itself
+  part of the correctness gate, not just the batch twin.
+
+Scale notes: watermark(``2 hours``) bounds state to O(open windows × keys);
+tumbling/sliding windows are a single hash-aggregate shuffle keyed on
+(window, key) — partial aggregation happens map-side, so wire volume is
+proportional to distinct (window, key) pairs, not events. value sums go
+through decimal(18,3) so results are aggregation-order-independent and
+hash-comparable across engines.
+"""
+
+from __future__ import annotations
+
+from yamr_spark.registry import register
+from yamr_spark.streaming.events import (
+    run_stream_to_memory,
+    session_user_windows,
+    sliding_user_activity,
+    stream_events,
+    streaming_tumbling_counts,
+    tumbling_event_counts,
+)
+from yamr_spark.tables import table
+
+_TUMBLING_ORACLE = """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS event_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@register("window_tumbling_counts", oracle=_TUMBLING_ORACLE)
+def q_window_tumbling(spark, sf_dir):
+    """Tumbling 1h event-time windows, batch plan (same logical plan the
+    streaming form runs)."""
+    return tumbling_event_counts(table(spark, sf_dir, "events"), width="1 hour")
+
+
+@register("streaming_tumbling_counts", oracle=_TUMBLING_ORACLE)
+def q_streaming_tumbling(spark, sf_dir):
+    """The SAME tumbling aggregation executed as a Structured Streaming
+    query: file-source readStream → watermark('ts', 2h) → window agg →
+    memory sink, availableNow trigger. Must match the batch oracle."""
+    sdf = streaming_tumbling_counts(spark, sf_dir, width="1 hour", delay="2 hours")
+    return run_stream_to_memory(spark, sdf, "streaming_tumbling_counts")
+
+
+@register(
+    "window_sliding_activity",
+    oracle="""
+    SELECT window_start, user_id, CAST(COUNT(*) AS BIGINT) AS event_cnt
+    FROM (
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, user_id
+      FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) AS window_start, user_id
+      FROM events
+    ) t
+    GROUP BY 1, 2
+    """,
+)
+def q_window_sliding(spark, sf_dir):
+    """Sliding 2h windows advancing 1h: every event contributes to exactly
+    two windows (oracle enumerates both starts explicitly)."""
+    return sliding_user_activity(table(spark, sf_dir, "events"), "2 hours", "1 hour")
+
+
+@register(
+    "window_session_user",
+    oracle="""
+    SELECT MIN(ts) AS session_start, user_id, CAST(COUNT(*) AS BIGINT) AS event_cnt
+    FROM (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts) AS sess
+      FROM (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events
+      ) a
+    ) b
+    GROUP BY user_id, sess
+    """,
+)
+def q_window_session(spark, sf_dir):
+    """Session windows (30 min inactivity gap) per user — F.session_window;
+    the oracle is the classic gaps-and-islands rewrite."""
+    return session_user_windows(table(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@register("streaming_event_passthrough")
+def q_streaming_passthrough(spark, sf_dir):
+    """Stateless streaming ETL: readStream → filter + projection → append
+    sink. No SQL oracle (rows-only check): the point under test is the
+    stream execution path with outputMode('append')."""
+    sdf = (
+        stream_events(spark, sf_dir)
+        .where("value > 0.5")
+        .selectExpr("event_id", "event_type", "value")
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("streaming_event_passthrough")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_event_passthrough")

@@ -61,8 +61,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
+        # integer div: nanos exceed double's 2^53 exact range, so a
+        # float division here would round the microsecond (off-by-one ts)
         df = df.withColumn(
-            c, F.timestamp_micros((F.col(c) / 1000).cast("long")).cast("timestamp_ntz")
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
         )
     for c in ts_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
