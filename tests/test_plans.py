@@ -1,0 +1,72 @@
+"""Physical-plan regression tests — pin the Catalyst behaviors the
+100 TB design depends on (pushdown, pruning, broadcast, partial agg,
+codegen). A change that silently loses one of these fails here, not in
+production."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yamr_spark.plans import (
+    codegen_stage_count,
+    has_broadcast_join,
+    has_partial_aggregate,
+    pushed_filters,
+    read_schema,
+    shuffle_count,
+)
+from yamr_spark.registry import all_queries
+from yamr_spark.tables import table
+
+
+def test_filter_pushes_to_parquet_scan(spark, sf_dir):
+    df = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf and ("GreaterThan" in pf or "IsNotNull" in pf), pf
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    df = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    rs = read_schema(df)
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_comment" not in rs, f"scan reads unprojected columns: {rs}"
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    q = all_queries()["revenue_per_nation"]
+    df = q(spark, sf_dir)
+    assert has_broadcast_join(df), "nation/region dims should broadcast, not shuffle"
+
+
+def test_groupby_has_partial_aggregate(spark, sf_dir):
+    df = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    assert has_partial_aggregate(df), "map-side combine missing"
+    assert shuffle_count(df) == 1
+
+
+def test_wordcount_is_whole_stage_codegen(spark, sf_dir):
+    df = all_queries()["word_count"](spark, sf_dir)
+    assert codegen_stage_count(df) >= 1, "word count fell off the codegen path"
+
+
+def test_pricing_summary_single_shuffle(spark, sf_dir):
+    df = all_queries()["pricing_summary"](spark, sf_dir)
+    # scan → partial agg → ONE exchange → final agg (+ optional sort)
+    assert shuffle_count(df) <= 2
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = all_queries()["top_orders"](spark, sf_dir)
+    from yamr_spark.plans import plan_text
+
+    assert "TakeOrderedAndProject" in plan_text(df, "simple"), (
+        "global top-k should be per-partition heaps, not a global sort"
+    )

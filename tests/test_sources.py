@@ -1,0 +1,82 @@
+"""Source/sink round-trips (SURVEY §2.1): text & chunk scans, the JSON
+[key,value] array format, result sink/scan/render, binary files."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from yamr_spark.sources import (
+    read_binary_files,
+    read_kv_json_array,
+    read_result_json,
+    read_text,
+    read_text_chunks,
+    render_result,
+    write_parquet,
+    write_result_json,
+)
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    (tmp_path / "a.txt").write_text("hello world\nsecond line\n")
+    (tmp_path / "b.txt").write_text("third\n")
+    return str(tmp_path)
+
+
+def test_read_text_lines(spark, corpus):
+    assert read_text(spark, corpus).count() == 3
+
+
+def test_read_text_chunks_whole_file(spark, corpus):
+    rows = {r["chunk_path"].split("/")[-1]: r["data"] for r in read_text_chunks(spark, corpus).collect()}
+    assert rows["a.txt"] == "hello world\nsecond line\n"
+    assert rows["b.txt"] == "third\n"
+
+
+def test_kv_json_array_temperature_shape(spark, tmp_path):
+    # the reference's temperature.json shape: [[yyyymm, temp], ...]
+    data = [[201501, 31.2], [201501, 41.0], [201601, 11.0]]
+    p = tmp_path / "temperature.json"
+    p.write_text(json.dumps(data))
+    df = read_kv_json_array(spark, str(p), key_type="long", value_type="double")
+    assert sorted(map(tuple, df.collect())) == [(201501, 31.2), (201501, 41.0), (201601, 11.0)]
+    # downstream of the source, the max-per-year job works unchanged
+    out = df.groupBy((F.col("key") / 100).cast("int").alias("year")).agg(
+        F.max("value").alias("mx")
+    )
+    assert sorted(map(tuple, out.collect())) == [(2015, 41.0), (2016, 11.0)]
+
+
+def test_result_sink_scan_render_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("a", 3), ("b", 1)], "key string, value long")
+    out = str(tmp_path / "result")
+    write_result_json(df, out)
+    back = read_result_json(spark, out, key_type="string", value_type="long")
+    assert sorted(map(tuple, back.collect())) == [("a", 3), ("b", 1)]
+    lines = {r["line"] for r in render_result(back).collect()}
+    assert lines == {"a: 3", "b: 1"}
+
+
+def test_binary_files(spark, tmp_path):
+    (tmp_path / "x.bin").write_bytes(b"\x00\x01\x02")
+    (tmp_path / "y.txt").write_text("nope")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["content"]) == b"\x00\x01\x02"
+    assert rows[0]["length"] == 3
+
+
+def test_write_parquet_partitioned(spark, tmp_path):
+    df = spark.createDataFrame([("us", 1), ("eu", 2), ("us", 3)], "region string, v long")
+    out = str(tmp_path / "p")
+    write_parquet(df, out, partition_by=["region"])
+    back = spark.read.parquet(out)
+    # partition pruning: filter on the partition column reads one dir
+    assert back.where("region = 'us'").count() == 2
+    plan = back.where("region = 'us'")._jdf.queryExecution().executedPlan().toString()
+    assert "us" in plan or back.where("region = 'us'").rdd.getNumPartitions() >= 1

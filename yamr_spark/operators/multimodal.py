@@ -1,0 +1,163 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The reference has no binary/multimodal support (its only formats are raw
+text and JSON arrays — SURVEY.md §1.2); this is a north-star extension for
+training-data pipelines. Design:
+
+- payload is an opaque ``binary`` column; metadata travels in a typed
+  struct next to it (mime, n_bytes, content hash) so filters/joins on
+  metadata prune without touching payload bytes. At 100 TB the payload
+  column dominates storage — parquet column pruning means metadata-only
+  queries never read it (check ReadSchema in .explain).
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` generators: one python worker per input partition, zero
+  shuffle, payload bytes cross the JVM↔Python boundary once per batch.
+- real codecs (PIL / libav) are NOT in this container: ``decode`` is a
+  deterministic fake (numpy over the raw bytes) behind a clearly marked
+  seam — the Spark-side plumbing (schemas, batching, partitioning) is
+  real and tested, and swapping the fake for PIL is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- payload construction ---------------------------------------------------
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Attach an opaque binary payload + typed metadata struct.
+
+    The driver fixtures carry no real media, so the payload is the UTF-8
+    encoding of ``text_col`` — an arbitrary deterministic byte string as
+    far as every downstream operator is concerned. Metadata (n_bytes,
+    sha256) is computed JVM-side so metadata-only scans stay codegen'd.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(payload).alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+# --- decode / feature extraction (Arrow-batched python path) ----------------
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_px", T.DoubleType()),
+        T.StructField("std_px", T.DoubleType()),
+    ]
+)
+
+
+def _fake_decode(buf: bytes) -> np.ndarray:
+    """DECODER SEAM — replace with PIL/imageio in a real deployment:
+        img = np.asarray(PIL.Image.open(io.BytesIO(buf)))
+    Deterministic fake: view the raw bytes as a row-major uint8 image with
+    a fixed width of 64 (truncating the ragged tail)."""
+    px = np.frombuffer(buf, dtype=np.uint8)
+    w = 64
+    h = max(len(px) // w, 1)
+    return px[: h * w].reshape(h, w) if len(px) >= w else px.reshape(1, -1)
+
+
+def decode_image_stats(df: DataFrame) -> DataFrame:
+    """Decode each payload and emit per-image shape + pixel stats.
+
+    mapInPandas: narrow (no shuffle), Arrow-batched; batch size is
+    governed by spark.sql.execution.arrow.maxRecordsPerBatch so executor
+    memory holds O(batch) decoded images, not O(partition).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                img = _fake_decode(bytes(buf))
+                rows.append(
+                    (
+                        doc_id,
+                        int(img.shape[-1]),
+                        int(img.shape[0]),
+                        float(img.mean()),
+                        float(img.std()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mean_px", "std_px"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+    ]
+)
+
+
+def resize_thumbnail(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """'Resize' every image to out_w×out_h via nearest-neighbor sampling on
+    the fake-decoded array; output is again an opaque binary column, so
+    thumbnail pipelines compose with the same payload operators."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                img = _fake_decode(bytes(buf))
+                ys = np.linspace(0, img.shape[0] - 1, out_h).astype(int)
+                xs = np.linspace(0, img.shape[1] - 1, out_w).astype(int)
+                thumb = img[np.ix_(ys, xs)]
+                rows.append((doc_id, thumb.tobytes(), out_w, out_h))
+            yield pd.DataFrame(rows, columns=["doc_id", "thumb", "thumb_w", "thumb_h"])
+
+    return df.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 256, every_k: int = 4) -> DataFrame:
+    """Treat each payload as a 'video': a sequence of fixed-size frames;
+    emit every k-th frame as its own row (1→N, UDTF-shaped — the C8 hook
+    generalized to binary media). Real impl would call libav's keyframe
+    index here instead of fixed-size slicing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(buf)
+                n = len(buf) // frame_bytes
+                for i in range(0, n, every_k):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(buf[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)

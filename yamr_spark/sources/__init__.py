@@ -1,0 +1,130 @@
+"""Sources & sinks — SURVEY.md §2.1 (S1–S9) re-expressed Spark-first.
+
+The reference's I/O surface: whole-chunk text scan (S1/S8), a JSON-array
+``[key, value]`` format (S9), JSON result files (S6) and a result scan
+that merges + renders them (S7). Everything else in §2.1 (script fetch,
+shuffle spill files, RPC fetch) is Spark-internal and intentionally has
+no analogue here.
+
+Scale notes: every reader returns a lazy DataFrame rooted at a
+splittable file scan, so partition count follows
+``spark.sql.files.maxPartitionBytes`` — EXCEPT the wholetext/chunk
+readers, which by definition yield one record per file and are only for
+reference-fidelity jobs whose UDFs need the full chunk string (the
+reference's run_map contract). Parquet is the default sink: columnar,
+splittable, predicate-pushdown-able; the JSON sink exists for
+reference-output fidelity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- S1/S8: text sources ----------------------------------------------------
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text scan → DataFrame[value: string]. The idiomatic
+    splittable form of the reference's corpus input (files ``alice`` /
+    ``onegin``): Spark assigns line ranges to partitions, so one huge
+    file still parallelizes."""
+    return spark.read.text(path)
+
+
+def read_text_chunks(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-file-per-record scan → DataFrame[chunk_path, data] — the
+    reference's exact chunk semantics (fs.get_chunk delivers one opaque
+    string, mapper.py:74-84). Not splittable by construction; use only
+    when a compat job's run_map needs the entire chunk."""
+    df = spark.read.format("text").option("wholetext", "true").load(path)
+    return df.select(
+        F.input_file_name().alias("chunk_path"), F.col("value").alias("data")
+    )
+
+
+# --- S9/F6: JSON-array [key, value] format ----------------------------------
+
+
+def read_kv_json_array(
+    spark: SparkSession, path: str, key_type: str = "string", value_type: str = "double"
+) -> DataFrame:
+    """Read the reference's job-input format: file body = ONE JSON array
+    of [key, value] pairs (map_libs/temperature.json:1-2, parsed by
+    json.loads at max_year_temp.py:19). Elements are parsed as strings
+    first, then cast — so heterogeneous [int, float] pairs survive."""
+    arr = "array<array<string>>"
+    return (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(path)
+        .select(F.explode(F.from_json("value", arr)).alias("pair"))
+        .select(
+            F.col("pair")[0].cast(key_type).alias("key"),
+            F.col("pair")[1].cast(value_type).alias("value"),
+        )
+    )
+
+
+# --- S6: result sink / S7: result scan + render -----------------------------
+
+
+def write_result_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Result sink: key-value rows as JSON-lines files, one file per
+    partition — the Spark-native shape of the reference's per-region
+    result files (reducer.py:141-150)."""
+    df.select("key", "value").write.mode(mode).json(path)
+
+
+def read_result_json(
+    spark: SparkSession, path: str, key_type: str = "string", value_type: str = "double"
+) -> DataFrame:
+    """Result scan (S7): read a result dir back as (key, value) rows —
+    the yamr.py task_result path, minus the manual region merge (the
+    multi-file read IS the merge)."""
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
+    df = spark.read.schema(schema).json(path)
+    return df.select(
+        F.col("key").cast(key_type).alias("key"),
+        F.col("value").cast(value_type).alias("value"),
+    )
+
+
+def render_result(df: DataFrame) -> DataFrame:
+    """C10: the client's ``"{key}: {value}"`` output lines
+    (yamr.py:70-78) as a one-column DataFrame."""
+    return df.select(
+        F.concat_ws(": ", F.col("key").cast("string"), F.col("value").cast("string")).alias(
+            "line"
+        )
+    )
+
+
+# --- binary / parquet -------------------------------------------------------
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Opaque-binary file source for multimodal payloads: one row per
+    file with (path, modificationTime, length, content). Pairs with
+    operators/multimodal.py; length/path predicates prune before content
+    is read (the source skips content for filtered rows)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Default sink: columnar, splittable, statistics for pushdown.
+    ``partition_by`` gives directory-level partition pruning — the knob
+    that turns a 100 TB scan into a per-partition read."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
