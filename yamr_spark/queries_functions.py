@@ -1,0 +1,162 @@
+"""Scalar-function and SQL-surface coverage (SURVEY.md §2.3 + §2.4 gaps).
+
+The reference's entire scalar library is nine functions inside two job
+scripts (F1–F9); this module covers the function families a real engine
+user reaches for — date/time, string, conditional/null handling, math,
+and the Spark SQL entry point itself — each oracle-paired.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yamr_spark.registry import register
+from yamr_spark.tables import table
+
+
+@register(
+    "orders_per_month",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS month,
+           CAST(COUNT(*) AS BIGINT) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_orders_per_month(spark, sf_dir):
+    """Date functions: date_trunc month rollup of orders."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month"))
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "part_name_search",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           CAST(substr(p_name, 1, 5) AS VARCHAR) AS name_prefix
+    FROM part
+    WHERE p_name LIKE '%el%' AND p_retailprice BETWEEN 100 AND 1500
+    """,
+)
+def q_part_name_search(spark, sf_dir):
+    """String functions + LIKE predicate + BETWEEN (F2/F3 generalized)."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_name").like("%el%") & F.col("p_retailprice").between(100, 1500))
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.substring("p_name", 1, 5).alias("name_prefix"),
+        )
+    )
+
+
+@register(
+    "order_value_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_order_value_buckets(spark, sf_dir):
+    """Conditional logic: CASE WHEN bucketing + two-key aggregate."""
+    o = table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return o.groupBy(bucket.alias("bucket"), "o_orderstatus").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@register(
+    "math_price_features",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(ln(l_extendedprice + 1), 6) AS log_price,
+           round(sqrt(l_quantity), 6) AS sqrt_qty,
+           CAST(abs(l_discount - 0.05) AS DOUBLE) AS disc_dev,
+           round(pow(1 + l_tax, 2), 6) AS tax_sq
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+)
+def q_math_price_features(spark, sf_dir):
+    """Math functions (ln/sqrt/abs/pow), rounded to the driver's 6dp
+    comparison grid so cross-engine libm differences can't bite."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") <= 2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.pow(F.lit(1) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+    )
+
+
+@register(
+    "sql_revenue_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_sql_revenue_by_segment(spark, sf_dir):
+    """The Spark SQL entry point itself: temp views + spark.sql — the
+    same Catalyst plan as the DataFrame form, proving the SQL surface."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(DISTINCT o_custkey) AS customers,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "null_handling_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS total,
+           CAST(COUNT(props) AS BIGINT) AS with_props,
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+           coalesce(MIN(props), '<none>') AS min_props
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_null_handling(spark, sf_dir):
+    """Null semantics: COUNT(col) vs COUNT(*), conditional counting,
+    coalesce fallback."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("total"),
+        F.count("props").alias("with_props"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("null_props"),
+        F.coalesce(F.min("props"), F.lit("<none>")).alias("min_props"),
+    )

@@ -104,6 +104,24 @@ def q_window_session(spark, sf_dir):
     return session_user_windows(table(spark, sf_dir, "events"), gap="30 minutes")
 
 
+@register(
+    "streaming_user_stats",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS event_cnt,
+           SUM(value) AS value_sum
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_streaming_user_stats(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    counters through the streaming state store, final state checked
+    against the batch GROUP BY oracle."""
+    from yamr_spark.streaming.stateful import streaming_user_stats
+
+    return streaming_user_stats(spark, sf_dir)
+
+
 @register("streaming_event_passthrough")
 def q_streaming_passthrough(spark, sf_dir):
     """Stateless streaming ETL: readStream → filter + projection → append

@@ -1,0 +1,86 @@
+"""Temporal-join and skew-mitigation queries (operators/temporal.py,
+operators/skew.py) over the events table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yamr_spark.operators.skew import salted_sum
+from yamr_spark.operators.temporal import asof_join, range_join_bucketed
+from yamr_spark.registry import register
+from yamr_spark.tables import table
+
+
+def _events(spark, sf_dir):
+    return table(spark, sf_dir, "events")
+
+
+@register(
+    "asof_click_purchase",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS purchase_ts_asof, p.value AS purchase_value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_asof_click_purchase(spark, sf_dir):
+    """As-of join: every click annotated with the user's latest purchase
+    at-or-before the click (union + single window pass, one shuffle)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("value").alias("purchase_value"), F.col("ts").alias("purchase_ts"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["purchase_ts", "purchase_value"],
+    )
+
+
+@register(
+    "range_click_near_purchase",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.click_id, c.ts AS ts_r
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id AS click_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND epoch(c.ts) >= epoch(p.ts) - 3600
+     AND epoch(c.ts) <= epoch(p.ts)
+    """,
+)
+def q_range_click_near_purchase(spark, sf_dir):
+    """Range join: (purchase, click) pairs where the click happened in the
+    hour before the purchase — bucketed equi-join, not a theta join."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    return range_join_bucketed(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        lower_s=-3600, upper_s=0, bucket_s=3600,
+    )
+
+
+@register(
+    "salted_value_sum",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_salted_value_sum(spark, sf_dir):
+    """Two-phase salted aggregation — result identical to a plain
+    groupBy sum (the oracle), plan spreads each key over 16 salts."""
+    return salted_sum(_events(spark, sf_dir), key="event_type", value="value", buckets=16)

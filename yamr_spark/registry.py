@@ -86,6 +86,8 @@ def _load_query_modules() -> None:
         "queries_text",
         "queries_streaming",
         "queries_multimodal",
+        "queries_temporal",
+        "queries_functions",
     ):
         try:
             __import__(f"yamr_spark.{mod}")
