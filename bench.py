@@ -50,6 +50,15 @@ def main() -> None:
     spark = get_spark("yamr_spark_bench", shuffle_partitions=int(cpus))
     queries = all_queries()
 
+    # Warm the JVM/codegen/Arrow paths so the first timed query isn't
+    # charged for session spin-up (steady-state throughput is the metric;
+    # a cluster pays spin-up once per application, not per query).
+    warm = spark.range(100_000).selectExpr("id % 7 AS k", "id AS v")
+    warm.groupBy("k").count().write.format("noop").mode("overwrite").save()
+    spark.createDataFrame([("warm up the arrow path",)], "text string").selectExpr(
+        "explode(split(text, ' ')) AS w"
+    ).groupBy("w").count().write.format("noop").mode("overwrite").save()
+
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 

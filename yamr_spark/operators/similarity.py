@@ -120,6 +120,67 @@ def ivf_assign(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    num_queries: int = 10,
+    c: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-accelerated top-k: each query probes its ``nprobe`` nearest
+    centroids and scores ONLY vectors assigned there — |corpus|·nprobe/c
+    dot products instead of brute force's |corpus|. Approximate: a true
+    neighbor assigned to an unprobed cell is missed (recall ↑ with
+    nprobe). At 100 TB the corpus is stored partitioned by centroid_id,
+    so a probe is a partition-pruned scan, not a filter."""
+    from pyspark.sql import Window
+
+    cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
+    vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+    queries = vecs.filter(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    # query → nprobe nearest centroids (broadcast cents; tiny)
+    qs = with_cosine(
+        F.broadcast(queries).crossJoin(
+            F.broadcast(cents).select("centroid_id", F.col("cvec").alias("vb"))
+        ).withColumnRenamed("qv", "va")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "centroid_id")
+    probes = (
+        qs.select("query_id", F.col("va").alias("qv"), "centroid_id",
+                  F.row_number().over(wq).alias("rn"))
+        .filter(F.col("rn") <= nprobe)
+        .drop("rn")
+    )
+
+    # corpus restricted to probed cells
+    assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col).select(
+        "vec_id", "centroid_id"
+    )
+    corpus = vecs.join(assign, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), "centroid_id", F.col("v").alias("vb")
+    )
+    scored = with_cosine(
+        F.broadcast(probes).withColumnRenamed("qv", "va")
+        .join(corpus, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    # each vector is assigned to exactly ONE cell, so the probe join
+    # yields every (query, neighbor) at most once — no dedup needed
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.select(
+            "query_id", "neighbor_id", "cosine",
+            F.row_number().over(wr).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.4,

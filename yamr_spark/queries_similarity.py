@@ -67,6 +67,53 @@ def q_ivf_assign(spark, sf_dir):
 
 
 @register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    cents AS (
+      SELECT vec_id AS centroid_id, v AS cvec FROM vecs ORDER BY vec_id LIMIT 8
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_COS.format(a="q.qv", b="c.cvec")} DESC,
+                                           c.centroid_id) AS rn
+        FROM q CROSS JOIN cents c
+      ) t WHERE rn <= 2
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_COS.format(a="v.v", b="c.cvec")} DESC,
+                                           c.centroid_id) AS rn
+        FROM vecs v CROSS JOIN cents c
+      ) t WHERE rn = 1
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_COS.format(a="p.qv", b="av.v")} AS cosine
+      FROM probes p
+      JOIN assign a ON a.centroid_id = p.centroid_id
+      JOIN vecs av ON av.vec_id = a.vec_id
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= 5
+    """,
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-probed approximate top-k (nprobe=2 of 8 cells) — the scale
+    path; the oracle replays the exact same probe/assign arithmetic."""
+    return S.ivf_topk(table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "embedding_near_dup",
     oracle=f"""
     WITH {_VECS_CTE},

@@ -88,6 +88,8 @@ def _load_query_modules() -> None:
         "queries_multimodal",
         "queries_temporal",
         "queries_functions",
+        "queries_compat",
+        "queries_analytics",
     ):
         try:
             __import__(f"yamr_spark.{mod}")
