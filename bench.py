@@ -29,11 +29,15 @@ HEADLINE = [
     "revenue_per_nation",
     "shipping_priority",
     "moving_stats_per_user",
+    # temporal joins
+    "asof_click_purchase",
     # north-star LLM ops (§7.5)
     "dedup_exact",
     "minhash_near_dup",
+    "dedup_groups",
     "ann_brute_topk",
     "quality_score",
+    "tfidf_top_terms",
     # event-time windows
     "window_tumbling_counts",
 ]

@@ -1,0 +1,29 @@
+"""Connected-components goldens: chains, merges, isolated pairs."""
+
+from __future__ import annotations
+
+from yamr_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4 chain plus isolated pair 10-11
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_two_clusters_merge_via_bridge(spark):
+    got = _cc(spark, [(5, 6), (8, 9), (6, 8)])
+    assert got == {5: 5, 6: 5, 8: 5, 9: 5}
+
+
+def test_long_chain_converges(spark):
+    n = 12
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0} and len(got) == n + 1

@@ -34,6 +34,40 @@ def _tokens_col() -> Column:
     return F.expr(_TOKENS)
 
 
+def tfidf_top_terms(docs: DataFrame, top_n: int = 3) -> DataFrame:
+    """Top-``top_n`` TF-IDF terms per document.
+
+    tf = term count in doc; idf = ln((N+1)/(df+1)) + 1 (smoothed). N is a
+    scalar aggregate broadcast-cross-joined into the plan — no driver
+    collect, so the whole thing stays one lazy DAG. Ties rank by token
+    asc for determinism. Two shuffles: (doc,token) tf agg and token df
+    agg; the per-doc top-n is a window over the tf join."""
+    from pyspark.sql import Window
+
+    tokens = docs.select("doc_id", F.explode(_tokens_col()).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_n)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rnk")
+    )
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token counting: regex word tokens, whitespace tokens, and a BPE-ish
     proxy (~chars/4 subword unit estimate, the standard quick estimator)."""

@@ -7,7 +7,10 @@ driver's value-hash compares real content, not just row counts.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from yamr_spark.operators import dedup as D
+from yamr_spark.operators.graph import connected_components
 from yamr_spark.registry import register
 from yamr_spark.tables import table
 
@@ -214,3 +217,39 @@ def q_simhash_near_dup(spark, sf_dir):
 )
 def q_ngram_jaccard_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE {_BANDS_CTE}, {_CAND_PAIRS}, {_JACCARD},
+    dups AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes za ON za.doc_id = c.doc_a
+      JOIN sizes zb ON zb.doc_id = c.doc_b
+      WHERE CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM dups
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM dups
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    )
+    SELECT node AS doc_id, MIN(label) AS group_id FROM reach GROUP BY node
+    """,
+)
+def q_dedup_groups(spark, sf_dir):
+    """Duplicate GROUPS: connected components over the verified MinHash
+    near-dup pairs (iterative min-label propagation; oracle = recursive-
+    CTE transitive closure). group_id = the canonical (minimum) doc_id —
+    the keep-one-per-group policy at the end of every dedup pipeline."""
+    pairs = D.minhash_near_dup(table(spark, sf_dir, "documents"))
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("group_id")
+    )

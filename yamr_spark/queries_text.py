@@ -107,3 +107,35 @@ def q_lang_id(spark, sf_dir):
 )
 def q_doc_fingerprint(spark, sf_dir):
     return T.doc_fingerprint(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
+                         x -> length(x) > 0) AS t
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, tfidf, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rnk
+      FROM scored
+    ) t WHERE rnk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document — the per-doc keyword extractor
+    of a text pipeline (smoothed idf, deterministic tie-break)."""
+    return T.tfidf_top_terms(table(spark, sf_dir, "documents"), top_n=3)
