@@ -70,3 +70,32 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan_text(df, "simple"), (
         "global top-k should be per-partition heaps, not a global sort"
     )
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located join: both sides bucketed on the join key at write time
+    → SortMergeJoin with ZERO Exchange operators (the shuffle was paid at
+    ingest). This is the 100 TB fact-join pattern."""
+    from yamr_spark.plans import plan_text, shuffle_count
+    from yamr_spark.sources import write_bucketed
+    from yamr_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "b_lineitem", 8, ["l_orderkey"], ["l_orderkey"])
+    write_bucketed(o, "b_orders", 8, ["o_orderkey"], ["o_orderkey"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        txt = plan_text(j, "simple")
+        assert "SortMergeJoin" in txt, txt
+        assert shuffle_count(j) == 0, txt
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")

@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis): operator laws that must hold for
+ANY input, not just goldens — the generalization of the reference's
+partition-invariant tests (tests/test_partition.py:12-41).
+
+Strategy sizes are kept small (Spark job per example is expensive):
+each property runs ~15 examples over one shared local session.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from yamr_spark.operators.keyvalue import sum_per_key
+from yamr_spark.operators.skew import salted_sum
+from yamr_spark.operators.temporal import asof_join
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_keys = st.sampled_from(["a", "b", "c", "hot"])
+_kv_rows = st.lists(st.tuples(_keys, st.integers(-1000, 1000)), min_size=1, max_size=60)
+
+
+@given(rows=_kv_rows)
+@_SETTINGS
+def test_salted_sum_equals_plain_sum(spark, rows):
+    df = spark.createDataFrame(rows, "k string, v long").withColumn(
+        "v", F.col("v").cast("double")
+    )
+    plain = {r["k"]: r["s"] for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    salted = {
+        r["k"]: r["value_sum"] for r in salted_sum(df, "k", "v", buckets=5).collect()
+    }
+    assert salted == plain  # integral doubles: exact under any order
+
+
+@given(rows=_kv_rows)
+@_SETTINGS
+def test_sum_per_key_partition_invariance(spark, rows):
+    """Same result at 1, 2, and 7 shuffle partitions — the reference's
+    'every key lands in exactly one region' invariant, stated as
+    result-equality across region counts."""
+    df = spark.createDataFrame(rows, "key string, value long")
+    results = []
+    for n in (1, 2, 7):
+        out = sum_per_key(df.repartition(n, "key"))
+        results.append(sorted(map(tuple, out.collect())))
+    assert results[0] == results[1] == results[2]
+
+
+_ts_pool = [dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m) for m in range(0, 300, 7)]
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(1, 3), st.sampled_from(_ts_pool)), min_size=1, max_size=15
+    ),
+    right=st.lists(
+        st.tuples(st.integers(1, 3), st.sampled_from(_ts_pool), st.floats(0, 10)),
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+@_SETTINGS
+def test_asof_join_matches_naive(spark, left, right):
+    """asof_join == the O(n·m) per-row definition: value of the latest
+    right row with the same key and ts <= left ts."""
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, ts timestamp"
+    )
+    rdf = spark.createDataFrame(right, "k long, ts timestamp, v double")
+    got = {
+        r["lid"]: r["v_asof"]
+        for r in asof_join(ldf, rdf, on=["k"], right_values=["v"]).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        matches = [(rt, v) for rk, rt, v in right if rk == k and rt <= t]
+        want = max(matches)[1] if matches else None
+        assert got[i] == want, (i, k, t, matches)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(1, 2), st.sampled_from(_ts_pool)), min_size=1, max_size=10
+    ),
+    right=st.lists(
+        st.tuples(st.integers(1, 2), st.sampled_from(_ts_pool)), max_size=10
+    ),
+)
+@_SETTINGS
+def test_range_join_matches_naive(spark, left, right):
+    """bucketed range join == the O(n·m) definition, for bucket widths
+    that do and don't divide the window."""
+    from yamr_spark.operators.temporal import range_join_bucketed
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, ts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(j, k, t) for j, (k, t) in enumerate(right)], "rid long, k long, ts timestamp"
+    )
+    for bucket_s in (600, 777):
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in range_join_bucketed(
+                ldf, rdf, on=["k"], lower_s=-1800, upper_s=0, bucket_s=bucket_s
+            ).collect()
+        )
+        want = sorted(
+            (i, j)
+            for i, (lk, lt) in enumerate(left)
+            for j, (rk, rt) in enumerate(right)
+            if lk == rk and lt - dt.timedelta(seconds=1800) <= rt <= lt
+        )
+        assert got == want, (bucket_s, got, want)

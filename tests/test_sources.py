@@ -80,3 +80,13 @@ def test_write_parquet_partitioned(spark, tmp_path):
     assert back.where("region = 'us'").count() == 2
     plan = back.where("region = 'us'")._jdf.queryExecution().executedPlan().toString()
     assert "us" in plan or back.where("region = 'us'").rdd.getNumPartitions() >= 1
+
+
+def test_read_csv_with_schema(spark, tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text("k,v\na,1\nb,2\n")
+    from yamr_spark.sources import read_csv
+
+    df = read_csv(spark, str(p), schema="k string, v long")
+    assert sorted(map(tuple, df.collect())) == [("a", 1), ("b", 2)]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string", "bigint"]

@@ -90,3 +90,26 @@ def test_stream_matches_batch(spark, sf_dir):
     b = sorted(map(tuple, batch.collect()))
     s = sorted(map(tuple, streamed.collect()))
     assert b == s and len(b) > 0
+
+
+def test_stream_to_parquet_exactly_once(spark, sf_dir, tmp_path):
+    """Checkpointed parquet sink: drain once, re-run with the SAME
+    checkpoint — no duplicate rows (offsets already committed)."""
+    from yamr_spark.streaming.events import run_stream_to_parquet, stream_events
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    sdf = stream_events(spark, sf_dir).where("event_type = 'signup'").select(
+        "event_id", "user_id"
+    )
+    run_stream_to_parquet(sdf, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    # second drain from the same checkpoint: nothing new to process
+    sdf2 = stream_events(spark, sf_dir).where("event_type = 'signup'").select(
+        "event_id", "user_id"
+    )
+    run_stream_to_parquet(sdf2, out, ckpt)
+    n2 = spark.read.parquet(out).count()
+    from yamr_spark.tables import table
+
+    expected = table(spark, sf_dir, "events").where("event_type = 'signup'").count()
+    assert n1 == n2 == expected

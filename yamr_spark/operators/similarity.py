@@ -181,6 +181,64 @@ def ivf_topk(
     )
 
 
+def kmeans_refine(
+    emb: DataFrame,
+    c: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement of the IVF centroids: assign → mean →
+    repeat. Returns (centroid_id, dim, value) in long form, rounded to
+    6 dp (long form keeps the oracle a plain unnest+avg, and the rounded
+    means are engine-exact).
+
+    Iterative like connected_components: each round is one broadcast
+    cosine assignment + one (centroid, dim) average — shuffle carries
+    c×dims partial sums thanks to map-side aggregation, not vectors.
+    At 100 TB: sample-then-refine (train on a 0.1% sample, assign all) is
+    the standard cheat; the operator is the same plan either way."""
+    cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
+    vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("va"))
+    from pyspark.sql import Window
+
+    for _ in range(iters):
+        scored = with_cosine(
+            vecs.crossJoin(
+                F.broadcast(cents).select("centroid_id", F.col("cvec").alias("vb"))
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "centroid_id")
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "centroid_id", "va")
+        )
+        dims = assign.select(
+            "centroid_id", F.posexplode("va").alias("dim", "x")
+        )
+        means = (
+            dims.groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("value"))
+        )
+        cents = means.groupBy("centroid_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "value"))
+            ).alias("dv")
+        ).select(
+            "centroid_id",
+            F.expr("transform(dv, s -> s.value)").alias("cvec"),
+        )
+    return (
+        cents.select("centroid_id", F.posexplode("cvec").alias("dim", "value"))
+        .select(
+            "centroid_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.4,

@@ -138,3 +138,28 @@ def q_kv_json_render(spark, sf_dir):
             F.array(F.col("key"), F.col("value").cast("long").cast("string"))
         ).alias("kv_json")
     )
+
+
+@register(
+    "union_mapper_outputs",
+    oracle="""
+    SELECT key, CAST(SUM(value) AS BIGINT) AS value
+    FROM (
+      SELECT l_returnflag AS key, CAST(l_linenumber AS BIGINT) AS value FROM lineitem
+      UNION ALL
+      SELECT o_orderstatus AS key, CAST(1 AS BIGINT) AS value FROM orders
+    ) t
+    GROUP BY key
+    """,
+)
+def q_union_mapper_outputs(spark, sf_dir):
+    """C9: the reducer-side gather of multiple mapper outputs
+    (reducer.py:98-111) — explicit unionAll of two (key, value) sources
+    feeding one aggregation."""
+    a = kv(table(spark, sf_dir, "lineitem"), "l_returnflag", "l_linenumber").select(
+        "key", F.col("value").cast("long").alias("value")
+    )
+    b = table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("key"), F.lit(1).cast("long").alias("value")
+    )
+    return a.unionAll(b).groupBy("key").agg(F.sum("value").cast("long").alias("value"))

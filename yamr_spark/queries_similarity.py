@@ -114,6 +114,40 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "kmeans_centroids",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    cents AS (
+      SELECT vec_id AS centroid_id, v AS cvec FROM vecs ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT v.vec_id, c.centroid_id, v.v,
+             {_COS.format(a="v.v", b="c.cvec")} AS cosine
+      FROM vecs v CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id, v FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, centroid_id) AS rn
+        FROM scored
+      ) t WHERE rn = 1
+    ),
+    dimidx AS (
+      SELECT centroid_id, v, unnest(range(len(v))) AS dim FROM assign
+    )
+    SELECT centroid_id, CAST(dim AS BIGINT) AS dim,
+           ROUND(AVG(v[dim + 1]), 6) AS value
+    FROM dimidx GROUP BY centroid_id, dim
+    """,
+)
+def q_kmeans_centroids(spark, sf_dir):
+    """One Lloyd iteration of k-means centroid refinement (the IVF
+    'training' step) — iterative assign→mean, long-form output so the
+    oracle is a plain unnest + avg."""
+    return S.kmeans_refine(table(spark, sf_dir, "embeddings"), c=8, iters=1)
+
+
+@register(
     "embedding_near_dup",
     oracle=f"""
     WITH {_VECS_CTE},

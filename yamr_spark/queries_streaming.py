@@ -122,6 +122,27 @@ def q_streaming_user_stats(spark, sf_dir):
     return streaming_user_stats(spark, sf_dir)
 
 
+@register(
+    "streaming_click_purchase_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.click_id, c.ts AS ts_r
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id AS click_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND epoch(c.ts) >= epoch(p.ts) - 3600
+     AND epoch(c.ts) <= epoch(p.ts)
+    """,
+)
+def q_streaming_click_purchase_join(spark, sf_dir):
+    """Stream-stream inner join (purchases ⋈ clicks within 1h, both
+    watermarked) — same oracle as the batch range join, so the streaming
+    join path itself is value-checked."""
+    from yamr_spark.streaming.joins import streaming_click_purchase_join
+
+    return streaming_click_purchase_join(spark, sf_dir)
+
+
 @register("streaming_event_passthrough")
 def q_streaming_passthrough(spark, sf_dir):
     """Stateless streaming ETL: readStream → filter + projection → append

@@ -106,6 +106,24 @@ def render_result(df: DataFrame) -> DataFrame:
     )
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan. Prefer an explicit DDL ``schema``: inference costs an
+    extra full pass over the files and types drift run-to-run — at 100 TB
+    the inference pass alone is the whole job."""
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
 # --- binary / parquet -------------------------------------------------------
 
 
@@ -118,6 +136,26 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: rows hash-partitioned into ``buckets``
+    files per partition by ``bucket_cols`` at WRITE time. Two tables
+    bucketed the same way join WITHOUT an exchange — the shuffle is paid
+    once at ingest instead of per query, which is the whole game for a
+    fact table joined daily at 100 TB. ``sort_cols`` additionally
+    pre-sorts each bucket so sort-merge join skips its sort.
+    (Pinned by tests/test_plans.py::test_bucketed_join_has_no_exchange.)"""
+    w = df.write.mode("overwrite").bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table_name)
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:

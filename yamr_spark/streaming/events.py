@@ -111,6 +111,24 @@ def streaming_tumbling_counts(
     )
 
 
+def run_stream_to_parquet(
+    streaming_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain a streaming DataFrame to a parquet sink with a checkpoint —
+    the production-shaped sink (exactly-once per file-source offset range;
+    restarting with the same checkpoint resumes, never duplicates).
+    availableNow processes everything currently available, then stops."""
+    q = (
+        streaming_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_memory(
     spark: SparkSession, streaming_df: DataFrame, name: str
 ) -> DataFrame:
