@@ -45,7 +45,8 @@ _SIG_CTE = (
     _SHINGLES_CTE
     + f""",
 sig AS (
-  SELECT doc_id, {_MINHASH_COLS}
+  SELECT doc_id, {_MINHASH_COLS},
+       CAST(COUNT(*) AS BIGINT) AS sz
   FROM sh GROUP BY doc_id
 )
 """
