@@ -120,3 +120,34 @@ def test_range_join_matches_naive(spark, left, right):
             if lk == rk and lt - dt.timedelta(seconds=1800) <= rt <= lt
         )
         assert got == want, (bucket_s, got, want)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c\nd!e."), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_SETTINGS
+def test_compat_shim_matches_native_wordcount(spark, texts):
+    """The C7/C8 python shim and the native codegen'd word count agree on
+    arbitrary text (same tokenization contract)."""
+    from yamr_spark.compat import run_job
+    from yamr_spark.compat.jobs import WordCountMapper, WordCountReducer
+    from yamr_spark.operators.wordcount import word_count
+
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    native = sorted(map(tuple, word_count(docs).collect()))
+    shim = sorted(
+        map(
+            tuple,
+            run_job(
+                spark, docs, WordCountMapper(), WordCountReducer(),
+                map_schema="key string, value long", text_col="text",
+            ).collect(),
+        )
+    )
+    assert shim == native

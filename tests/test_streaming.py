@@ -113,3 +113,30 @@ def test_stream_to_parquet_exactly_once(spark, sf_dir, tmp_path):
 
     expected = table(spark, sf_dir, "events").where("event_type = 'signup'").count()
     assert n1 == n2 == expected
+
+
+def test_streaming_dedup_suppresses_duplicates(spark, tmp_path):
+    """Write a parquet stream source containing DUPLICATED event rows;
+    dropDuplicatesWithinWatermark must emit each event_id once."""
+    import pyspark.sql.functions as F
+
+    base = spark.createDataFrame(
+        [(1, "click", 1.0), (2, "view", 2.0)], "event_id long, event_type string, value double"
+    ).withColumn("ts", F.lit("2024-01-01 10:00:00").cast("timestamp"))
+    dup = base.unionAll(base)  # every row twice
+    src = str(tmp_path / "src")
+    dup.write.parquet(src)
+
+    sdf = (
+        spark.readStream.schema(dup.schema).parquet(src + "/*")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    q = (
+        sdf.writeStream.format("memory").queryName("t_dedup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = sorted(map(tuple, spark.table("t_dedup_stream").collect()))
+    assert rows == [(1, "click"), (2, "view")]

@@ -80,3 +80,21 @@ def q_multimodal_thumbnails(spark, sf_dir):
 def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling seam: payload → every-4th fixed-size frame (1→N)."""
     return sample_frames(_payload(spark, sf_dir))
+
+
+@register(
+    "multimodal_frame_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST((octet_length(encode(text)) // 256 + 3) // 4 AS BIGINT) AS n_frames
+    FROM documents
+    WHERE octet_length(encode(text)) // 256 > 0
+    """,
+)
+def q_multimodal_frame_counts(spark, sf_dir):
+    """Frame-sampling cardinality, oracle-checked: every-4th 256-byte
+    frame → ceil(n_frames/4) rows per doc. Pins the mapInPandas UDTF's
+    1→N fan-out against closed-form arithmetic (the frame BYTES stay
+    rows-only; the COUNT is exact)."""
+    frames = sample_frames(_payload(spark, sf_dir), frame_bytes=256, every_k=4)
+    return frames.groupBy("doc_id").agg(F.count("*").alias("n_frames"))

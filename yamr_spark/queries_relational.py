@@ -312,3 +312,37 @@ def q_returned_revenue_by_customer(spark, sf_dir):
             F.count("*").alias("return_lines"),
         )
     )
+
+
+@register(
+    "range_frame_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS revenue_30d
+    FROM orders
+    """,
+)
+def q_range_frame_revenue(spark, sf_dir):
+    """RANGE window frame (value-based, not row-based): per customer, the
+    trailing-30-day revenue at each order. Unlike rowsBetween, equal and
+    near timestamps are included by VALUE distance — the frame semantics
+    streaming-style trailing metrics need."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("revenue_30d"),
+    )

@@ -175,3 +175,36 @@ def q_kmeans_centroids(spark, sf_dir):
 )
 def q_embedding_near_dup(spark, sf_dir):
     return S.embedding_near_dup(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_norms",
+    oracle=f"""
+    WITH {_VECS_CTE}
+    SELECT vec_id,
+           CAST(len(v) AS INT) AS dims,
+           ROUND(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+           ROUND(list_aggregate(v, 'sum') / len(v), 6) AS mean_val
+    FROM vecs
+    """,
+)
+def q_embedding_norms(spark, sf_dir):
+    """Vector arithmetic entirely in codegen'd array expressions
+    (aggregate/transform lambdas — the no-UDF path for embedding math)."""
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = "transform(embedding, x -> cast(x as double))"
+    return emb.select(
+        "vec_id",
+        F.expr(f"size({v})").alias("dims"),
+        F.round(
+            F.sqrt(F.expr(f"aggregate({v}, cast(0.0 as double), (a, x) -> a + x * x)")),
+            6,
+        ).alias("l2_norm"),
+        F.round(
+            F.expr(f"aggregate({v}, cast(0.0 as double), (a, x) -> a + x)")
+            / F.expr(f"size({v})"),
+            6,
+        ).alias("mean_val"),
+    )

@@ -143,6 +143,23 @@ def q_streaming_click_purchase_join(spark, sf_dir):
     return streaming_click_purchase_join(spark, sf_dir)
 
 
+@register(
+    "streaming_dedup_events",
+    oracle="""
+    SELECT event_id, MIN(event_type) AS event_type, MIN(value) AS value
+    FROM events
+    GROUP BY event_id
+    """,
+)
+def q_streaming_dedup_events(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on event_id);
+    the fixture's event_ids are unique, so the oracle reduces to one row
+    per id — what matters under test is the bounded-state dedup path."""
+    from yamr_spark.streaming.stateful import streaming_dedup_events
+
+    return streaming_dedup_events(spark, sf_dir)
+
+
 @register("streaming_event_passthrough")
 def q_streaming_passthrough(spark, sf_dir):
     """Stateless streaming ETL: readStream → filter + projection → append

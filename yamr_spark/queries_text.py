@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from yamr_spark.operators import text as T
 from yamr_spark.operators.text import LANG_PROFILES
 from yamr_spark.registry import register
@@ -139,3 +141,44 @@ def q_tfidf_top_terms(spark, sf_dir):
     """TF-IDF top-3 terms per document — the per-doc keyword extractor
     of a text pipeline (smoothed idf, deterministic tie-break)."""
     return T.tfidf_top_terms(table(spark, sf_dir, "documents"), top_n=3)
+
+
+@register(
+    "corpus_curation",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text, lang,
+             length(text) AS n_chars,
+             len(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
+                             x -> length(x) > 0)) AS n_words
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored WHERE n_words >= 5 AND n_chars >= 30
+    ),
+    dedup AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang
+      FROM kept GROUP BY sha256(text)
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs_kept
+    FROM dedup GROUP BY lang
+    """,
+)
+def q_corpus_curation(spark, sf_dir):
+    """The end-to-end curation pipeline in one plan: length/word-count
+    quality gate → exact dedup (keep min doc_id per sha256) → per-lang
+    corpus counts. Composes three operator families; Catalyst fuses the
+    filter into the scan and the whole thing is two shuffles (dedup
+    group + lang count)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.expr(
+        "filter(split(lower(text), '[^\\\\p{L}\\\\p{N}_]+'), x -> length(x) > 0)"
+    )
+    kept = docs.select(
+        "doc_id", "text", "lang", F.length("text").alias("n_chars"), F.size(toks).alias("n_words")
+    ).where((F.col("n_words") >= 5) & (F.col("n_chars") >= 30))
+    dedup = (
+        kept.groupBy(F.sha2(F.col("text").cast("binary"), 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang"))
+    )
+    return dedup.groupBy("lang").agg(F.count("*").alias("docs_kept"))

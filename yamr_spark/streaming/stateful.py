@@ -71,3 +71,24 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.value_sum").alias("value_sum"),
         )
     )
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str, delay: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on event_id —
+    the stream form of exact_dedup. State holds one entry per key seen
+    within the watermark horizon and is evicted past it, so duplicate
+    suppression is bounded-state even on an unbounded stream (a global
+    dropDuplicates on a stream would grow state forever)."""
+    sdf = stream_events(spark, sf_dir).withWatermark("ts", delay)
+    deduped = sdf.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "event_type", "value"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("streaming_dedup_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_dedup_events")
