@@ -346,3 +346,37 @@ def q_range_frame_revenue(spark, sf_dir):
         .cast("double")
         .alias("revenue_30d"),
     )
+
+
+@register(
+    "supplier_nation_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS suppliers,
+           CAST(COUNT(*) AS BIGINT) AS line_cnt,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_supplier_nation_volume(spark, sf_dir):
+    """Supply-side volume per nation (completes table coverage: every
+    star-schema table now feeds at least one oracle-checked query).
+    supplier and nation are broadcast dims; lineitem streams once."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("s_suppkey").alias("suppliers"),
+            F.count("*").alias("line_cnt"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("volume"),
+        )
+    )
