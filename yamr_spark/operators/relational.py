@@ -212,3 +212,42 @@ def order_priority_counts(
 def dedupe_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """dropDuplicates — exact row dedup (hash-agg on the subset key)."""
     return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def inactive_custkeys_except(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Set op: customer keys \ ordering-customer keys (EXCEPT DISTINCT).
+
+    Same answer as the LEFT ANTI form (customers_without_orders) but
+    exercised through Spark's ExceptDistinct → left-anti + distinct
+    physical rewrite, so both set-difference surfaces are covered.
+    """
+    return (
+        customer.select(F.col("c_custkey").alias("custkey"))
+        .subtract(orders.select(F.col("o_custkey").alias("custkey")))
+    )
+
+
+def click_purchase_full(events: DataFrame) -> DataFrame:
+    """FULL OUTER join of per-user click counts vs purchase counts.
+
+    Aggregate-before-join: each side is reduced to one row per user via
+    map-side partial aggregation BEFORE the join shuffle, so the join
+    input is |users|, not |events| — the order that survives a 100×
+    scale-up. Users present on only one side surface via the outer join
+    with the other side's count coalesced to 0.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("clicks"))
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("purchases"))
+    )
+    return clicks.join(purchases, ["user_id"], "full_outer").select(
+        "user_id",
+        F.coalesce("clicks", F.lit(0)).alias("clicks"),
+        F.coalesce("purchases", F.lit(0)).alias("purchases"),
+    )

@@ -160,3 +160,38 @@ def q_null_handling(spark, sf_dir):
         F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("null_props"),
         F.coalesce(F.min("props"), F.lit("<none>")).alias("min_props"),
     )
+
+
+@register(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 10
+    GROUP BY event_type
+    """,
+)
+def q_json_props_stats(spark, sf_dir):
+    """F6 generalized to semi-structured columns: parse the JSON props
+    payload with an explicit schema (from_json, not schema inference —
+    at 100 TB inference means an extra full pass), filter on the parsed
+    field (pushes past the parse via Catalyst's JSON pruning), aggregate."""
+    from pyspark.sql import types as T
+
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k",
+        F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))["k"],
+    )
+    return (
+        parsed.where(F.col("k") > 10)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+            F.count("*").alias("cnt"),
+        )
+    )

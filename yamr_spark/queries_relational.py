@@ -380,3 +380,34 @@ def q_supplier_nation_volume(spark, sf_dir):
             .alias("volume"),
         )
     )
+
+
+@register(
+    "inactive_custkeys_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def q_inactive_custkeys_except(spark, sf_dir):
+    return R.inactive_custkeys_except(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "click_purchase_full",
+    oracle="""
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(c.clicks, 0) AS clicks,
+           COALESCE(p.purchases, 0) AS purchases
+    FROM (SELECT user_id, COUNT(*) AS clicks FROM events
+          WHERE event_type = 'click' GROUP BY user_id) c
+    FULL JOIN (SELECT user_id, COUNT(*) AS purchases FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id) p
+      ON c.user_id = p.user_id
+    """,
+)
+def q_click_purchase_full(spark, sf_dir):
+    return R.click_purchase_full(table(spark, sf_dir, "events"))
