@@ -251,3 +251,22 @@ def click_purchase_full(events: DataFrame) -> DataFrame:
         F.coalesce("clicks", F.lit(0)).alias("clicks"),
         F.coalesce("purchases", F.lit(0)).alias("purchases"),
     )
+
+
+def order_gap_days(orders: DataFrame) -> DataFrame:
+    """LEAD window — days until each customer's next order.
+
+    One shuffle on o_custkey serves the whole window; ordering includes
+    o_orderkey as a tiebreaker so the frame is deterministic under
+    retries (same-day orders would otherwise make LEAD nondeterministic).
+    The last order per customer keeps a NULL gap.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")).alias(
+            "gap_days"
+        ),
+    )

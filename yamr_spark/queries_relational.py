@@ -411,3 +411,18 @@ def q_inactive_custkeys_except(spark, sf_dir):
 )
 def q_click_purchase_full(spark, sf_dir):
     return R.click_purchase_full(table(spark, sf_dir, "events"))
+
+
+@register(
+    "order_gap_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           DATE_DIFF('day', o_orderdate,
+                     LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey))
+               AS gap_days
+    FROM orders
+    """,
+)
+def q_order_gap_days(spark, sf_dir):
+    return R.order_gap_days(table(spark, sf_dir, "orders"))
