@@ -24,6 +24,8 @@ HEADLINE = [
     # reference-parity core (SURVEY §2): scan → explode → hash agg
     "word_count",
     "top_words",
+    # the reference's generic mapper/reducer hook (C7/C8), Arrow-batched
+    "compat_word_count",
     # relational surface (§7.4): TPC-H-ish agg / joins / windows
     "pricing_summary",
     "revenue_per_nation",
@@ -31,11 +33,18 @@ HEADLINE = [
     "moving_stats_per_user",
     # temporal joins
     "asof_click_purchase",
-    # north-star LLM ops (§7.5)
+    "range_click_near_purchase",
+    # north-star LLM ops (§7.5): dedup family
     "dedup_exact",
     "minhash_near_dup",
+    "simhash_near_dup",
+    "ngram_jaccard_pairs",
     "dedup_groups",
+    # similarity family
     "ann_brute_topk",
+    "ivf_assign",
+    "ann_ivf_topk",
+    # text-analysis family
     "quality_score",
     "tfidf_top_terms",
     # event-time windows

@@ -27,3 +27,32 @@ def test_long_chain_converges(spark):
     n = 12
     got = _cc(spark, [(i, i + 1) for i in range(n)])
     assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_adversarial_chain_logarithmic_rounds(spark):
+    # A 200-node path is the worst case for plain min-label propagation
+    # (O(diameter) = 200 rounds, far past max_iter). The pointer-jump step
+    # must contract it in O(log n) rounds: each round the label chain depth
+    # roughly halves, so 200 nodes needs ~log2(200)+slack ≈ 10 rounds.
+    n = 200
+    df = spark.createDataFrame([(i, i + 1) for i in range(n)], "doc_a long, doc_b long")
+    stats: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, stats=stats).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == n + 1
+    assert stats["rounds"] <= 12, f"chain did not contract: {stats['rounds']} rounds"
+
+
+def test_clique_converges_fast(spark):
+    # near-dup clusters are cliques-ish: must still converge in ≤2 checks
+    edges = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    stats: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, stats=stats).collect()
+    }
+    assert set(got.values()) == {0}
+    assert stats["rounds"] <= 2

@@ -72,6 +72,57 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     )
 
 
+def test_ivf_store_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The IVF 100 TB layout claim (SCALE.md): corpus partitioned by
+    centroid_id, probe scans ONLY the probed cells. Pinned two ways:
+    statically (the scan carries a centroid_id PartitionFilter) and at
+    runtime (input_file_name() over the executed probe touches only the
+    probed cells' directories)."""
+    from yamr_spark.operators.similarity import probe_store_cells, write_ivf_store
+    from yamr_spark.plans import plan_text
+
+    store = str(tmp_path / "ivf_store")
+    write_ivf_store(table(spark, sf_dir, "embeddings"), store, c=8)
+
+    probed = probe_store_cells(spark, store, [1, 3])
+    txt = plan_text(probed)
+    assert "PartitionFilters" in txt and "centroid_id" in txt, txt
+
+    files = [
+        r[0] for r in probed.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files, "probe read no files"
+    assert all(
+        "centroid_id=1" in f or "centroid_id=3" in f for f in files
+    ), f"probe touched unprobed cells: {files}"
+    # and the full store really has more cells than the probe touched
+    all_files = [
+        r[0]
+        for r in spark.read.parquet(store)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    assert len(set(all_files)) > len(set(files))
+
+
+def test_ivf_store_topk_matches_in_memory(spark, sf_dir, tmp_path):
+    """Partition-pruned probe answers must be IDENTICAL to ivf_topk on the
+    in-memory corpus — pruning is a physical optimization, not a
+    semantics change."""
+    from yamr_spark.operators.similarity import ivf_store_topk, ivf_topk, write_ivf_store
+
+    emb = table(spark, sf_dir, "embeddings")
+    store = str(tmp_path / "ivf_store_eq")
+    write_ivf_store(emb, store, c=8)
+    mem = {(r.query_id, r.rnk): r.neighbor_id for r in ivf_topk(emb).collect()}
+    st = {
+        (r.query_id, r.rnk): r.neighbor_id
+        for r in ivf_store_topk(spark, store, emb).collect()
+    }
+    assert mem == st
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     """Co-located join: both sides bucketed on the join key at write time
     → SortMergeJoin with ZERO Exchange operators (the shuffle was paid at

@@ -85,6 +85,38 @@ def test_embedding_near_dup_cell_blocking(emb):
     assert pairs <= {(0, 1), (0, 4), (1, 4)}
 
 
+def test_multi_probe_superset_and_boundary_recovery(emb):
+    from yamr_spark.operators.similarity import (
+        embedding_near_dup,
+        embedding_near_dup_multi,
+    )
+
+    # c=2 splits the near-parallel trio across two cells; p=2 must recover
+    # the cross-boundary pairs p=1 misses, and always contain the p=1 set.
+    p1 = set((r.vec_a, r.vec_b) for r in embedding_near_dup(emb, c=2).collect())
+    p2 = set(
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_multi(emb, c=2, p=2).collect()
+    )
+    assert p1 <= p2
+    assert p2 == {(0, 1), (0, 4), (1, 4)}  # full recall of the trio
+
+
+def test_multi_probe_superset_real_embeddings(spark, sf_dir):
+    from yamr_spark.operators.similarity import (
+        embedding_near_dup,
+        embedding_near_dup_multi,
+    )
+    from yamr_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    p1 = set((r.vec_a, r.vec_b) for r in embedding_near_dup(emb).collect())
+    p2 = set(
+        (r.vec_a, r.vec_b) for r in embedding_near_dup_multi(emb, p=2).collect()
+    )
+    assert p1 <= p2
+
+
 def test_real_embeddings_smoke(spark, sf_dir):
     from yamr_spark.operators.similarity import brute_force_topk
     from yamr_spark.tables import table

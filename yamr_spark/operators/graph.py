@@ -7,13 +7,18 @@ a DataFrame min-label-propagation loop, converging in O(diameter)
 rounds. Near-dup graphs have tiny diameters (clusters are cliques-ish),
 so rounds ≈ 2-4 in practice.
 
-Scale notes: each round is one join + one aggregate (both shuffle on the
-node id — a stable key, so AQE reuses the layout). ``localCheckpoint``
-truncates the lineage each round, keeping the plan O(1) instead of
-O(rounds). For adversarial long-chain graphs, swap the loop body for the
-large-star/small-star rewrite (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC'14 — alternating rounds that contract chains
-in O(log n)); the driver fixtures' dup clusters never need it.
+Scale notes: each round is one edge join + one aggregate + one pointer-
+jump self-join (all shuffle on the node id — a stable key, so AQE reuses
+the layout). ``localCheckpoint`` truncates the lineage each round,
+keeping the plan O(1) instead of O(rounds). The pointer-jump step
+(``component ← label(component)``, i.e. path doubling — Rastogi et al.,
+"Finding Connected Components in Map-Reduce in Logarithmic Rounds",
+ICDE'13) halves the remaining chain depth every round, so adversarial
+long chains converge in O(log diameter) rounds instead of O(diameter);
+near-dup cliques still converge in 1-2 rounds. Convergence is checked
+every SECOND round: the check is a driver-blocking count job, and with
+log-round convergence the extra round it may cost is cheaper than a
+per-round count (VERDICT r01 §next-round #7).
 """
 
 from __future__ import annotations
@@ -27,9 +32,13 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = the
-    minimum node id reachable through the undirected edge set."""
+    minimum node id reachable through the undirected edge set.
+
+    ``stats`` (optional dict) receives ``{"rounds": n}`` so tests can pin
+    the logarithmic convergence guarantee."""
     und = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -41,24 +50,51 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # each node adopts min(own label, neighbors' labels)
         msgs = und.join(
             labels.withColumnRenamed("node", "b"), "b"
         ).select(F.col("a").alias("node"), "component")
-        new_labels = (
+        mins = (
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
+        # pointer jump: component ← label(component). Every label is itself
+        # a node id present in ``mins`` (labels start as node ids and only
+        # ever take the min of other labels), so the lookup is total; the
+        # left join + coalesce is belt-and-braces. This is the path-doubling
+        # step that makes chains converge logarithmically.
+        new_labels = (
+            mins.alias("l")
+            .join(
+                mins.select(
+                    F.col("node").alias("component"),
+                    F.col("component").alias("jumped"),
+                ),
+                "component",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce("jumped", "component").alias("component"),
+            )
+            .localCheckpoint()
         )
+        # convergence check every 2nd round (each check is a driver action)
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            if changed == 0:
+                if stats is not None:
+                    stats["rounds"] = it + 1
+                return new_labels
         labels = new_labels
-        if changed == 0:
-            break
+    if stats is not None:
+        stats["rounds"] = max_iter
     return labels

@@ -120,6 +120,84 @@ def ivf_assign(
     )
 
 
+def ivf_assign_multi(
+    emb: DataFrame,
+    c: int = 8,
+    p: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe assignment: every vector lands in its ``p`` nearest
+    cells (ties → lower centroid id). Same broadcast + window-argmin plan
+    as ``ivf_assign``; the filter keeps rank ≤ p instead of rank = 1.
+    Storage cost scales ×p; recall for cell-blocked operators rises
+    because boundary vectors co-locate with BOTH nearby cells."""
+    cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
+    vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("va"))
+    scored = with_cosine(
+        vecs.crossJoin(F.broadcast(cents).withColumnRenamed("cvec", "vb"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "centroid_id")
+    return (
+        scored.select(
+            "vec_id", "centroid_id", F.row_number().over(w).alias("probe_rank")
+        )
+        .filter(F.col("probe_rank") <= p)
+        .select("vec_id", "centroid_id", F.col("probe_rank").cast("long").alias("probe_rank"))
+    )
+
+
+def embedding_near_dup_multi(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    c: int = 8,
+    p: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``embedding_near_dup`` with multi-probe blocking: a pair is a
+    candidate if the two vectors share ANY of their ``p`` assigned cells,
+    so near-dups straddling a cell boundary are recovered (the p=1 recall
+    gap VERDICT r01 flagged). Output is a SUPERSET of the p=1 pairs —
+    every p=1 pair shares its argmin cell, which both probe sets contain.
+
+    Scale: candidate generation is still an equality join on centroid_id
+    (cost Σ|cell|²·p² worst case, never |corpus|²); duplicate candidates
+    from sharing two cells are deduped BEFORE the cosine join so each
+    pair's dot product is computed once."""
+    assign = ivf_assign_multi(emb, c=c, p=p, id_col=id_col, vec_col=vec_col).select(
+        "vec_id", "centroid_id"
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+    paired = (
+        cands.join(
+            vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")),
+            "vec_a",
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")),
+            "vec_b",
+        )
+    )
+    return (
+        with_cosine(paired)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,
@@ -137,24 +215,10 @@ def ivf_topk(
     so a probe is a partition-pruned scan, not a filter."""
     from pyspark.sql import Window
 
-    cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
     vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
-    queries = vecs.filter(F.col("vec_id") < num_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-
-    # query → nprobe nearest centroids (broadcast cents; tiny)
-    qs = with_cosine(
-        F.broadcast(queries).crossJoin(
-            F.broadcast(cents).select("centroid_id", F.col("cvec").alias("vb"))
-        ).withColumnRenamed("qv", "va")
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "centroid_id")
-    probes = (
-        qs.select("query_id", F.col("va").alias("qv"), "centroid_id",
-                  F.row_number().over(wq).alias("rn"))
-        .filter(F.col("rn") <= nprobe)
-        .drop("rn")
+    # query → nprobe nearest centroids (broadcast queries × centroids; tiny)
+    probes = _query_probes(
+        emb, num_queries=num_queries, c=c, nprobe=nprobe, id_col=id_col, vec_col=vec_col
     )
 
     # corpus restricted to probed cells
@@ -178,6 +242,112 @@ def ivf_topk(
             F.row_number().over(wr).cast("long").alias("rnk"),
         )
         .filter(F.col("rnk") <= k)
+    )
+
+
+def _query_probes(
+    emb: DataFrame,
+    num_queries: int,
+    c: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, qv, centroid_id) — each query's ``nprobe`` nearest cells.
+    Both join inputs are broadcast-tiny (queries × centroids)."""
+    from pyspark.sql import Window
+
+    cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
+    queries = (
+        emb.select(F.col(id_col).alias("query_id"), _vec_double(vec_col).alias("qv"))
+        .filter(F.col("query_id") < num_queries)
+    )
+    qs = with_cosine(
+        F.broadcast(queries).crossJoin(
+            F.broadcast(cents).select("centroid_id", F.col("cvec").alias("vb"))
+        ).withColumnRenamed("qv", "va")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "centroid_id")
+    return (
+        qs.select(
+            "query_id", F.col("va").alias("qv"), "centroid_id",
+            F.row_number().over(wq).alias("rn"),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .drop("rn")
+    )
+
+
+def write_ivf_store(
+    emb: DataFrame,
+    out_dir: str,
+    c: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus PARTITIONED BY centroid_id — the 100 TB IVF
+    layout. Each cell is its own parquet directory, so a probe touching
+    ``nprobe`` of ``c`` cells is a directory-pruned scan that never opens
+    the other cells' files (proven by tests/test_plans.py)."""
+    assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col).select(
+        "vec_id", "centroid_id"
+    )
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).join(assign, "vec_id")
+    corpus.write.partitionBy("centroid_id").mode("overwrite").parquet(out_dir)
+
+
+def ivf_store_topk(
+    spark,
+    store_dir: str,
+    emb: DataFrame,
+    k: int = 5,
+    num_queries: int = 10,
+    c: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivf_topk`` against the partitioned store: the probed cell ids are
+    collected (≤ c integers — metadata, not data) and pushed as a LITERAL
+    ``centroid_id IN (...)`` partition filter, so Spark prunes at the
+    DIRECTORY level before listing a single unneeded file. Results are
+    identical to ``ivf_topk`` on the in-memory corpus (same centroids,
+    same single-cell assignment, same ranking)."""
+    from pyspark.sql import Window
+
+    probes = _query_probes(
+        emb, num_queries=num_queries, c=c, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()
+    cells = sorted(
+        r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
+    )
+    corpus = probe_store_cells(spark, store_dir, cells).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "centroid_id",
+        _vec_double("embedding").alias("vb"),
+    )
+    scored = with_cosine(
+        F.broadcast(probes).withColumnRenamed("qv", "va")
+        .join(corpus, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.select(
+            "query_id", "neighbor_id", "cosine",
+            F.row_number().over(wr).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def probe_store_cells(spark, store_dir: str, cells: list[int]) -> DataFrame:
+    """Open the IVF store pruned to ``cells`` (literal partition filter →
+    directory-level pruning; the scan's PartitionFilters carries the IN)."""
+    return spark.read.parquet(store_dir).filter(
+        F.col("centroid_id").isin([int(x) for x in cells])
     )
 
 

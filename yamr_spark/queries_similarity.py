@@ -114,6 +114,62 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "ivf_probe_partitioned",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    cents AS (
+      SELECT vec_id AS centroid_id, v AS cvec FROM vecs ORDER BY vec_id LIMIT 8
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_COS.format(a="q.qv", b="c.cvec")} DESC,
+                                           c.centroid_id) AS rn
+        FROM q CROSS JOIN cents c
+      ) t WHERE rn <= 2
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_COS.format(a="v.v", b="c.cvec")} DESC,
+                                           c.centroid_id) AS rn
+        FROM vecs v CROSS JOIN cents c
+      ) t WHERE rn = 1
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_COS.format(a="p.qv", b="av.v")} AS cosine
+      FROM probes p
+      JOIN assign a ON a.centroid_id = p.centroid_id
+      JOIN vecs av ON av.vec_id = a.vec_id
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= 5
+    """,
+)
+def q_ivf_probe_partitioned(spark, sf_dir):
+    """The 100 TB IVF layout end-to-end: write the corpus partitioned by
+    centroid_id, then answer top-k by scanning ONLY the probed cells'
+    directories (literal partition filter → directory pruning; pinned by
+    tests/test_plans.py). Must produce exactly ann_ivf_topk's answer —
+    the oracle replays the same probe/assign arithmetic."""
+    import os
+    import tempfile
+
+    emb = table(spark, sf_dir, "embeddings")
+    store = os.path.join(tempfile.mkdtemp(prefix="yamr_ivf_store_"), "store")
+    S.write_ivf_store(emb, store, c=8)
+    return S.ivf_store_topk(spark, store, emb, k=5, num_queries=10, c=8, nprobe=2)
+
+
+@register(
     "kmeans_centroids",
     oracle=f"""
     WITH {_VECS_CTE},
@@ -175,6 +231,43 @@ def q_kmeans_centroids(spark, sf_dir):
 )
 def q_embedding_near_dup(spark, sf_dir):
     return S.embedding_near_dup(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_near_dup_p2",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    cents AS (
+      SELECT vec_id AS centroid_id, v AS cvec FROM vecs ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT vec_id, centroid_id, {_COS.format(a="v", b="cvec")} AS cosine
+      FROM vecs CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, centroid_id) AS rn
+        FROM scored
+      ) t WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM assign a JOIN assign b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, {_COS.format(a="va.v", b="vb.v")} AS cosine
+    FROM cand c
+    JOIN vecs va ON va.vec_id = c.vec_a
+    JOIN vecs vb ON vb.vec_id = c.vec_b
+    WHERE {_COS.format(a="va.v", b="vb.v")} >= 0.4
+    """,
+)
+def q_embedding_near_dup_p2(spark, sf_dir):
+    """Multi-probe (p=2) IVF-blocked near-dup pairs: recovers boundary
+    pairs the single-assignment variant misses — its output is a strict
+    superset of embedding_near_dup's (pinned in tests/test_similarity.py)."""
+    return S.embedding_near_dup_multi(table(spark, sf_dir, "embeddings"), p=2)
 
 
 @register(

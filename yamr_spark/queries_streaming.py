@@ -25,6 +25,7 @@ from __future__ import annotations
 from yamr_spark.registry import register
 from yamr_spark.streaming.events import (
     run_stream_to_memory,
+    run_stream_to_parquet,
     session_user_windows,
     sliding_user_activity,
     stream_events,
@@ -108,7 +109,7 @@ def q_window_session(spark, sf_dir):
     "streaming_user_stats",
     oracle="""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS event_cnt,
-           SUM(value) AS value_sum
+           ROUND(SUM(value), 6) AS value_sum
     FROM events
     GROUP BY user_id
     """,
@@ -158,6 +159,44 @@ def q_streaming_dedup_events(spark, sf_dir):
     from yamr_spark.streaming.stateful import streaming_dedup_events
 
     return streaming_dedup_events(spark, sf_dir)
+
+
+@register(
+    "streaming_parquet_sink",
+    oracle="""
+    SELECT event_id, MIN(event_type) AS event_type, MIN(value) AS value
+    FROM events
+    GROUP BY event_id
+    """,
+)
+def q_streaming_parquet_sink(spark, sf_dir):
+    """The PRODUCTION-shaped sink path: watermarked streaming dedup →
+    parquet sink with a checkpoint, then the stream is RESTARTED against
+    the same checkpoint (a no-op batch — file-source offsets are already
+    committed) and the sink directory is read back. The oracle match
+    therefore proves both the append-sink output and exactly-once restart
+    semantics: a duplicated batch would double rows and fail the hash.
+    Dedup (not windowed agg) is the stateful op here because append-mode
+    window aggregates hold final windows back behind the watermark; dedup
+    emits every first-seen row immediately, so the sink is complete when
+    availableNow drains."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="yamr_stream_sink_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+
+    def deduped():
+        return (
+            stream_events(spark, sf_dir)
+            .withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "event_type", "value")
+        )
+
+    run_stream_to_parquet(deduped(), out, ckpt)
+    run_stream_to_parquet(deduped(), out, ckpt)  # restart: must not duplicate
+    return spark.read.parquet(out)
 
 
 @register("streaming_event_passthrough")

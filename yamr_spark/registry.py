@@ -76,10 +76,13 @@ def register(name: str, oracle: str | None = None):
 
 
 def _load_query_modules() -> None:
-    """Import every module that registers queries (side-effect imports)."""
-    from yamr_spark import queries_core  # noqa: F401
+    """Import every module that registers queries (side-effect imports).
 
+    Imports are unconditional: a broken query module must fail LOUDLY here,
+    not silently shrink the registry (and with it the driver's correctness
+    gate). All ten modules exist; there is no 'not built yet' state."""
     for mod in (
+        "queries_core",
         "queries_relational",
         "queries_dedup",
         "queries_similarity",
@@ -91,13 +94,82 @@ def _load_query_modules() -> None:
         "queries_compat",
         "queries_analytics",
     ):
-        try:
-            __import__(f"yamr_spark.{mod}")
-        except ImportError:
-            pass  # module not built yet (build plan accretes round by round)
+        __import__(f"yamr_spark.{mod}")
 
 
 _LOADED = False
+
+# The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
+# per round. Round 1 green-checked registrations 1-50 (core, relational,
+# dedup, similarity, text); this list front-loads the 30 queries that had
+# no driver row in round 1 — streaming, multimodal, temporal, functions,
+# compat, analytics — plus this round's new queries, then backfills with
+# one representative per already-green family so regressions in the core
+# plans still surface. Everything stays registered; only order changes.
+DRIVER_PRIORITY = [
+    # round-1 unchecked: compat (the reference's core C7/C8 hook)
+    "compat_word_count",
+    "compat_year_max_region",
+    # round-1 unchecked: temporal joins
+    "asof_click_purchase",
+    "range_click_near_purchase",
+    # round-1 unchecked: streaming (batch window twins + stream paths)
+    "window_tumbling_counts",
+    "streaming_tumbling_counts",
+    "window_sliding_activity",
+    "window_session_user",
+    "streaming_user_stats",
+    "streaming_click_purchase_join",
+    "streaming_dedup_events",
+    "streaming_event_passthrough",
+    "streaming_parquet_sink",
+    # round-1 unchecked: multimodal
+    "multimodal_meta",
+    "multimodal_large_assets",
+    "multimodal_decode_stats",
+    "multimodal_thumbnails",
+    "multimodal_frame_sample",
+    "multimodal_frame_counts",
+    # round-1 unchecked: functions / skew / analytics
+    "salted_value_sum",
+    "orders_per_month",
+    "part_name_search",
+    "order_value_buckets",
+    "math_price_features",
+    "sql_revenue_by_segment",
+    "null_handling_props",
+    "json_props_stats",
+    "pivot_user_event_counts",
+    "grouping_sets_pricing",
+    "value_percentiles",
+    "approx_aggregates",
+    # new this round
+    "embedding_near_dup_p2",
+    "ivf_probe_partitioned",
+    # already-green representatives: one per plan family
+    "word_count",
+    "top_words",
+    "max_value_per_year",
+    "kv_json_render",
+    "pricing_summary",
+    "revenue_per_nation",
+    "shipping_priority",
+    "moving_stats_per_user",
+    "dedup_exact",
+    "minhash_near_dup",
+    "dedup_groups",
+    "simhash_near_dup",
+    "ngram_jaccard_pairs",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "tfidf_top_terms",
+    "corpus_curation",
+]
+
+
+def _prioritized(d: dict) -> dict:
+    head = {n: d[n] for n in DRIVER_PRIORITY if n in d}
+    return head | {n: v for n, v in d.items() if n not in head}
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -105,9 +177,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if not _LOADED:
         _load_query_modules()
         _LOADED = True
-    return dict(QUERIES)
+    return _prioritized(QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     all_queries()
-    return dict(ORACLES)
+    return _prioritized(ORACLES)

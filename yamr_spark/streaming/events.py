@@ -81,10 +81,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in arrow_schema
         if str(f.type).startswith("timestamp[ns")
     ]
+    from yamr_spark.tables import _read_parquet_ns
+
+    # file streams need an explicit schema: derive it from a batch read
+    # (nanosAsLong scoped to the read — see tables._read_parquet_ns)
+    batch_schema = _read_parquet_ns(spark, path, bool(ns_cols)).schema
+    # The streaming source re-resolves parquet footers against the explicit
+    # schema, so the stream itself needs the conf for its whole lifetime;
+    # pin it session-wide only when ns columns exist (documented invariant:
+    # streams over ns-timestamp files keep nanosAsLong on).
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # file streams need an explicit schema: derive it from a batch read
-    batch_schema = spark.read.parquet(path).schema
     # The source path is a single parquet FILE. FileStreamSource force-sets
     # basePath to the source path itself for non-glob paths, and a file
     # basePath is rejected ("must be a directory") — so address the file via

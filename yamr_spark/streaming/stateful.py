@@ -32,10 +32,14 @@ STATE_SCHEMA = "cnt long, vsum double"
 def _update_user_stats(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    import math
+
     cnt, vsum = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
         cnt += len(pdf)
-        vsum += float(pdf["value"].sum())
+        # fsum: exact (correctly-rounded) accumulation within the batch, so
+        # the sum does not depend on row arrival order inside a micro-batch
+        vsum = math.fsum([vsum, *pdf["value"].tolist()])
     state.update((cnt, vsum))
     yield pd.DataFrame({"user_id": [key[0]], "event_cnt": [cnt], "value_sum": [vsum]})
 
@@ -68,7 +72,9 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("s.event_cnt").alias("event_cnt"),
-            F.col("s.value_sum").alias("value_sum"),
+            # 6 dp on both sides (oracle rounds too): float sums are
+            # order-dependent at ~1e-13, which would flake a value-hash
+            F.round(F.col("s.value_sum"), 6).alias("value_sum"),
         )
     )
 

@@ -34,6 +34,29 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _read_parquet_ns(spark: SparkSession, path: str, has_ns: bool) -> DataFrame:
+    """``spark.read.parquet`` with ``nanosAsLong`` scoped to this read.
+
+    The conf is consumed during schema resolution (read time); execution
+    does not re-consult it, so save/restore here leaves the session's
+    setting untouched for unrelated reads in the same session.
+    """
+    if not has_ns:
+        return spark.read.parquet(path)
+    prev = spark.conf.get(_NANOS_CONF, None)
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prev)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table from ``sf_dir``.
 
@@ -57,9 +80,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 (ns_cols if field.type.unit == "ns" else ts_cols).append(field.name)
     except (OSError, pa.ArrowInvalid):  # directory-of-files dataset: let Spark infer
         pass
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    df = _read_parquet_ns(spark, path, bool(ns_cols))
     for c in ns_cols:
         # integer div: nanos exceed double's 2^53 exact range, so a
         # float division here would round the microsecond (off-by-one ts)
