@@ -147,6 +147,60 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select(*sel)
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals: duplicate-bigram
+    fraction and most-frequent-token mass — the standard filters for
+    degenerate/looping generations and boilerplate.
+
+    Plan shape: the bigram side is PURE column math (transform over the
+    token array — zero shuffle, scalar output per doc). The top-token side
+    is one explode + partial-aggregated (doc, token) count, collapsed per
+    doc with max(struct(cnt, token)) (ties break to the lexicographically
+    LARGEST token — deterministic, matched by the oracle's ORDER BY cnt
+    DESC, token DESC). The two sides join on doc_id carrying only scalars
+    — the bigram ARRAY never enters a shuffle, only its ratio does.
+    """
+    bigrams = (
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1))) "
+        "ELSE cast(array() as array<string>) END"
+    )
+    scalar_side = docs.select("doc_id", _tokens_col().alias("__toks")).select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.expr(bigrams).alias("__bg"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.when(
+                F.size("__bg") > 0,
+                1 - F.size(F.array_distinct("__bg")) / F.size("__bg"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_bigram_ratio"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(_tokens_col()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    top_side = (
+        tf.groupBy("doc_id")
+        .agg(
+            F.max(F.struct("c", "token")).alias("top"),
+            F.sum("c").alias("n_total"),
+        )
+        .select(
+            "doc_id",
+            F.col("top.token").alias("top_token"),
+            F.round(F.col("top.c") / F.col("n_total"), 6).alias("top_token_ratio"),
+        )
+    )
+    return scalar_side.join(top_side, "doc_id", "left")
+
+
 def doc_fingerprint(docs: DataFrame, n: int = 8) -> DataFrame:
     """Rolling-hash document fingerprint: min/max md5 over all character
     n-gram windows (winnowing reduced to the two extreme hashes — enough

@@ -22,6 +22,8 @@ hash-comparable across engines.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from yamr_spark.registry import register
 from yamr_spark.streaming.events import (
     run_stream_to_memory,
@@ -197,6 +199,39 @@ def q_streaming_parquet_sink(spark, sf_dir):
     run_stream_to_parquet(deduped(), out, ckpt)
     run_stream_to_parquet(deduped(), out, ckpt)  # restart: must not duplicate
     return spark.read.parquet(out)
+
+
+@register(
+    "streaming_enrich_dim",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name AS c_name,
+           c.c_mktsegment AS mktsegment, e.value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def q_streaming_enrich_dim(spark, sf_dir):
+    """Stream-static join — the production enrichment shape: an unbounded
+    event stream joined to a broadcast dimension snapshot. No watermark
+    needed (the static side never changes mid-batch); each micro-batch is
+    a map-side broadcast hash join, zero streaming state."""
+    sdf = stream_events(spark, sf_dir).select("event_id", "user_id", "value")
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        "c_name",
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    joined = sdf.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "c_name", "mktsegment", "value"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("streaming_enrich_dim")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_enrich_dim")
 
 
 @register("streaming_event_passthrough")

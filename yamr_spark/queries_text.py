@@ -144,6 +144,50 @@ def q_tfidf_top_terms(spark, sf_dir):
 
 
 @register(
+    "repetition_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    scalar_side AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+                  ELSE CAST([] AS VARCHAR[]) END AS bg
+      FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, unnest(t) AS token FROM toks
+    ),
+    cnt AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM tf GROUP BY doc_id, token
+    ),
+    top AS (
+      SELECT doc_id, token AS top_token, c FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, token DESC) AS rn
+        FROM cnt
+      ) t WHERE rn = 1
+    ),
+    tot AS (SELECT doc_id, SUM(c) AS n_total FROM cnt GROUP BY doc_id)
+    SELECT s.doc_id, s.n_tokens,
+           ROUND(CASE WHEN len(s.bg) > 0
+                      THEN 1 - len(list_distinct(s.bg)) * 1.0 / len(s.bg)
+                      ELSE 0.0 END, 6) AS dup_bigram_ratio,
+           top.top_token,
+           ROUND(top.c * 1.0 / tot.n_total, 6) AS top_token_ratio
+    FROM scalar_side s
+    LEFT JOIN top USING (doc_id)
+    LEFT JOIN tot USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark, sf_dir):
+    """Within-document repetition signals (duplicate-bigram fraction,
+    top-token mass) — the Gopher-style degenerate-text filters."""
+    return T.repetition_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
     "corpus_curation",
     oracle=f"""
     WITH scored AS (

@@ -146,11 +146,11 @@ DRIVER_PRIORITY = [
     # new this round
     "embedding_near_dup_p2",
     "ivf_probe_partitioned",
+    "repetition_stats",
+    "streaming_enrich_dim",
     # already-green representatives: one per plan family
     "word_count",
-    "top_words",
     "max_value_per_year",
-    "kv_json_render",
     "pricing_summary",
     "revenue_per_nation",
     "shipping_priority",
