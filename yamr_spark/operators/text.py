@@ -166,7 +166,10 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1))) "
         "ELSE cast(array() as array<string>) END"
     )
-    scalar_side = docs.select("doc_id", _tokens_col().alias("__toks")).select(
+    # null text → empty token array (NOT size()=-1): both sides of the
+    # oracle pair define n_tokens=0 / dup_bigram_ratio=0 for null docs
+    null_safe_toks = F.coalesce(_tokens_col(), F.expr("cast(array() as array<string>)"))
+    scalar_side = docs.select("doc_id", null_safe_toks.alias("__toks")).select(
         "doc_id",
         F.size("__toks").cast("long").alias("n_tokens"),
         F.expr(bigrams).alias("__bg"),

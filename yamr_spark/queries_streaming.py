@@ -183,9 +183,13 @@ def q_streaming_parquet_sink(spark, sf_dir):
     emits every first-seen row immediately, so the sink is complete when
     availableNow drains."""
     import os
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="yamr_stream_sink_")
+    from yamr_spark.tmpdirs import session_dir
+
+    # per-process sink+checkpoint, cleaned at exit; re-invocation against
+    # the committed checkpoint is a no-op batch (exactly-once), so reuse
+    # preserves the oracle match — and exercises restart idempotence again
+    base = session_dir(f"stream_sink:{sf_dir}", "yamr_stream_sink_")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
 
     def deduped():

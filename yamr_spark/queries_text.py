@@ -147,7 +147,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     "repetition_stats",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, {_TOKS} AS t FROM documents
+      SELECT doc_id, COALESCE({_TOKS}, CAST([] AS VARCHAR[])) AS t FROM documents
     ),
     scalar_side AS (
       SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,

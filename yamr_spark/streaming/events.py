@@ -88,8 +88,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_schema = _read_parquet_ns(spark, path, bool(ns_cols)).schema
     # The streaming source re-resolves parquet footers against the explicit
     # schema, so the stream itself needs the conf for its whole lifetime;
-    # pin it session-wide only when ns columns exist (documented invariant:
-    # streams over ns-timestamp files keep nanosAsLong on).
+    # pin it session-wide only when ns columns exist. The run_stream_*
+    # drains are synchronous (availableNow + awaitTermination), and they
+    # restore the conf on exit — so the session invariant outside an
+    # active ns-stream stays identical to tables._read_parquet_ns's
+    # scoped-per-read behavior.
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The source path is a single parquet FILE. FileStreamSource force-sets
@@ -118,6 +121,15 @@ def streaming_tumbling_counts(
     )
 
 
+def restore_ns_conf(spark: SparkSession) -> None:
+    """Restore the session invariant after a synchronous stream drain:
+    ``stream_events`` pins nanosAsLong session-wide for the stream's
+    lifetime (the file source re-resolves footers per micro-batch); once
+    the availableNow drain returns, unset it so unrelated batch reads see
+    the same scoped-per-read behavior as tables._read_parquet_ns."""
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+
 def run_stream_to_parquet(
     streaming_df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:
@@ -134,6 +146,7 @@ def run_stream_to_parquet(
         .start()
     )
     q.awaitTermination()
+    restore_ns_conf(streaming_df.sparkSession)
 
 
 def run_stream_to_memory(
@@ -149,4 +162,5 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+    restore_ns_conf(spark)
     return spark.table(name)

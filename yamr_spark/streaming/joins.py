@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from yamr_spark.streaming.events import stream_events
+from yamr_spark.streaming.events import restore_ns_conf, stream_events
 
 
 def streaming_click_purchase_join(
@@ -70,4 +70,5 @@ def streaming_click_purchase_join(
         .start()
     )
     q.awaitTermination()
+    restore_ns_conf(spark)
     return spark.table("streaming_click_purchase_join")

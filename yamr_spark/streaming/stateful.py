@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from yamr_spark.streaming.events import stream_events
+from yamr_spark.streaming.events import restore_ns_conf, stream_events
 
 OUTPUT_SCHEMA = "user_id long, event_cnt long, value_sum double"
 STATE_SCHEMA = "cnt long, vsum double"
@@ -65,6 +65,7 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    restore_ns_conf(spark)
     return (
         spark.table("streaming_user_stats")
         .groupBy("user_id")
@@ -97,4 +98,5 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str, delay: str = "2 hou
         .start()
     )
     q.awaitTermination()
+    restore_ns_conf(spark)
     return spark.table("streaming_dedup_events")
