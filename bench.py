@@ -47,6 +47,19 @@ HEADLINE = [
     # text-analysis family
     "quality_score",
     "tfidf_top_terms",
+    # curation family (round 3): decontamination, span dedup, split,
+    # quota sampling, novelty — plus the fused end-to-end pipeline
+    "benchmark_decontaminate",
+    "chunk_dup_stats",
+    "hash_split_counts",
+    "quota_sample_lang",
+    "ngram_novelty",
+    "corpus_curation",
+    # similarity: multi-probe near-dup + the partitioned-store probe
+    # (store build is cached per process; the timed pass measures the
+    # pruned probe, which is the steady-state cost)
+    "embedding_near_dup_p2",
+    "ivf_probe_partitioned",
     # event-time windows
     "window_tumbling_counts",
 ]

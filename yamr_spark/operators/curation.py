@@ -1,0 +1,181 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond dedup/similarity: benchmark decontamination, duplicated-span
+statistics, deterministic train/val/test splitting, per-group quota
+sampling, and n-gram novelty scoring.
+
+Everything is declarative DataFrame plans over the same deterministic
+md5-based hashing the dedup family uses, so every operator has an exact
+DuckDB oracle (no engine-private RNG — "random" choices are content
+hashes, which also makes retries/speculative tasks idempotent at scale).
+
+Reference parity note: the reference (osteotek/yamr) has no curation
+surface at all — its queries are user map/reduce scripts over text
+chunks (/root/reference/map_libs/word_count.py:16-66). These operators
+are the north-star LLM-pipeline extensions BASELINE.md asks for,
+expressed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from yamr_spark.functions import WORD_BREAK_SQL
+from yamr_spark.operators.dedup import word_shingles
+
+_TOKS = f"filter(split(lower(text), '{WORD_BREAK_SQL}'), x -> length(x) > 0)"
+
+
+def benchmark_decontaminate(
+    docs: DataFrame,
+    n: int = 5,
+    bench_mod: int = 97,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Flag training documents that share ≥ ``min_overlap`` distinct word
+    ``n``-grams with a benchmark/eval set — the standard train-test
+    decontamination pass.
+
+    The benchmark set here is carved from the corpus deterministically
+    (``doc_id % bench_mod == 0`` stands in for "the eval suites");
+    production swaps in the real benchmark table, and nothing else
+    changes.
+
+    Scale design: the benchmark side is SMALL (eval suites are MBs even
+    when the corpus is 100 TB) and reaches the join as a distinct
+    shingle set — AQE broadcasts it, so the corpus shingle stream is
+    filtered map-side and the only shuffle is the per-doc overlap count.
+    The corpus side's doc_id filter is pushed into the parquet scan.
+    """
+    bench_sh = (
+        word_shingles(docs.filter(F.col("doc_id") % bench_mod == 0), n=n)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = word_shingles(docs.filter(F.col("doc_id") % bench_mod != 0), n=n)
+    return (
+        corpus_sh.join(bench_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+def chunk_dup_stats(docs: DataFrame, width: int = 8) -> DataFrame:
+    """Duplicated-span statistics: per document, how many of its
+    non-overlapping ``width``-token chunks also appear in ≥2 documents —
+    the chunk-granularity form of exact substring dedup (the scalable
+    stand-in for suffix-array dedup à la Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better").
+
+    Chunks are distinct within a document; documents with fewer than
+    ``width`` tokens produce no chunks and are absent from the output.
+
+    Scale design: three shuffles, all partial-aggregated — chunk
+    document-frequency (key = chunk text; md5 the chunk first when
+    documents are huge to make the shuffle fixed-width), the chunk⋈df
+    join (no explosion: each chunk instance matches exactly one df row,
+    however hot the chunk), and the per-doc rollup.
+    """
+    chunks_expr = F.expr(
+        f"transform(sequence(1, size(__toks) div {width}), "
+        f"j -> concat_ws(' ', slice(__toks, (j - 1) * {width} + 1, {width})))"
+    )
+    ch = (
+        docs.select("doc_id", F.expr(_TOKS).alias("__toks"))
+        .filter(F.size("__toks") >= width)
+        .select("doc_id", F.explode(F.array_distinct(chunks_expr)).alias("chunk"))
+    )
+    dfreq = ch.groupBy("chunk").agg(F.count("*").alias("df"))
+    return (
+        ch.join(dfreq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_chunks"), 6).alias("shared_frac"),
+        )
+    )
+
+
+def hash_split(
+    docs: DataFrame, train_lt: int = 205, val_lt: int = 230
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket 0-255 from the
+    first two hex chars of md5(doc_id), split at ``train_lt``/``val_lt``
+    (defaults ≈ 80/10/10). Content-addressed, so the split is stable
+    under re-runs, retries, and re-partitioning — never ``rand()``,
+    which would make speculative task attempts disagree.
+
+    Returns per-(lang, split) document counts — the sanity report a
+    pipeline materializes before writing the split out. The scan is a
+    2-column projection; the only shuffle is the tiny count rollup.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2),
+        16,
+        10,
+    ).cast("int")
+    split = (
+        F.when(bucket < train_lt, "train")
+        .when(bucket < val_lt, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def quota_sample(docs: DataFrame, per_lang: int = 20) -> DataFrame:
+    """Per-language quota sampling (domain/language mixture control):
+    keep the top ``per_lang`` documents per language ranked by length
+    (n_chars desc, doc_id asc for determinism).
+
+    Scale design: per-group top-k via a window over the lang partition.
+    Languages are few and heavy — exactly the skewed-key shape — so at
+    cluster scale AQE's skew-join/partial-topk handles the hot
+    partitions; for extreme cardinality skew the standard rewrite is a
+    per-partition pre-top-k (mapPartitions heap) feeding the window,
+    which this plan composes with unchanged.
+    """
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= per_lang)
+    )
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document novelty: the fraction of the document's distinct word
+    n-grams whose FIRST appearance (minimum doc_id) is this document —
+    low novelty means the document is assembled from n-grams the corpus
+    already contains (boilerplate / templated text).
+
+    One big shuffle (shingle → min doc_id, partial-aggregated); the
+    per-doc novel counts then fall out of the tiny min-table by grouping
+    on the winner, and join the per-doc shingle counts on doc_id.
+    """
+    sh = word_shingles(docs, n=n)
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_novel")
+    )
+    return (
+        per_doc.join(novel, "doc_id", "left")
+        .na.fill({"n_novel": 0})
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )

@@ -215,7 +215,7 @@ def dedupe_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
 
 
 def inactive_custkeys_except(customer: DataFrame, orders: DataFrame) -> DataFrame:
-    """Set op: customer keys \ ordering-customer keys (EXCEPT DISTINCT).
+    r"""Set op: customer keys \ ordering-customer keys (EXCEPT DISTINCT).
 
     Same answer as the LEFT ANTI form (customers_without_orders) but
     exercised through Spark's ExceptDistinct → left-anti + distinct

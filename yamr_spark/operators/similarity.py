@@ -84,6 +84,20 @@ def brute_force_topk(
     )
 
 
+def adaptive_c(emb: DataFrame) -> int:
+    """IVF cell count sized from the corpus: ``ceil(sqrt(n))``, so cells
+    hold ~√n vectors and cell-blocked pairwise work is Σ|cell|² ≈ n^1.5
+    — the classic IVF sizing. A FIXED c is quadratic at scale (n²/c);
+    adaptive c is what survives a 100× corpus. The count is a
+    parquet-metadata-only job (no data scan). Oracle note: both engines
+    compute ceil(sqrt(n)) in double — exact perfect squares could round
+    apart in theory, so fixtures avoid them; production would pass an
+    explicit c trained offline anyway."""
+    import math
+
+    return max(1, math.ceil(math.sqrt(emb.count())))
+
+
 def centroids(emb: DataFrame, c: int = 8, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Deterministic coarse centroids: the ``c`` lowest-id vectors.
 
@@ -152,7 +166,7 @@ def ivf_assign_multi(
 def embedding_near_dup_multi(
     emb: DataFrame,
     threshold: float = 0.4,
-    c: int = 8,
+    c: int | None = None,
     p: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -166,9 +180,16 @@ def embedding_near_dup_multi(
     Scale: candidate generation is still an equality join on centroid_id
     (cost Σ|cell|²·p² worst case, never |corpus|²); duplicate candidates
     from sharing two cells are deduped BEFORE the cosine join so each
-    pair's dot product is computed once."""
-    assign = ivf_assign_multi(emb, c=c, p=p, id_col=id_col, vec_col=vec_col).select(
-        "vec_id", "centroid_id"
+    pair's dot product is computed once. ``c=None`` sizes cells
+    adaptively (``adaptive_c``: ceil(sqrt(n)) → Σ|cell|² ≈ n^1.5); the
+    assignment is materialized once since both sides of the candidate
+    self-join consume it."""
+    if c is None:
+        c = adaptive_c(emb)
+    assign = (
+        ivf_assign_multi(emb, c=c, p=p, id_col=id_col, vec_col=vec_col)
+        .select("vec_id", "centroid_id")
+        .localCheckpoint()
     )
     a, b = assign.alias("a"), assign.alias("b")
     cands = (
@@ -412,19 +433,25 @@ def kmeans_refine(
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.4,
-    c: int = 8,
+    c: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold), blocked by IVF
     cell: only same-centroid pairs are compared, so cost is Σ|cell|², not
     |corpus|². Near-dups straddling a cell boundary need multi-assign
-    (probe>1) — recall/cost knob, same as any IVF."""
+    (probe>1) — recall/cost knob, same as any IVF. ``c=None`` sizes
+    cells adaptively (ceil(sqrt(n)) — see ``adaptive_c``); the assigned
+    vector table is materialized once for the self-join."""
+    if c is None:
+        c = adaptive_c(emb)
     assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col).select(
         "vec_id", "centroid_id"
     )
-    vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")).join(
-        assign, "vec_id"
+    vecs = (
+        emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+        .join(assign, "vec_id")
+        .localCheckpoint()
     )
     a, b = vecs.alias("a"), vecs.alias("b")
     paired = (

@@ -1,0 +1,156 @@
+"""Curation query registrations (decontamination, span dedup, hash
+split, quota sampling, novelty) with exact DuckDB oracles.
+
+Like the dedup family, every "random" choice is a content hash (md5),
+so the oracles rebuild the identical pipelines in SQL and the driver's
+value-hash compares real content.
+"""
+
+from __future__ import annotations
+
+from yamr_spark.operators import curation as C
+from yamr_spark.queries_dedup import _TOKS_CTE
+from yamr_spark.registry import register
+from yamr_spark.tables import table
+
+# distinct word-5-shingles per document (decontamination granularity)
+_SH5_CTE = (
+    _TOKS_CTE
+    + """,
+pos AS (
+  SELECT doc_id, t, unnest(range(len(t) - 4)) AS i
+  FROM toks WHERE len(t) >= 5
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i+1:i+5], ' ') AS shingle FROM pos
+)
+"""
+)
+
+# distinct word-3-shingles per document (novelty granularity)
+_SH3_CTE = (
+    _TOKS_CTE
+    + """,
+pos AS (
+  SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS shingle FROM pos
+)
+"""
+)
+
+_HEX = "0123456789abcdef"
+_BUCKET = (
+    f"((strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + "
+    f"(strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))"
+)
+
+
+@register(
+    "benchmark_decontaminate",
+    oracle=f"""
+    WITH {_SH5_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM corpus JOIN bench USING (shingle)
+    GROUP BY doc_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def q_benchmark_decontaminate(spark, sf_dir):
+    """Train-test decontamination: training docs sharing ≥3 distinct
+    5-grams with the (deterministically carved) benchmark set. The
+    benchmark shingle set is broadcast; the corpus streams once."""
+    return C.benchmark_decontaminate(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "chunk_dup_stats",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    idx AS (
+      SELECT doc_id, t, unnest(range(len(t) // 8)) AS j
+      FROM toks WHERE len(t) >= 8
+    ),
+    ch AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[j*8+1 : j*8+8], ' ') AS chunk
+      FROM idx
+    ),
+    dfq AS (SELECT chunk, COUNT(*) AS df FROM ch GROUP BY chunk)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           ROUND(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS shared_frac
+    FROM ch JOIN dfq USING (chunk)
+    GROUP BY doc_id
+    """,
+)
+def q_chunk_dup_stats(spark, sf_dir):
+    """Duplicated-span statistics at 8-token chunk granularity — the
+    scalable stand-in for suffix-array substring dedup."""
+    return C.chunk_dup_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "hash_split_counts",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN {_BUCKET} < 205 THEN 'train'
+                WHEN {_BUCKET} < 230 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_hash_split_counts(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test split (≈80/10/10),
+    reported as per-(lang, split) counts. Content-addressed: stable
+    under retries and re-partitioning, unlike rand()."""
+    return C.hash_split(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quota_sample_lang",
+    oracle="""
+    SELECT doc_id, lang, n_chars, rnk FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents
+    ) t WHERE rnk <= 20
+    """,
+)
+def q_quota_sample_lang(spark, sf_dir):
+    """Per-language quota sampling (mixture control): top-20 docs per
+    lang by length, deterministic tie-break on doc_id."""
+    return C.quota_sample(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_novelty",
+    oracle=f"""
+    WITH {_SH3_CTE},
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+      FROM sh GROUP BY doc_id
+    ),
+    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle),
+    novel AS (
+      SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+      FROM firsts GROUP BY first_doc
+    )
+    SELECT p.doc_id, p.n_shingles,
+           CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel,
+           ROUND(COALESCE(v.n_novel, 0) * 1.0 / p.n_shingles, 6) AS novelty
+    FROM per_doc p LEFT JOIN novel v USING (doc_id)
+    """,
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty: share of the doc's shingles whose
+    first corpus appearance is this doc — low novelty flags boilerplate."""
+    return C.ngram_novelty(table(spark, sf_dir, "documents"))

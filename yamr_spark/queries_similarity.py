@@ -212,7 +212,9 @@ def q_kmeans_centroids(spark, sf_dir):
     oracle=f"""
     WITH {_VECS_CTE},
     cents AS (
-      SELECT vec_id AS centroid_id, v AS cvec FROM vecs ORDER BY vec_id LIMIT 8
+      SELECT vec_id AS centroid_id, v AS cvec FROM (
+        SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS crn FROM vecs
+      ) t WHERE crn <= (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM vecs)
     ),
     scored AS (
       SELECT vec_id, centroid_id, {_COS.format(a="v", b="cvec")} AS cosine
@@ -242,7 +244,9 @@ def q_embedding_near_dup(spark, sf_dir):
     oracle=f"""
     WITH {_VECS_CTE},
     cents AS (
-      SELECT vec_id AS centroid_id, v AS cvec FROM vecs ORDER BY vec_id LIMIT 8
+      SELECT vec_id AS centroid_id, v AS cvec FROM (
+        SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS crn FROM vecs
+      ) t WHERE crn <= (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM vecs)
     ),
     scored AS (
       SELECT vec_id, centroid_id, {_COS.format(a="v", b="cvec")} AS cosine

@@ -93,6 +93,7 @@ def _load_query_modules() -> None:
         "queries_functions",
         "queries_compat",
         "queries_analytics",
+        "queries_curation",
     ):
         __import__(f"yamr_spark.{mod}")
 
@@ -107,6 +108,17 @@ _LOADED = False
 # one representative per already-green family so regressions in the core
 # plans still surface. Everything stays registered; only order changes.
 DRIVER_PRIORITY = [
+    # round-3 new: curation family (no driver row yet)
+    "benchmark_decontaminate",
+    "chunk_dup_stats",
+    "hash_split_counts",
+    "quota_sample_lang",
+    "ngram_novelty",
+    # round-3 changed plans — re-verify under the driver this round
+    "ngram_jaccard_pairs",
+    "repetition_stats",
+    "ivf_probe_partitioned",
+    "streaming_parquet_sink",
     # round-1 unchecked: compat (the reference's core C7/C8 hook)
     "compat_word_count",
     "compat_year_max_region",
