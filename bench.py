@@ -55,6 +55,8 @@ HEADLINE = [
     "quota_sample_lang",
     "ngram_novelty",
     "corpus_curation",
+    "llm_prep_pipeline",
+    "jsonl_roundtrip_stats",
     # similarity: multi-probe near-dup + the partitioned-store probe
     # (store build is cached per process; the timed pass measures the
     # pruned probe, which is the steady-state cost)

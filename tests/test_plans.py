@@ -150,3 +150,54 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_hash_split_is_one_pruned_shuffle(spark, sf_dir):
+    """hash_split: 2-column pruned scan, map-side partial agg, exactly
+    one exchange (the tiny (lang, split) rollup)."""
+    from yamr_spark.operators.curation import hash_split
+    from yamr_spark.plans import has_partial_aggregate, read_schema, shuffle_count
+    from yamr_spark.tables import table
+
+    df = hash_split(table(spark, sf_dir, "documents"))
+    assert shuffle_count(df) == 1
+    assert has_partial_aggregate(df)
+    rs = read_schema(df)
+    assert "doc_id" in rs and "lang" in rs and "text" not in rs, rs
+
+
+def test_quota_sample_single_window_shuffle(spark, sf_dir):
+    """quota_sample: one exchange (the lang window partition), scan
+    pruned to the three projected columns."""
+    from yamr_spark.operators.curation import quota_sample
+    from yamr_spark.plans import read_schema, shuffle_count
+    from yamr_spark.tables import table
+
+    df = quota_sample(table(spark, sf_dir, "documents"))
+    assert shuffle_count(df) == 1
+    assert "text" not in read_schema(df)
+
+
+def test_decontaminate_prunes_and_counts_map_side(spark, sf_dir):
+    """benchmark_decontaminate: both scans prune to (doc_id, text); the
+    overlap count partial-aggregates before its exchange."""
+    from yamr_spark.operators.curation import benchmark_decontaminate
+    from yamr_spark.plans import has_partial_aggregate, read_schema
+    from yamr_spark.tables import table
+
+    df = benchmark_decontaminate(table(spark, sf_dir, "documents"))
+    assert has_partial_aggregate(df)
+    for line in read_schema(df).splitlines():
+        assert "lang" not in line and "source" not in line, line
+
+
+def test_chunk_dup_stats_prunes_df_branch(spark, sf_dir):
+    """chunk_dup_stats: the chunk-DF branch needs no doc_id — Catalyst
+    must prune it to a text-only scan (proves per-branch pruning)."""
+    from yamr_spark.operators.curation import chunk_dup_stats
+    from yamr_spark.plans import has_partial_aggregate, read_schema
+    from yamr_spark.tables import table
+
+    df = chunk_dup_stats(table(spark, sf_dir, "documents"))
+    assert has_partial_aggregate(df)
+    assert "ReadSchema: struct<text:string>" in read_schema(df)

@@ -45,7 +45,10 @@ def benchmark_decontaminate(
     when the corpus is 100 TB) and reaches the join as a distinct
     shingle set — AQE broadcasts it, so the corpus shingle stream is
     filtered map-side and the only shuffle is the per-doc overlap count.
-    The corpus side's doc_id filter is pushed into the parquet scan.
+    Both scans prune to (doc_id, text); the modulo split itself is not a
+    parquet-pushable predicate, so it evaluates in the codegen'd scan
+    stage (production passes a real benchmark TABLE and the split
+    disappears entirely).
     """
     bench_sh = (
         word_shingles(docs.filter(F.col("doc_id") % bench_mod == 0), n=n)
@@ -103,29 +106,34 @@ def chunk_dup_stats(docs: DataFrame, width: int = 8) -> DataFrame:
     )
 
 
+def split_col(
+    id_col: str = "doc_id", train_lt: int = 205, val_lt: int = 230
+):
+    """train/val/test Column: bucket 0-255 from the first two hex chars
+    of md5(id), thresholds ≈ 80/10/10. Content-addressed — stable under
+    re-runs, retries, and re-partitioning, unlike ``rand()``."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 2),
+        16,
+        10,
+    ).cast("int")
+    return (
+        F.when(bucket < train_lt, "train")
+        .when(bucket < val_lt, "val")
+        .otherwise("test")
+    )
+
+
 def hash_split(
     docs: DataFrame, train_lt: int = 205, val_lt: int = 230
 ) -> DataFrame:
-    """Deterministic train/val/test assignment: bucket 0-255 from the
-    first two hex chars of md5(doc_id), split at ``train_lt``/``val_lt``
-    (defaults ≈ 80/10/10). Content-addressed, so the split is stable
-    under re-runs, retries, and re-partitioning — never ``rand()``,
-    which would make speculative task attempts disagree.
+    """Deterministic train/val/test assignment (see ``split_col``).
 
     Returns per-(lang, split) document counts — the sanity report a
     pipeline materializes before writing the split out. The scan is a
     2-column projection; the only shuffle is the tiny count rollup.
     """
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2),
-        16,
-        10,
-    ).cast("int")
-    split = (
-        F.when(bucket < train_lt, "train")
-        .when(bucket < val_lt, "val")
-        .otherwise("test")
-    )
+    split = split_col(train_lt=train_lt, val_lt=val_lt)
     return (
         docs.select("lang", split.alias("split"))
         .groupBy("lang", "split")
@@ -150,6 +158,49 @@ def quota_sample(docs: DataFrame, per_lang: int = 20) -> DataFrame:
         docs.select("doc_id", "lang", "n_chars")
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= per_lang)
+    )
+
+
+def llm_prep_pipeline(
+    docs: DataFrame,
+    min_words: int = 5,
+    min_chars: int = 30,
+    bench_mod: int = 97,
+) -> DataFrame:
+    """The flagship end-to-end training-data prep, ONE declarative plan:
+
+    1. quality gate (≥ ``min_words`` words, ≥ ``min_chars`` chars);
+    2. drop the benchmark carve-out (eval docs never train);
+    3. exact dedup — arg-min (doc_id, lang) per sha256(text);
+    4. decontamination — anti-join the 5-gram-overlap flags;
+    5. deterministic md5 train/val/test split;
+    6. per-(split, lang) counts — the report a pipeline materializes
+       before the big write.
+
+    Scale: the gate fuses into the scan; dedup shuffles 32-byte digests
+    (never bodies); the contamination side is the broadcast-small flag
+    set feeding a left-anti join; the split is pure column math; the
+    rollup is tiny. Catalyst sees the whole thing as one DAG, so column
+    pruning and filter fusion cross the stage boundaries a hand-staged
+    pipeline would lose.
+    """
+    n_words = F.size(F.expr(_TOKS))
+    kept = docs.filter(
+        (n_words >= min_words)
+        & (F.length("text") >= min_chars)
+        & (F.col("doc_id") % bench_mod != 0)
+    )
+    surv = (
+        kept.groupBy(F.sha2(F.col("text").cast("binary"), 256).alias("h"))
+        .agg(F.min(F.struct("doc_id", "lang")).alias("k"))
+        .select(F.col("k.doc_id").alias("doc_id"), F.col("k.lang").alias("lang"))
+    )
+    flagged = benchmark_decontaminate(docs, bench_mod=bench_mod).select("doc_id")
+    clean = surv.join(flagged, "doc_id", "left_anti")
+    return (
+        clean.select("lang", split_col().alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
     )
 
 

@@ -163,3 +163,35 @@ def q_union_mapper_outputs(spark, sf_dir):
         F.col("o_orderstatus").alias("key"), F.lit(1).cast("long").alias("value")
     )
     return a.unionAll(b).groupBy("key").agg(F.sum("value").cast("long").alias("value"))
+
+
+@register(
+    "jsonl_roundtrip_stats",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents GROUP BY lang
+    """,
+)
+def q_jsonl_roundtrip_stats(spark, sf_dir):
+    """JSONL sink → source round-trip fidelity: write the documents table
+    as line-delimited JSON (the interchange format of public LLM-corpus
+    releases), read it back with an explicit schema, and aggregate. The
+    oracle runs on the ORIGINAL parquet, so any row loss, encoding
+    damage, or type drift through the JSONL hop fails the hash."""
+    import os
+
+    from yamr_spark.sources import read_jsonl, write_jsonl
+    from yamr_spark.tmpdirs import session_dir
+
+    docs = table(spark, sf_dir, "documents")
+    out = os.path.join(session_dir(f"jsonl:{sf_dir}", "yamr_jsonl_"), "docs")
+    write_jsonl(docs, out)
+    back = read_jsonl(spark, out, docs.schema)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -154,3 +154,47 @@ def q_ngram_novelty(spark, sf_dir):
     """Per-document 3-gram novelty: share of the doc's shingles whose
     first corpus appearance is this doc — low novelty flags boilerplate."""
     return C.ngram_novelty(table(spark, sf_dir, "documents"))
+
+
+_NWORDS = (
+    "len(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'), "
+    "x -> length(x) > 0))"
+)
+
+_PIPELINE_ORACLE = f"""
+    WITH {_SH5_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    flagged AS (
+      SELECT doc_id FROM corpus JOIN bench USING (shingle)
+      GROUP BY doc_id HAVING COUNT(*) >= 3
+    ),
+    gated AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE {_NWORDS} >= 5 AND length(text) >= 30 AND doc_id % 97 <> 0
+    ),
+    surv AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM gated
+      ) t WHERE rn = 1
+    ),
+    clean AS (
+      SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    )
+    SELECT CASE WHEN {_BUCKET} < 205 THEN 'train'
+                WHEN {_BUCKET} < 230 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM clean GROUP BY 1, 2
+"""
+
+
+@register("llm_prep_pipeline", oracle=_PIPELINE_ORACLE)
+def q_llm_prep_pipeline(spark, sf_dir):
+    """Flagship end-to-end prep: quality gate → drop benchmark carve-out
+    → exact dedup (arg-min per sha256) → decontamination anti-join →
+    deterministic split → per-(split, lang) counts. One declarative DAG;
+    see operators/curation.py:llm_prep_pipeline for the scale story."""
+    return C.llm_prep_pipeline(table(spark, sf_dir, "documents"))

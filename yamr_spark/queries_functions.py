@@ -195,3 +195,33 @@ def q_json_props_stats(spark, sf_dir):
             F.count("*").alias("cnt"),
         )
     )
+
+
+@register(
+    "pii_scrub_stats",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(length(props)
+                    - length(regexp_replace(props, '[0-9]', '', 'g')))
+                AS BIGINT) AS total_digits,
+           ROUND(AVG(length(regexp_replace(props, '[0-9]+', '<NUM>', 'g'))), 6)
+             AS avg_redacted_len
+    FROM events GROUP BY event_type
+    """,
+)
+def q_pii_scrub_stats(spark, sf_dir):
+    """PII-style scrubbing shape: redact digit runs in the props payload
+    (regexp_replace is the pattern slot — production swaps in email/
+    phone/SSN patterns) and report per-type digit mass + redacted
+    lengths. Pure codegen'd string expressions, one tiny rollup shuffle;
+    the scrub itself never leaves the scan stage. The DuckDB oracle
+    replays the same regexes (with its explicit 'g' flag — Spark's
+    regexp_replace is global by default)."""
+    ev = table(spark, sf_dir, "events")
+    digits = F.length("props") - F.length(F.regexp_replace("props", "[0-9]", ""))
+    redacted_len = F.length(F.regexp_replace("props", "[0-9]+", "<NUM>"))
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(digits).cast("long").alias("total_digits"),
+        F.round(F.avg(redacted_len), 6).alias("avg_redacted_len"),
+    )

@@ -108,7 +108,11 @@ _LOADED = False
 # one representative per already-green family so regressions in the core
 # plans still surface. Everything stays registered; only order changes.
 DRIVER_PRIORITY = [
-    # round-3 new: curation family (no driver row yet)
+    # round-3 new: curation family + flagship pipeline + jsonl (no
+    # driver row yet)
+    "llm_prep_pipeline",
+    "jsonl_roundtrip_stats",
+    "pii_scrub_stats",
     "benchmark_decontaminate",
     "chunk_dup_stats",
     "hash_split_counts",

@@ -158,6 +158,21 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table_name)
 
 
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSONL sink (one JSON object per line — Spark's native json format;
+    the interchange format of most public LLM-corpus releases). Newlines
+    and unicode in values are JSON-escaped, so line-splitting stays
+    correct on any content; splittable on read like any line format."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSONL source with an EXPLICIT schema — at 100 TB schema inference
+    would be a full pre-scan of the corpus; production always declares
+    the schema (or samples once and pins the result)."""
+    return spark.read.schema(schema).json(path)
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """Default sink: columnar, splittable, statistics for pushdown.
     ``partition_by`` gives directory-level partition pruning — the knob
