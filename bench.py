@@ -56,6 +56,7 @@ HEADLINE = [
     "ngram_novelty",
     "corpus_curation",
     "llm_prep_pipeline",
+    "split_store_train_counts",
     "jsonl_roundtrip_stats",
     # similarity: multi-probe near-dup + the partitioned-store probe
     # (store build is cached per process; the timed pass measures the

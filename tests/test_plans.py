@@ -201,3 +201,25 @@ def test_chunk_dup_stats_prunes_df_branch(spark, sf_dir):
     df = chunk_dup_stats(table(spark, sf_dir, "documents"))
     assert has_partial_aggregate(df)
     assert "ReadSchema: struct<text:string>" in read_schema(df)
+
+
+def test_split_store_prunes_partitions(spark, sf_dir, tmp_path):
+    """The trainer-facing output layout: corpus partitioned by
+    (split, lang); reading one split must carry a PartitionFilter and
+    touch only that split's directories."""
+    from yamr_spark.operators.curation import read_split, write_split_corpus
+    from yamr_spark.plans import plan_text
+    from yamr_spark.tables import table
+
+    store = str(tmp_path / "split_store")
+    write_split_corpus(table(spark, sf_dir, "documents"), store)
+    train = read_split(spark, store, "train")
+    txt = plan_text(train)
+    assert "PartitionFilters" in txt and "split" in txt, txt
+    files = [r[0] for r in train.select(F.input_file_name()).distinct().collect()]
+    assert files and all("split=train" in f for f in files), files
+    all_files = [
+        r[0]
+        for r in spark.read.parquet(store).select(F.input_file_name()).distinct().collect()
+    ]
+    assert len(set(all_files)) > len(set(files))

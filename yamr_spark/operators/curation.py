@@ -230,3 +230,20 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
             F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
         )
     )
+
+
+def write_split_corpus(docs: DataFrame, out_dir: str) -> None:
+    """Materialize the pipeline's OUTPUT layout: the corpus partitioned
+    by (split, lang) — the directory scheme a trainer consumes. A reader
+    asking for one split (or one split × lang) gets directory-level
+    partition pruning: the scan never opens the other partitions' files
+    (pinned by tests/test_plans.py::test_split_store_prunes_partitions).
+    """
+    docs.withColumn("split", split_col()).write.partitionBy(
+        "split", "lang"
+    ).mode("overwrite").parquet(out_dir)
+
+
+def read_split(spark, store_dir: str, split: str) -> DataFrame:
+    """Read ONE split from the partitioned corpus store (pruned scan)."""
+    return spark.read.parquet(store_dir).filter(F.col("split") == split)

@@ -73,6 +73,31 @@ def word_shingles(
     )
 
 
+def word_shingle_sets(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document SORTED distinct-shingle array: (doc_id, ss).
+
+    Same shingles as :func:`word_shingles` but kept as one array row per
+    document — computed entirely map-side (tokenize → slice → distinct →
+    sort inside the scan stage, zero shuffle), unlike collapsing the
+    exploded stream back with a groupBy."""
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '{WORD_BREAK_SQL}'), x -> length(x) > 0)"
+    )
+    shingles = F.expr(
+        f"transform(sequence(0, size(__toks) - {n}), i -> "
+        f"concat_ws(' ', slice(__toks, i + 1, {n})))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select(
+            "doc_id", F.sort_array(F.array_distinct(shingles)).alias("ss")
+        )
+    )
+
+
 # ------------------------------------------------------------- MinHash
 
 
@@ -199,7 +224,7 @@ def jaccard_for_pairs(
     )
 
 
-def jaccard_for_pairs_dense(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+def jaccard_for_pairs_dense(pairs: DataFrame, doc_sets: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate pairs when candidates are DENSE —
     the complement of :func:`jaccard_for_pairs`.
 
@@ -207,20 +232,17 @@ def jaccard_for_pairs_dense(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     candidate docs' shingles. But when blocking is weak (small-vocab
     corpora, low-diversity crawls) candidates approach all-pairs and the
     pair⋈shingle intersect join materializes |pairs|×|shingles per doc|
-    intermediate rows. Here instead: ONE groupBy collapses the shingle
-    stream to a per-doc sorted set array (docs rows, fixed small dim),
-    each pair picks up its two arrays via joins AQE turns into
-    broadcasts, and |∩| is columnar ``array_intersect`` — no
-    row-explosion anywhere; per-pair work is O(|A|+|B|) JVM set ops.
+    intermediate rows. Here instead: ``doc_sets`` (doc_id, ss) — built
+    MAP-SIDE by :func:`word_shingle_sets`, no shuffle — feeds each pair
+    its two arrays via joins AQE turns into broadcasts, and |∩| is
+    columnar ``array_intersect`` — no row-explosion anywhere; per-pair
+    work is O(|A|+|B|) JVM set ops.
 
     100 TB note: the array row is the compaction lever — hash shingles to
     64-bit before collecting if documents are huge (cap: a 100k-shingle
     doc is ~800 KB hashed vs tens of MB as strings). Kept as strings here
     so the Jaccard is exactly the string-set Jaccard the oracle computes.
     """
-    doc_sets = shingles.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("ss")
-    )
     return (
         pairs.join(
             doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa")),
@@ -398,7 +420,10 @@ def ngram_jaccard_pairs(
     textbook rare-shingle self-join but replaces its three stream
     shuffles (df count, df filter join, equi-self-join) with one; the DF
     cap bounds every posting list, so pair explosion is ≤ C(cap, 2) per
-    shingle by construction."""
+    shingle by construction. Verification reads per-doc shingle-set
+    arrays built MAP-SIDE (word_shingle_sets — no second stream
+    shuffle), so the whole operator shuffles the corpus-sized stream
+    exactly once."""
     sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
     postings = (
         sh.groupBy("shingle")
@@ -417,6 +442,9 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     # rare-shingle blocking degrades toward all-pairs on low-diversity
-    # corpora, so verify with the dense strategy (per-doc set arrays +
-    # columnar intersect), not the sparse pair⋈shingle join
-    return jaccard_for_pairs_dense(cands, sh).filter(F.col("jaccard") >= threshold)
+    # corpora, so verify with the dense strategy (map-side per-doc set
+    # arrays + columnar intersect), not the sparse pair⋈shingle join
+    sets = word_shingle_sets(docs, n=n, text_col=text_col, id_col=id_col)
+    return jaccard_for_pairs_dense(cands, sets).filter(
+        F.col("jaccard") >= threshold
+    )

@@ -195,3 +195,56 @@ def q_jsonl_roundtrip_stats(spark, sf_dir):
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@register(
+    "jsonl_corrupt_handling",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_good,
+           CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS good_chars
+    FROM documents
+    """,
+)
+def q_jsonl_corrupt_handling(spark, sf_dir):
+    """Malformed-input robustness — the ingestion reality of web-scale
+    corpora: a JSONL file where every 10th document's line is truncated
+    mid-object is read back in PERMISSIVE mode with a _corrupt_record
+    column; good rows parse, bad rows are counted instead of killing the
+    job (FAILFAST is one option away). Corruption is deterministic
+    (doc_id % 10), so the oracle predicts exactly which rows survive."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from yamr_spark.tmpdirs import session_dir
+
+    docs = table(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(", BROKEN")),
+    ).otherwise(F.to_json(F.struct("doc_id", "n_chars")))
+    out = os.path.join(session_dir(f"jsonl_corrupt:{sf_dir}", "yamr_jsonlc_"), "docs")
+    docs.select(line.alias("value")).write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.sum(bad.cast("long")).alias("n_corrupt"),
+        F.sum((~bad).cast("long")).alias("n_good"),
+        F.sum(F.when(~bad, F.col("n_chars")).otherwise(0)).alias("good_chars"),
+    )

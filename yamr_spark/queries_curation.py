@@ -198,3 +198,36 @@ def q_llm_prep_pipeline(spark, sf_dir):
     deterministic split → per-(split, lang) counts. One declarative DAG;
     see operators/curation.py:llm_prep_pipeline for the scale story."""
     return C.llm_prep_pipeline(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "split_store_train_counts",
+    oracle=f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    WHERE {_BUCKET} < 205
+    GROUP BY lang
+    """,
+)
+def q_split_store_train_counts(spark, sf_dir):
+    """The pipeline's OUTPUT path end-to-end: write the corpus
+    partitioned by (split, lang) — the layout a trainer consumes — then
+    read back ONLY the train split (directory-pruned scan, pinned by
+    tests/test_plans.py) and report per-lang counts. The oracle replays
+    the split arithmetic on the original table, so a row landing in the
+    wrong partition fails the hash."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yamr_spark.tmpdirs import session_dir
+
+    docs = table(spark, sf_dir, "documents")
+    store = os.path.join(session_dir(f"splitstore:{sf_dir}", "yamr_split_"), "store")
+    if not os.path.exists(store):
+        C.write_split_corpus(docs, store)
+    return (
+        C.read_split(spark, store, "train")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -111,7 +111,9 @@ DRIVER_PRIORITY = [
     # round-3 new: curation family + flagship pipeline + jsonl (no
     # driver row yet)
     "llm_prep_pipeline",
+    "split_store_train_counts",
     "jsonl_roundtrip_stats",
+    "jsonl_corrupt_handling",
     "pii_scrub_stats",
     "benchmark_decontaminate",
     "chunk_dup_stats",
