@@ -10,11 +10,14 @@ bit-for-bit — no engine-private RNG anywhere):
                 min-aggregates — the signature shuffle carries docs×k
                 values, not shingles) → banded candidate pairs →
                 Jaccard-verified duplicates.
-- SimHash     — 16-bit term-frequency-weighted signature; near-dup pairs
-                via pigeonhole nibble blocking + hamming distance.
+- SimHash     — 64-bit term-frequency-weighted signature; near-dup pairs
+                via pigeonhole block blocking + hamming distance.
 - n-gram Jaccard — shared-shingle blocking with a document-frequency cap
                 (drops stop-shingles so the candidate join cannot explode
-                on common n-grams), then exact Jaccard.
+                on common n-grams), then exact Jaccard. Shingles are
+                hashed to 60-bit ints (md5-derived, oracle-reproducible)
+                BEFORE any shuffle, so shuffle keys are 8 bytes, never
+                n-gram text.
 
 Scale notes: every pairwise step is preceded by a blocking join (band
 hash / nibble / rare shingle) so candidate generation is
