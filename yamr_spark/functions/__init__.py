@@ -65,6 +65,27 @@ def key_hash(col: Column | str) -> Column:
     return F.xxhash64(c.cast("string"))
 
 
+def hash60(col: Column | str) -> Column:
+    """Oracle-reproducible 60-bit content hash: the first 15 hex chars of
+    md5 as a non-negative BIGINT.
+
+    DuckDB computes the identical value with
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``, so plans can shuffle
+    8-byte hashed keys instead of raw text while the oracle replays the
+    hash exactly. 60 bits (not 64) keeps the value positive in a signed
+    long in both engines; collision probability for k distinct keys is
+    ~k²/2⁶¹ (≈10⁻⁷ even at 10⁷ distinct shingles per comparison scope).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+# The same 60-bit hash as a SQL fragment for use inside higher-order
+# functions (transform lambdas), where Column expressions can't reach.
+def hash60_sql(x: str) -> str:
+    return f"cast(conv(substring(md5(cast({x} as binary)), 1, 15), 16, 10) as bigint)"
+
+
 def kv_to_json(key: Column | str, value: Column | str) -> Column:
     """F9: serialize a (key, value) pair as a JSON array string, matching
     the reference's shuffle/result file format ``[key, value]``

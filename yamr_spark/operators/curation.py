@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from yamr_spark.functions import WORD_BREAK_SQL
+from yamr_spark.functions import WORD_BREAK_SQL, hash60_sql
 from yamr_spark.operators.dedup import word_shingles
 
 _TOKS = f"filter(split(lower(text), '{WORD_BREAK_SQL}'), x -> length(x) > 0)"
@@ -74,20 +74,24 @@ def chunk_dup_stats(docs: DataFrame, width: int = 8) -> DataFrame:
     Chunks are distinct within a document; documents with fewer than
     ``width`` tokens produce no chunks and are absent from the output.
 
-    Scale design: three shuffles, all partial-aggregated — chunk
-    document-frequency (key = chunk text; md5 the chunk first when
-    documents are huge to make the shuffle fixed-width), the chunk⋈df
-    join (no explosion: each chunk instance matches exactly one df row,
-    however hot the chunk), and the per-doc rollup.
+    Scale design: three shuffles, all partial-aggregated and ALL on
+    8-byte keys — chunks are hashed to 60-bit md5-derived BIGINTs
+    (functions.hash60, oracle-reproducible) map-side inside the scan
+    stage, so the document-frequency groupBy, the chunk⋈df join (no
+    explosion: each chunk instance matches exactly one df row, however
+    hot the chunk), and the per-doc rollup never move chunk text.
     """
-    chunks_expr = F.expr(
+    chunks_expr = (
         f"transform(sequence(1, size(__toks) div {width}), "
         f"j -> concat_ws(' ', slice(__toks, (j - 1) * {width} + 1, {width})))"
+    )
+    hashed_chunks = F.expr(
+        f"array_distinct(transform({chunks_expr}, c -> {hash60_sql('c')}))"
     )
     ch = (
         docs.select("doc_id", F.expr(_TOKS).alias("__toks"))
         .filter(F.size("__toks") >= width)
-        .select("doc_id", F.explode(F.array_distinct(chunks_expr)).alias("chunk"))
+        .select("doc_id", F.explode(hashed_chunks).alias("chunk"))
     )
     dfreq = ch.groupBy("chunk").agg(F.count("*").alias("df"))
     return (

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from yamr_spark.functions import WORD_BREAK_SQL
+from yamr_spark.functions import WORD_BREAK_SQL, hash60_sql
 
 # ---------------------------------------------------------------- exact
 
@@ -54,6 +54,31 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # ------------------------------------------------------------- shingles
 
 
+def _toks_expr(text_col: str):
+    return F.expr(
+        f"filter(split(lower({text_col}), '{WORD_BREAK_SQL}'), x -> length(x) > 0)"
+    )
+
+
+def _shingle_array_sql(n: int) -> str:
+    """SQL fragment: array of word n-grams over a bound ``__toks`` column."""
+    return (
+        f"transform(sequence(0, size(__toks) - {n}), i -> "
+        f"concat_ws(' ', slice(__toks, i + 1, {n})))"
+    )
+
+
+def _hashed_shingle_array_sql(n: int) -> str:
+    """SQL fragment: DISTINCT 60-bit-hashed word n-grams (md5-derived,
+    oracle-reproducible — see functions.hash60). Hashing happens map-side
+    inside the scan stage, so nothing downstream ever carries n-gram
+    text."""
+    return (
+        f"array_distinct(transform({_shingle_array_sql(n)}, "
+        f"s -> {hash60_sql('s')}))"
+    )
+
+
 def word_shingles(
     docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -62,17 +87,28 @@ def word_shingles(
     Tokenization matches the reference's word-count rules (lowercase,
     unicode \\w+). Documents with fewer than ``n`` tokens yield no rows.
     """
-    toks = F.expr(
-        f"filter(split(lower({text_col}), '{WORD_BREAK_SQL}'), x -> length(x) > 0)"
-    )
-    shingles = F.expr(
-        f"transform(sequence(0, size(__toks) - {n}), i -> "
-        f"concat_ws(' ', slice(__toks, i + 1, {n})))"
-    )
+    shingles = F.expr(_shingle_array_sql(n))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        docs.select(F.col(id_col).alias("doc_id"), _toks_expr(text_col).alias("__toks"))
         .filter(F.size("__toks") >= n)
         .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def word_shingle_hashes(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct HASHED word n-gram shingles per document: (doc_id, sh)
+    with ``sh`` a 60-bit md5-derived BIGINT.
+
+    The scale-path twin of :func:`word_shingles`: shuffle keys are 8
+    bytes regardless of n-gram length, so downstream groupBys/joins move
+    ~16-byte rows instead of raw text. The hash is oracle-reproducible
+    (functions.hash60) and collision-free in practice (~k²/2⁶¹)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), _toks_expr(text_col).alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select("doc_id", F.explode(F.expr(_hashed_shingle_array_sql(n))).alias("sh"))
     )
 
 
@@ -85,18 +121,32 @@ def word_shingle_sets(
     document — computed entirely map-side (tokenize → slice → distinct →
     sort inside the scan stage, zero shuffle), unlike collapsing the
     exploded stream back with a groupBy."""
-    toks = F.expr(
-        f"filter(split(lower({text_col}), '{WORD_BREAK_SQL}'), x -> length(x) > 0)"
-    )
-    shingles = F.expr(
-        f"transform(sequence(0, size(__toks) - {n}), i -> "
-        f"concat_ws(' ', slice(__toks, i + 1, {n})))"
-    )
+    shingles = F.expr(_shingle_array_sql(n))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        docs.select(F.col(id_col).alias("doc_id"), _toks_expr(text_col).alias("__toks"))
         .filter(F.size("__toks") >= n)
         .select(
             "doc_id", F.sort_array(F.array_distinct(shingles)).alias("ss")
+        )
+    )
+
+
+def word_shingle_hash_sets(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document SORTED distinct HASHED-shingle array: (doc_id, ss)
+    with ``ss`` an array<bigint> of 60-bit md5-derived hashes.
+
+    The scale-path twin of :func:`word_shingle_sets`: a 100k-shingle
+    document is ~800 KB as hashes vs tens of MB as strings, and the
+    columnar ``array_intersect`` verify compares 8-byte longs instead of
+    variable-length text. Entirely map-side, zero shuffle."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), _toks_expr(text_col).alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select(
+            "doc_id",
+            F.sort_array(F.expr(_hashed_shingle_array_sql(n))).alias("ss"),
         )
     )
 
@@ -241,10 +291,13 @@ def jaccard_for_pairs_dense(pairs: DataFrame, doc_sets: DataFrame) -> DataFrame:
     columnar ``array_intersect`` — no row-explosion anywhere; per-pair
     work is O(|A|+|B|) JVM set ops.
 
-    100 TB note: the array row is the compaction lever — hash shingles to
-    64-bit before collecting if documents are huge (cap: a 100k-shingle
-    doc is ~800 KB hashed vs tens of MB as strings). Kept as strings here
-    so the Jaccard is exactly the string-set Jaccard the oracle computes.
+    Element type is irrelevant to the plan: callers pass string sets
+    (word_shingle_sets) when they need text back, or 60-bit hashed sets
+    (word_shingle_hash_sets — what ngram_jaccard_pairs feeds) for the
+    scale path where a 100k-shingle doc is ~800 KB instead of tens of
+    MB. Hashed-set Jaccard equals string-set Jaccard absent collisions
+    (~k²/2⁶¹ — the oracle computes the string form and the driver's
+    value-hash agrees).
     """
     return (
         pairs.join(
@@ -288,12 +341,17 @@ def minhash_near_dup(
     # reuse. (At 100 TB you'd persist it to parquet; same shape.)
     # The SHINGLE stream is scanned once more inside jaccard_for_pairs,
     # semi-joined down to candidate docs before any join — so the whole
-    # pipeline reads the corpus exactly twice (signatures + verify).
+    # pipeline reads the corpus exactly twice (signatures + verify). The
+    # verify stream carries 60-bit HASHED shingles (8-byte intersect
+    # keys, not text); hashed-set Jaccard equals string-set Jaccard
+    # absent collisions, which the string-form oracle confirms.
     sigs = minhash_signatures(
         docs, k=k, n=n, text_col=text_col, id_col=id_col
     ).localCheckpoint()
     cands = minhash_band_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
-    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sh = word_shingle_hashes(docs, n=n, text_col=text_col, id_col=id_col).withColumnRenamed(
+        "sh", "shingle"
+    )
     sizes = sigs.select("doc_id", "sz")
     return jaccard_for_pairs(cands, sh, sizes=sizes).filter(
         F.col("jaccard") >= threshold
@@ -416,22 +474,37 @@ def ngram_jaccard_pairs(
     recall-vs-cost; Jaccard is always computed on the FULL shingle sets,
     so the cap affects candidate recall only.
 
-    Candidate generation is ONE shuffle of the shingle stream: group by
-    shingle collecting the (sorted) doc-id posting list, drop lists
-    outside [2, max_doc_freq], and explode all i<j pairs from each list
-    column-side. This produces the identical candidate set to the
-    textbook rare-shingle self-join but replaces its three stream
-    shuffles (df count, df filter join, equi-self-join) with one; the DF
-    cap bounds every posting list, so pair explosion is ≤ C(cap, 2) per
-    shingle by construction. Verification reads per-doc shingle-set
-    arrays built MAP-SIDE (word_shingle_sets — no second stream
-    shuffle), so the whole operator shuffles the corpus-sized stream
-    exactly once."""
-    sh = word_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    Scale design — every shuffle key is a 60-bit md5-derived shingle
+    hash (functions.hash60), never n-gram text, so the corpus-sized
+    streams move ~16-byte rows:
+
+    1. df count: partial-aggregated (shingle_hash, count) — fixed-width.
+    2. HOT-set anti-join: shingles with df > max_doc_freq are FEW
+       (stop-shingles) — AQE broadcasts them, filtering the stream
+       map-side. Crucially this happens BEFORE the posting-list
+       aggregation, so no collect_list buffer ever materializes an
+       unbounded hot posting list; every list entering the aggregation
+       is ≤ max_doc_freq by construction.
+    3. posting lists: group the surviving stream by shingle hash,
+       collect the sorted doc-id list, explode all i<j pairs
+       column-side (≤ C(cap, 2) per shingle).
+
+    Verification reads per-doc HASHED shingle-set arrays built MAP-SIDE
+    (word_shingle_hash_sets — no extra stream shuffle) and intersects
+    8-byte longs columnar-side. Total: two partial-aggregated shuffles
+    of the hashed stream + the tiny candidate joins."""
+    sh = word_shingle_hashes(docs, n=n, text_col=text_col, id_col=id_col)
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("sh")
+    )
     postings = (
-        sh.groupBy("shingle")
+        sh.join(hot, "sh", "left_anti")
+        .groupBy("sh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_doc_freq))
+        .filter(F.size("ds") >= 2)
     )
     # all i<j pairs from the sorted posting list, entirely column-side
     pair_expr = (
@@ -447,7 +520,7 @@ def ngram_jaccard_pairs(
     # rare-shingle blocking degrades toward all-pairs on low-diversity
     # corpora, so verify with the dense strategy (map-side per-doc set
     # arrays + columnar intersect), not the sparse pair⋈shingle join
-    sets = word_shingle_sets(docs, n=n, text_col=text_col, id_col=id_col)
+    sets = word_shingle_hash_sets(docs, n=n, text_col=text_col, id_col=id_col)
     return jaccard_for_pairs_dense(cands, sets).filter(
         F.col("jaccard") >= threshold
     )

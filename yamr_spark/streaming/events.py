@@ -71,6 +71,12 @@ def session_user_windows(events: DataFrame, gap: str = "30 minutes") -> DataFram
     )
 
 
+# Per-session snapshot of nanosAsLong taken when stream_events pins it,
+# so restore_ns_conf restores (not clobbers) a caller's own pin and is a
+# no-op when the stream never touched the conf.
+_NS_CONF_PRIOR: dict = {}
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open the events table as a file-source STREAM with the same schema
     normalization as tables.table() (timestamp[ns] → timestamp_ntz)."""
@@ -94,6 +100,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # active ns-stream stays identical to tables._read_parquet_ns's
     # scoped-per-read behavior.
     if ns_cols:
+        try:
+            prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+        except Exception:
+            prior = None
+        _NS_CONF_PRIOR[spark] = prior
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The source path is a single parquet FILE. FileStreamSource force-sets
     # basePath to the source path itself for non-glob paths, and a file
@@ -109,6 +120,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the post-aggregation NTZ cast preserves wall-clock values.
         # `div` not `/`: nanos exceed double's exact-integer range.
         sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Non-ns naive parquet timestamps (timestamp[us]/[ms]) arrive as
+    # TIMESTAMP_NTZ; stream-stream joins and watermark plumbing require
+    # TIMESTAMP (LTZ). Session tz is UTC, so the cast is value-preserving
+    # and downstream NTZ output casts round-trip exactly.
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in sdf.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            sdf = sdf.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return sdf
 
 
@@ -125,9 +145,17 @@ def restore_ns_conf(spark: SparkSession) -> None:
     """Restore the session invariant after a synchronous stream drain:
     ``stream_events`` pins nanosAsLong session-wide for the stream's
     lifetime (the file source re-resolves footers per micro-batch); once
-    the availableNow drain returns, unset it so unrelated batch reads see
-    the same scoped-per-read behavior as tables._read_parquet_ns."""
-    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    the availableNow drain returns, restore the pre-stream value (unset
+    if it wasn't set) so unrelated batch reads see the same
+    scoped-per-read behavior as tables._read_parquet_ns. No-op when the
+    stream never pinned the conf (no ns columns)."""
+    if spark not in _NS_CONF_PRIOR:
+        return
+    prior = _NS_CONF_PRIOR.pop(spark)
+    if prior is None:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
 
 
 def run_stream_to_parquet(
