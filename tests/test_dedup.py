@@ -51,10 +51,36 @@ def test_simhash_near_dup(docs):
 
     sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     assert sigs[1] == sigs[4]
-    assert all(0 <= v < 2**16 for v in sigs.values())
+    assert all(0 <= v < 2**60 for v in sigs.values())
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_dup(docs).collect()}
     assert pairs.get((1, 4)) == 0
     assert (1, 2) in pairs  # single-token edit stays within hamming 3
+
+
+def test_simhash_block_recall_complete():
+    """Pigeonhole completeness: any signature pair within the hamming
+    budget agrees exactly on ≥1 derived block, for every budget ≤ 7 —
+    i.e. the blocked candidate join can never miss a true near-dup."""
+    import random
+
+    from yamr_spark.operators.dedup import SIMHASH_BITS, pigeonhole_blocks
+
+    rng = random.Random(42)
+    for max_hamming in range(8):
+        blocks = pigeonhole_blocks(SIMHASH_BITS, max_hamming)
+        assert sum(w for _, w in blocks) == SIMHASH_BITS
+        assert len(blocks) == max_hamming + 1
+        for _ in range(200):
+            a = rng.getrandbits(SIMHASH_BITS)
+            flips = rng.sample(range(SIMHASH_BITS), rng.randint(0, max_hamming))
+            b = a
+            for j in flips:
+                b ^= 1 << j
+            agree = any(
+                (a >> off) & ((1 << w) - 1) == (b >> off) & ((1 << w) - 1)
+                for off, w in blocks
+            )
+            assert agree, (max_hamming, flips)
 
 
 def test_ngram_jaccard_pairs(docs):

@@ -360,7 +360,26 @@ def minhash_near_dup(
 
 # ------------------------------------------------------------- SimHash
 
-_HEX16 = 4  # leading md5 hex chars → 16-bit token hash
+# 60-bit signature: 15 leading md5 hex chars (functions.hash60 semantics)
+# — oracle-reproducible in DuckDB and positive in a signed long in both
+# engines. 60 bits keeps the signature space unsaturated at the 100 TB
+# design point (~10¹⁰ docs ≪ 2⁶⁰), unlike a 16-bit signature where every
+# pigeonhole bucket holds ~n/2¹⁶ docs and the candidate join degenerates
+# toward all-pairs.
+SIMHASH_BITS = 60
+
+
+def pigeonhole_blocks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) for ``max_hamming + 1`` contiguous blocks covering
+    ``bits`` signature bits. A pair within the hamming budget differs in
+    ≤ max_hamming bits, so it cannot differ in all max_hamming + 1
+    blocks — it must agree exactly on ≥1, which is what makes the
+    blocked equality join recall-complete (standard pigeonhole)."""
+    blocks = max_hamming + 1
+    base, rem = divmod(bits, blocks)
+    widths = [base + 1] * rem + [base] * (blocks - rem)
+    offsets = [sum(widths[:i]) for i in range(blocks)]
+    return list(zip(offsets, widths))
 
 
 def _token_counts(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -375,24 +394,26 @@ def _token_counts(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash per document, term-frequency weighted.
+    """60-bit SimHash per document, term-frequency weighted.
 
-    Token hash = first 4 md5 hex chars as an int (``conv`` base-16);
-    bit j of the signature is the sign of Σ w·(2·bit_j(h)−1). One
-    explode + two hash aggregates; no pairwise work."""
-    tc = _token_counts(docs, text_col, id_col).withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, _HEX16), 16, 10).cast("long")
-    )
+    Token hash = first 15 md5 hex chars as a BIGINT (functions.hash60 —
+    DuckDB computes the identical value, so the signature is
+    oracle-exact); bit j of the signature is the sign of
+    Σ w·(2·bit_j(h)−1). One explode + two partial-aggregated hash
+    aggregates with fixed-width (61-column) buffers; no pairwise work."""
+    from yamr_spark.functions import hash60
+
+    tc = _token_counts(docs, text_col, id_col).withColumn("h", hash60(F.col("token")))
     bit_sums = [
         F.sum(
             F.col("w")
             * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
         ).alias(f"s{j}")
-        for j in range(16)
+        for j in range(SIMHASH_BITS)
     ]
     sums = tc.groupBy("doc_id").agg(*bit_sums)
     sig = None
-    for j in range(16):
+    for j in range(SIMHASH_BITS):
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return sums.select("doc_id", sig.cast("long").alias("simhash"))
@@ -406,20 +427,24 @@ def simhash_near_dup(
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance ≤ ``max_hamming``.
 
-    Pigeonhole blocking: the 16-bit signature is split into
-    ``max_hamming + 1`` blocks — a pair within the hamming budget cannot
-    differ in every block, so it must agree on ≥1, making the candidate
-    join an equality join on (block_id, block_value) — no all-pairs scan.
-    Block count is DERIVED from max_hamming so recall is complete for any
-    budget up to 15 (more blocks = more candidates = higher cost, the
-    standard pigeonhole tradeoff).
+    Pigeonhole blocking: the 60-bit signature is split into
+    ``max_hamming + 1`` blocks (:func:`pigeonhole_blocks`) — a pair
+    within the hamming budget must agree exactly on ≥1 block, making the
+    candidate join an equality join on (block_id, block_value) — no
+    all-pairs scan. Block count is DERIVED from max_hamming so recall is
+    complete for any budget up to 59 (more blocks = more candidates =
+    higher cost, the standard pigeonhole tradeoff). At the default
+    budget the blocks are 15 bits wide, so bucket occupancy stays ~n/2¹⁵
+    per block — the join never degenerates toward all-pairs the way a
+    16-bit signature's 4-bit blocks do at scale.
     """
-    if not 0 <= max_hamming < 16:
-        raise ValueError(f"max_hamming must be in [0, 15], got {max_hamming}")
-    blocks = max_hamming + 1
-    base, rem = divmod(16, blocks)
-    widths = [base + 1] * rem + [base] * (blocks - rem)
-    offsets = [sum(widths[:i]) for i in range(blocks)]
+    if not 0 <= max_hamming < SIMHASH_BITS:
+        raise ValueError(
+            f"max_hamming must be in [0, {SIMHASH_BITS - 1}], got {max_hamming}"
+        )
+    blocks_spec = pigeonhole_blocks(SIMHASH_BITS, max_hamming)
+    offsets = [o for o, _ in blocks_spec]
+    widths = [w for _, w in blocks_spec]
     sig = simhash(docs, text_col=text_col, id_col=id_col)
     nibbles = sig.select(
         "doc_id",

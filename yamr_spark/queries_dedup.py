@@ -1,8 +1,8 @@
 """Dedup query registrations with exact DuckDB oracles.
 
 The oracles rebuild the SAME deterministic hash pipelines in SQL
-(md5-permutation MinHash, 4-hex-char SimHash, shingle Jaccard), so the
-driver's value-hash compares real content, not just row counts.
+(md5-permutation MinHash, 60-bit md5-derived SimHash, shingle Jaccard),
+so the driver's value-hash compares real content, not just row counts.
 """
 
 from __future__ import annotations
@@ -130,19 +130,18 @@ def q_minhash_near_dup(spark, sf_dir):
     return D.minhash_near_dup(table(spark, sf_dir, "documents"))
 
 
-_SIMHASH_HEXVAL = (
-    "((strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 4096 + "
-    "(strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) * 256 + "
-    "(strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1) * 16 + "
-    "(strpos('0123456789abcdef', substr(md5(token), 4, 1)) - 1))"
-)
+# 60-bit token hash: first 15 md5 hex chars — DuckDB parses the hex
+# directly, producing the identical BIGINT as functions.hash60.
+_SIMHASH_HEXVAL = "(('0x' || substr(md5(token), 1, 15))::BIGINT)"
 
 _SIMHASH_SUMS = ",\n         ".join(
-    f"SUM(w * (((h >> {j}) & 1) * 2 - 1)) AS s{j}" for j in range(16)
+    f"SUM(w * (((h >> {j}) & 1) * 2 - 1)) AS s{j}"
+    for j in range(D.SIMHASH_BITS)
 )
 
 _SIMHASH_VALUE = " + ".join(
-    f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+    f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(D.SIMHASH_BITS)
 )
 
 _SIMHASH_CTE = (
@@ -174,14 +173,19 @@ def q_simhash(spark, sf_dir):
     return D.simhash(table(spark, sf_dir, "documents"))
 
 
+# Same derived pigeonhole layout the Spark side uses (max_hamming = 3
+# over 60 bits → 4 blocks of 15), rebuilt as a UNION of per-block rows.
+_SIMHASH_NIB = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {i} AS nib_id, "
+    f"(simhash >> {off}) & {(1 << w) - 1} AS nib_val FROM simh"
+    for i, (off, w) in enumerate(D.pigeonhole_blocks(D.SIMHASH_BITS, 3))
+)
+
 @register(
     "simhash_near_dup",
     oracle=f"""
     WITH {_SIMHASH_CTE},
-    nib AS (
-      SELECT doc_id, simhash, n AS nib_id, (simhash >> (4 * n)) & 15 AS nib_val
-      FROM simh, (SELECT unnest(range(4)) AS n)
-    )
+    nib AS ({_SIMHASH_NIB})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM nib a JOIN nib b
