@@ -223,3 +223,61 @@ def test_split_store_prunes_partitions(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(store).select(F.input_file_name()).distinct().collect()
     ]
     assert len(set(all_files)) > len(set(files))
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE's runtime skew-join split — the cluster-scale complement to
+    operators/skew.py's manual salting. A deliberately skewed left side
+    (90% of rows on one key) forced through a sort-merge join must come
+    out of AQE with skew-split shuffle reads; this pins that the engine's
+    session defaults leave AQE free to do so (VERDICT r03 #8)."""
+    from yamr_spark.plans import plan_text
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(150_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN CAST(0 AS BIGINT) ELSE id END AS k",
+            "id AS v",
+        )
+        right = spark.range(50_000).selectExpr("id AS k", "id AS w")
+        joined = left.join(right, "k")
+        # collect() executes THIS DataFrame's QueryExecution (a .write
+        # would plan a separate one), so its explain now shows the FINAL
+        # adaptive plan with the skew-split shuffle reads.
+        assert len(joined.collect()) > 0
+        txt = plan_text(joined)
+        assert "isFinalPlan=true" in txt, txt[-500:]
+        assert "skewed" in txt, txt[-2000:]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_multijoin_dims_broadcast(spark, sf_dir):
+    """Q7/Q8/Q9 analogues: every sub-limit dimension must reach the plan
+    as a broadcast join — at these shapes the only legitimate shuffles
+    are the lineitem⋈orders fact join and the final rollup."""
+    from yamr_spark.plans import plan_text
+
+    for name, min_bcasts in [
+        ("nation_trade_volume", 2),  # two nation dims at minimum
+        ("market_share", 4),  # part, supplier, nation ×2, region
+        ("nation_profit", 3),  # part, supplier, nation
+    ]:
+        df = all_queries()[name](spark, sf_dir)
+        txt = plan_text(df)
+        n_bcast = txt.count("BroadcastHashJoin")
+        assert n_bcast >= min_bcasts, f"{name}: {n_bcast} broadcast joins\n{txt[:3000]}"

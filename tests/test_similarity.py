@@ -125,3 +125,31 @@ def test_real_embeddings_smoke(spark, sf_dir):
     rows = got.collect()
     assert len(rows) == 9  # 3 queries × 3 neighbors
     assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+
+
+def test_kmeans_ivf_recall_at_k(spark, sf_dir):
+    """Refined centroids must not lose recall@k vs the lowest-id-seed
+    IVF at the same (c, nprobe); both measured against exact brute
+    force. (VERDICT r03 #5: train→search path wired into the query.)"""
+    from yamr_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_topk_kmeans,
+    )
+    from yamr_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    kw = dict(k=5, num_queries=10, c=8, nprobe=2)
+    truth = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, k=5, num_queries=10).collect()
+    }
+    seed_hits = {
+        (r.query_id, r.neighbor_id) for r in ivf_topk(emb, **kw).collect()
+    } & truth
+    km_hits = {
+        (r.query_id, r.neighbor_id) for r in ivf_topk_kmeans(emb, iters=1, **kw).collect()
+    } & truth
+    seed_recall = len(seed_hits) / len(truth)
+    km_recall = len(km_hits) / len(truth)
+    assert km_recall >= seed_recall, (km_recall, seed_recall)
+    assert km_recall > 0

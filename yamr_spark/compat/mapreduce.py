@@ -18,11 +18,14 @@ Arrow-vectorized end to end:
 
 Two reduce modes:
 
-- ``grouped`` (default, the 100 TB path): ``groupBy(key).applyInPandas``
-  feeds run_reduce one key-group at a time. State is bounded by the
-  largest single key, not the largest region; Spark's hash aggregation +
-  AQE handle skew. Equivalent for any per-key reducer (all reference
-  reducers are).
+- ``grouped`` (default, the 100 TB path): hash-partition on key, sort
+  within partitions, then a single Arrow-batched ``mapInPandas`` pass
+  slices consecutive equal-key runs and feeds run_reduce one key-group
+  at a time (runs spanning Arrow batches are carried over). Same
+  semantics as ``groupBy().applyInPandas`` but the JVM↔Python round
+  trip is per partition batch, not per key — with 10⁹ distinct keys the
+  per-group dispatch would dominate. State is bounded by the largest
+  single key, not the largest region.
 - ``region``: exact reference topology — hash-partition into
   ``num_regions`` regions, deliver each region's full key-sorted tuple
   list in ONE run_reduce call (mapper.py:124-136 + reducer.py:131-139).
@@ -97,14 +100,58 @@ def run_job(
     mapped = input_df.select(col).mapInPandas(map_fn, schema=map_schema)
 
     if mode == "grouped":
+        # Sorted-stream run-length reduce: hash-partition on key, sort
+        # within each partition, then ONE mapInPandas pass per partition
+        # that slices consecutive equal-key runs and feeds each to
+        # run_reduce. Semantics are identical to groupBy.applyInPandas
+        # (one run_reduce call per key, pairs sorted like the reference's
+        # combine_data), but the Arrow round-trip happens once per
+        # PARTITION BATCH instead of once per key — with 10⁹ keys the
+        # per-group Python dispatch would dominate (VERDICT r03 #6).
+        # A run can span Arrow batch boundaries, so the tail run of each
+        # batch is carried into the next and flushed at end-of-partition.
+        n = num_regions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-        def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            pairs = sorted(
-                zip(pdf["key"], pdf["value"]), key=lambda t: (str(t[0]), repr(t[1]))
-            )
-            return _to_kv_frame(reducer.run_reduce(pairs))
+        def reduce_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            carry: list[tuple[Any, Any]] = []
 
-        return mapped.groupBy("key").applyInPandas(reduce_group, schema=reduce_schema)
+            def flush(pairs: list[tuple[Any, Any]]) -> list[tuple[Any, Any]]:
+                pairs.sort(key=lambda t: (str(t[0]), repr(t[1])))
+                return reducer.run_reduce(pairs)
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                keys = pdf["key"].tolist()
+                vals = pdf["value"].tolist()
+                m = len(keys)
+                # run boundaries via vector compare; runs are contiguous
+                # because the partition is sorted by key
+                bounds = [0] + [i for i in range(1, m) if keys[i] != keys[i - 1]] + [m]
+                out: list[tuple[Any, Any]] = []
+                for i, j in zip(bounds[:-1], bounds[1:]):
+                    run = list(zip(keys[i:j], vals[i:j]))
+                    if carry and carry[0][0] == run[0][0]:
+                        carry.extend(run)
+                        run = carry
+                        carry = []
+                    elif carry:
+                        out.extend(flush(carry))
+                        carry = []
+                    if j == m:
+                        carry = run  # tail run may continue in next batch
+                    else:
+                        out.extend(flush(run))
+                if out:
+                    yield _to_kv_frame(out)
+            if carry:
+                yield _to_kv_frame(flush(carry))
+
+        return (
+            mapped.repartition(n, F.col("key"))
+            .sortWithinPartitions("key")
+            .mapInPandas(reduce_runs, schema=reduce_schema)
+        )
 
     if mode == "region":
         n = num_regions or int(spark.conf.get("spark.sql.shuffle.partitions"))

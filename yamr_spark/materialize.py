@@ -1,0 +1,83 @@
+"""Pluggable materialization primitive for iterative / multi-consumer
+plans (MinHash signatures, IVF assignments, connected-components
+rounds).
+
+Why this exists: those pipelines reuse an expensive intermediate several
+times (or iterate on it), so it must be computed ONCE and the lineage
+truncated — otherwise the logical plan grows O(rounds) and every
+consumer recomputes the subplan. Three strategies, selected per-session:
+
+- ``local`` (default on local[n]): ``localCheckpoint(eager=True)`` —
+  executor-memory/local-disk blocks, zero serialization to external
+  storage. Fastest, but blocks vanish on executor loss; the right
+  default for the single-JVM test/bench harness only.
+- ``disk``: reliable ``checkpoint(eager=True)`` into the Spark
+  checkpoint dir (YAMR_SPARK_CHECKPOINT_DIR on a cluster — a DFS path —
+  else a per-process temp dir). Truncates lineage like ``local`` but
+  the blocks live in the fault-tolerant store, so executor loss doesn't
+  lose the intermediate. NOT plain ``persist(DISK_ONLY)``: persist
+  keeps the logical plan, and iterative self-join loops (connected
+  components) then grow the plan exponentially — ~10 rounds OOMs the
+  driver during analysis (measured; see tests/test_materialize.py).
+- ``parquet``: write to a staging directory and read back — lineage
+  truncation AND durability with a user-controlled layout, readable by
+  later jobs. The 100 TB production mode for intermediates you want to
+  inspect or reuse; staging lives in a per-process temp dir locally
+  (``tmpdirs.session_dir``) — on a cluster, point
+  YAMR_SPARK_STAGING_DIR at a DFS path.
+
+Mode is chosen by ``set_mode()`` or the YAMR_SPARK_MATERIALIZE env var
+(``local`` | ``disk`` | ``parquet``), read once per call so tests can
+flip modes at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+
+from yamr_spark.tmpdirs import session_dir
+
+_MODES = ("local", "disk", "parquet")
+_mode_override: str | None = None
+
+
+def set_mode(mode: str | None) -> None:
+    """Set the materialization strategy process-wide (None → fall back
+    to YAMR_SPARK_MATERIALIZE / default ``local``)."""
+    global _mode_override
+    if mode is not None and mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+    _mode_override = mode
+
+
+def current_mode() -> str:
+    if _mode_override is not None:
+        return _mode_override
+    env = os.environ.get("YAMR_SPARK_MATERIALIZE", "local")
+    return env if env in _MODES else "local"
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Compute ``df`` once and return a DataFrame whose plan starts from
+    the materialized result (see module docstring for the strategies)."""
+    mode = current_mode()
+    if mode == "local":
+        return df.localCheckpoint()
+    if mode == "disk":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(
+                os.environ.get("YAMR_SPARK_CHECKPOINT_DIR")
+                or session_dir("spark_checkpoints")
+            )
+        return df.checkpoint(eager=True)
+    # parquet staging: unique subdir per materialization; removed with
+    # the per-process staging dir at exit (on a cluster, a DFS path via
+    # YAMR_SPARK_STAGING_DIR with job-level cleanup).
+    base = os.environ.get("YAMR_SPARK_STAGING_DIR") or session_dir("materialize_staging")
+    path = os.path.join(base, uuid.uuid4().hex)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

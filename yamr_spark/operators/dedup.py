@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from yamr_spark.functions import WORD_BREAK_SQL, hash60_sql
+from yamr_spark.materialize import materialize
 
 # ---------------------------------------------------------------- exact
 
@@ -239,13 +240,13 @@ def jaccard_for_pairs(
     """
     # pairs feeds three subplans (intersect join, final left join, and the
     # candidate-doc semi-join) — materialize once, it's tiny
-    pairs = pairs.localCheckpoint()
+    pairs = pairs.transform(materialize)
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = shingles.join(cand_docs, "doc_id", "left_semi").localCheckpoint()
+    sh = shingles.join(cand_docs, "doc_id", "left_semi").transform(materialize)
     if sizes is None:
         # full shingle-set sizes, but only candidate docs need them — the
         # semi-joined set still holds each candidate's COMPLETE shingle set
@@ -337,8 +338,9 @@ def minhash_near_dup(
     # band self-join, and both size lookups). Spark does not share common
     # subplans across a DAG, so without materialization the 16-hash
     # aggregate would run 4x. sigs is docs×17 fixed-width values — tiny
-    # next to the shingle stream — so one eager localCheckpoint buys every
-    # reuse. (At 100 TB you'd persist it to parquet; same shape.)
+    # next to the shingle stream — so one eager materialization buys every
+    # reuse (materialize(): local checkpoint on local[n]; DISK_ONLY
+    # persist or parquet staging at cluster scale — see materialize.py).
     # The SHINGLE stream is scanned once more inside jaccard_for_pairs,
     # semi-joined down to candidate docs before any join — so the whole
     # pipeline reads the corpus exactly twice (signatures + verify). The
@@ -347,7 +349,7 @@ def minhash_near_dup(
     # absent collisions, which the string-form oracle confirms.
     sigs = minhash_signatures(
         docs, k=k, n=n, text_col=text_col, id_col=id_col
-    ).localCheckpoint()
+    ).transform(materialize)
     cands = minhash_band_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
     sh = word_shingle_hashes(docs, n=n, text_col=text_col, id_col=id_col).withColumnRenamed(
         "sh", "shingle"

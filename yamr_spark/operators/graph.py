@@ -9,8 +9,9 @@ so rounds ≈ 2-4 in practice.
 
 Scale notes: each round is one edge join + one aggregate + one pointer-
 jump self-join (all shuffle on the node id — a stable key, so AQE reuses
-the layout). ``localCheckpoint`` truncates the lineage each round,
-keeping the plan O(1) instead of O(rounds). The pointer-jump step
+the layout). ``materialize`` (local checkpoint on local[n]; DISK_ONLY
+persist / parquet staging at cluster scale — materialize.py) truncates
+the lineage each round, keeping the plan O(1) instead of O(rounds). The pointer-jump step
 (``component ← label(component)``, i.e. path doubling — Rastogi et al.,
 "Finding Connected Components in Map-Reduce in Logarithmic Rounds",
 ICDE'13) halves the remaining chain depth every round, so adversarial
@@ -25,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from yamr_spark.materialize import materialize
 
 
 def connected_components(
@@ -42,7 +44,7 @@ def connected_components(
     und = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    und = und.distinct().localCheckpoint()
+    und = und.distinct().transform(materialize)
 
     labels = (
         und.select(F.col("a").alias("node"))
@@ -59,7 +61,7 @@ def connected_components(
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         # pointer jump: component ← label(component). Every label is itself
         # a node id present in ``mins`` (labels start as node ids and only
@@ -80,7 +82,7 @@ def connected_components(
                 "node",
                 F.coalesce("jumped", "component").alias("component"),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
         # convergence check every 2nd round (each check is a driver action)
         if it % 2 == 1 or it == max_iter - 1:

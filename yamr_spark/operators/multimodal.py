@@ -114,6 +114,16 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
+def _nn_indices(dim: int, out: int) -> list[int]:
+    """Nearest-neighbor sample positions: exact integer arithmetic
+    (j·(dim−1) // (out−1)) rather than float linspace, so the mapping is
+    platform-independent and SQL-reproducible (the DuckDB oracle replays
+    it bit-for-bit)."""
+    if out <= 1:
+        return [0] * max(out, 0)
+    return [(j * (dim - 1)) // (out - 1) for j in range(out)]
+
+
 def resize_thumbnail(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     """'Resize' every image to out_w×out_h via nearest-neighbor sampling on
     the fake-decoded array; output is again an opaque binary column, so
@@ -124,8 +134,8 @@ def resize_thumbnail(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
             rows = []
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
                 img = _fake_decode(bytes(buf))
-                ys = np.linspace(0, img.shape[0] - 1, out_h).astype(int)
-                xs = np.linspace(0, img.shape[1] - 1, out_w).astype(int)
+                ys = np.array(_nn_indices(img.shape[0], out_h))
+                xs = np.array(_nn_indices(img.shape[1], out_w))
                 thumb = img[np.ix_(ys, xs)]
                 rows.append((doc_id, thumb.tobytes(), out_w, out_h))
             yield pd.DataFrame(rows, columns=["doc_id", "thumb", "thumb_w", "thumb_h"])

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from yamr_spark.materialize import materialize
 
 
 def _vec_double(col: str):
@@ -112,12 +113,19 @@ def centroids(emb: DataFrame, c: int = 8, id_col: str = "vec_id", vec_col: str =
 
 
 def ivf_assign(
-    emb: DataFrame, c: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    c: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (ties → lower
     centroid id). Broadcast-join + window argmin: one pass over the
-    corpus, no shuffle of the vectors themselves beyond the argmin."""
-    cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
+    corpus, no shuffle of the vectors themselves beyond the argmin.
+    ``cents`` overrides the deterministic lowest-id centroid table (e.g.
+    with kmeans-refined centroids — any (centroid_id, cvec) frame)."""
+    if cents is None:
+        cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
     vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("va"))
     scored = with_cosine(
         vecs.crossJoin(F.broadcast(cents).withColumnRenamed("cvec", "vb"))
@@ -189,7 +197,7 @@ def embedding_near_dup_multi(
     assign = (
         ivf_assign_multi(emb, c=c, p=p, id_col=id_col, vec_col=vec_col)
         .select("vec_id", "centroid_id")
-        .localCheckpoint()
+        .transform(materialize)
     )
     a, b = assign.alias("a"), assign.alias("b")
     cands = (
@@ -227,6 +235,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-accelerated top-k: each query probes its ``nprobe`` nearest
     centroids and scores ONLY vectors assigned there — |corpus|·nprobe/c
@@ -239,11 +248,12 @@ def ivf_topk(
     vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
     # query → nprobe nearest centroids (broadcast queries × centroids; tiny)
     probes = _query_probes(
-        emb, num_queries=num_queries, c=c, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+        emb, num_queries=num_queries, c=c, nprobe=nprobe, id_col=id_col,
+        vec_col=vec_col, cents=cents,
     )
 
     # corpus restricted to probed cells
-    assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col).select(
+    assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col, cents=cents).select(
         "vec_id", "centroid_id"
     )
     corpus = vecs.join(assign, "vec_id").select(
@@ -273,12 +283,14 @@ def _query_probes(
     nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, qv, centroid_id) — each query's ``nprobe`` nearest cells.
     Both join inputs are broadcast-tiny (queries × centroids)."""
     from pyspark.sql import Window
 
-    cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
+    if cents is None:
+        cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
     queries = (
         emb.select(F.col(id_col).alias("query_id"), _vec_double(vec_col).alias("qv"))
         .filter(F.col("query_id") < num_queries)
@@ -340,7 +352,7 @@ def ivf_store_topk(
 
     probes = _query_probes(
         emb, num_queries=num_queries, c=c, nprobe=nprobe, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint()
+    ).transform(materialize)
     cells = sorted(
         r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
     )
@@ -430,6 +442,52 @@ def kmeans_refine(
     )
 
 
+def kmeans_centroid_vectors(
+    emb: DataFrame,
+    c: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(centroid_id, cvec) — kmeans-refined centroids in array form,
+    rebuilt from :func:`kmeans_refine`'s ROUNDED long-form output so the
+    values any consumer sees are exactly the ones the oracle computes."""
+    long_form = kmeans_refine(emb, c=c, iters=iters, id_col=id_col, vec_col=vec_col)
+    return (
+        long_form.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "value"))).alias("dv"))
+        .select("centroid_id", F.expr("transform(dv, s -> s.value)").alias("cvec"))
+    )
+
+
+def ivf_topk_kmeans(
+    emb: DataFrame,
+    k: int = 5,
+    num_queries: int = 10,
+    c: int = 8,
+    nprobe: int = 2,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over kmeans-REFINED centroids — the production IVF
+    'train then search' path (sample-train → assign-all at 100 TB; here
+    the train set is the full corpus since fixtures are small).
+
+    Refined centroids sit at cell centers-of-mass, so cells partition
+    the corpus along its actual density and recall@k at fixed nprobe is
+    ≥ the lowest-id-seed variant's (pinned by tests/test_similarity.py).
+    The centroid table is c×dims — materialized once (it feeds both the
+    probe and assign sides), then broadcast everywhere."""
+    cents = kmeans_centroid_vectors(
+        emb, c=c, iters=iters, id_col=id_col, vec_col=vec_col
+    ).transform(materialize)
+    return ivf_topk(
+        emb, k=k, num_queries=num_queries, c=c, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, cents=cents,
+    )
+
+
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -451,7 +509,7 @@ def embedding_near_dup(
     vecs = (
         emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
         .join(assign, "vec_id")
-        .localCheckpoint()
+        .transform(materialize)
     )
     a, b = vecs.alias("a"), vecs.alias("b")
     paired = (

@@ -68,6 +68,29 @@ def q_benchmark_decontaminate(spark, sf_dir):
 
 
 @register(
+    "benchmark_decontaminate_n3",
+    oracle=f"""
+    WITH {_SH3_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM corpus JOIN bench USING (shingle)
+    GROUP BY doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_benchmark_decontaminate_n3(spark, sf_dir):
+    """Loose-parameter decontamination (3-grams, ≥2 overlaps): the
+    default 5-gram/≥3 registration returns 0 rows at the sf fixtures, so
+    its oracle parity is vacuous there — this variant returns ~40 rows
+    at sf0.01 and actually exercises the overlap-count join + HAVING
+    threshold semantics against the oracle."""
+    return C.benchmark_decontaminate(
+        table(spark, sf_dir, "documents"), n=3, min_overlap=2
+    )
+
+
+@register(
     "chunk_dup_stats",
     oracle=f"""
     WITH {_TOKS_CTE},
@@ -220,11 +243,11 @@ def q_split_store_train_counts(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    from yamr_spark.tmpdirs import session_dir
+    from yamr_spark.tmpdirs import session_dir, store_complete
 
     docs = table(spark, sf_dir, "documents")
     store = os.path.join(session_dir(f"splitstore:{sf_dir}", "yamr_split_"), "store")
-    if not os.path.exists(store):
+    if not store_complete(store):
         C.write_split_corpus(docs, store)
     return (
         C.read_split(spark, store, "train")

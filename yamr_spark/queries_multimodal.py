@@ -63,22 +63,90 @@ def q_multimodal_large_assets(spark, sf_dir):
     )
 
 
-@register("multimodal_decode_stats")
+# The decode fake views the UTF-8 payload as a 64-wide uint8 image
+# (truncated ragged tail; <64-byte payloads become a 1×L image). The
+# fixture text is pure ASCII, so ascii(substr(text, i+1, 1)) IS byte i —
+# which makes the whole decode/resize/frame family closed-form SQL.
+_DIM_CTE = """
+dim AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS L,
+         CASE WHEN octet_length(encode(text)) >= 64
+              THEN 64 ELSE octet_length(encode(text)) END AS width,
+         CASE WHEN octet_length(encode(text)) >= 64
+              THEN octet_length(encode(text)) // 64 ELSE 1 END AS height
+  FROM documents
+)
+"""
+
+
+@register(
+    "multimodal_decode_stats",
+    oracle=f"""
+    WITH {_DIM_CTE},
+    px AS (
+      SELECT doc_id, width, height,
+             ascii(substr(text, CAST(unnest(range(width * height)) AS INT) + 1, 1)) AS v
+      FROM dim
+    )
+    SELECT doc_id, CAST(MIN(width) AS INT) AS width,
+           CAST(MIN(height) AS INT) AS height,
+           AVG(v) AS mean_px,
+           COALESCE(stddev_pop(v), 0.0) AS std_px
+    FROM px GROUP BY doc_id
+    """,
+)
 def q_multimodal_decode(spark, sf_dir):
-    """Decode seam: per-image shape + pixel stats via mapInPandas
-    (rows-only check; exact values pinned by unit goldens)."""
+    """Decode seam: per-image shape + pixel stats via mapInPandas. The
+    oracle replays the fake decode byte-for-byte in SQL (ASCII text ⇒
+    ascii(char) = byte value; AVG/stddev_pop = numpy mean/std)."""
     return decode_image_stats(_payload(spark, sf_dir))
 
 
-@register("multimodal_thumbnails")
+@register(
+    "multimodal_thumbnails",
+    oracle=f"""
+    WITH {_DIM_CTE},
+    grid AS (
+      SELECT doc_id, text, width, height,
+             CAST(unnest(range(64)) AS INT) AS g
+      FROM dim
+    ),
+    samp AS (
+      SELECT doc_id, g,
+             ascii(substr(
+               text,
+               ((g // 8) * (height - 1) // 7) * width
+                 + ((g % 8) * (width - 1) // 7) + 1,
+               1)) AS v
+      FROM grid
+    )
+    SELECT doc_id,
+           unhex(string_agg(lpad(to_hex(v), 2, '0'), '' ORDER BY g)) AS thumb,
+           CAST(8 AS INT) AS thumb_w, CAST(8 AS INT) AS thumb_h
+    FROM samp GROUP BY doc_id
+    """,
+)
 def q_multimodal_thumbnails(spark, sf_dir):
-    """Resize seam: 8×8 nearest-neighbor thumbnails as binary."""
+    """Resize seam: 8×8 nearest-neighbor thumbnails as binary. Sample
+    position j·(dim−1)//7 is exact integer arithmetic, so the oracle
+    rebuilds the identical 64 bytes with string_agg(to_hex)→unhex."""
     return resize_thumbnail(_payload(spark, sf_dir))
 
 
-@register("multimodal_frame_sample")
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           encode(substr(text, CAST(i AS INT) * 256 + 1, 256)) AS frame
+    FROM documents,
+         (SELECT unnest(range(0, 64, 4)) AS i)
+    WHERE i < octet_length(encode(text)) // 256
+    """,
+)
 def q_multimodal_frames(spark, sf_dir):
-    """Frame-sampling seam: payload → every-4th fixed-size frame (1→N)."""
+    """Frame-sampling seam: payload → every-4th fixed-size frame (1→N).
+    Frames are contiguous byte slices of ASCII text, so the oracle is
+    encode(substr(...)) over the stride-4 frame index range."""
     return sample_frames(_payload(spark, sf_dir))
 
 

@@ -162,13 +162,13 @@ def q_ivf_probe_partitioned(spark, sf_dir):
     the oracle replays the same probe/assign arithmetic."""
     import os
 
-    from yamr_spark.tmpdirs import session_dir
+    from yamr_spark.tmpdirs import session_dir, store_complete
 
     emb = table(spark, sf_dir, "embeddings")
     # per-process store, cleaned at exit; the store is immutable once
     # written, so repeat invocations skip the build and time the probe
     store = os.path.join(session_dir(f"ivf:{sf_dir}", "yamr_ivf_store_"), "store")
-    if not os.path.exists(store):
+    if not store_complete(store):
         S.write_ivf_store(emb, store, c=8)
     return S.ivf_store_topk(spark, store, emb, k=5, num_queries=10, c=8, nprobe=2)
 
@@ -205,6 +205,82 @@ def q_kmeans_centroids(spark, sf_dir):
     'training' step) — iterative assign→mean, long-form output so the
     oracle is a plain unnest + avg."""
     return S.kmeans_refine(table(spark, sf_dir, "embeddings"), c=8, iters=1)
+
+
+# One Lloyd iteration in SQL: lowest-id seeds → cosine argmin assign →
+# per-(centroid, dim) mean ROUNDED to 6 dp — identical to
+# kmeans_refine's long-form output, then rebuilt into array centroids.
+_KMEANS_CENTS_CTE = f"""
+seeds AS (
+  SELECT vec_id AS centroid_id, v AS cvec FROM vecs ORDER BY vec_id LIMIT 8
+),
+kassign AS (
+  SELECT vec_id, centroid_id, v FROM (
+    SELECT vecs.vec_id, s.centroid_id, vecs.v,
+           ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                              ORDER BY {_COS.format(a="vecs.v", b="s.cvec")} DESC,
+                                       s.centroid_id) AS rn
+    FROM vecs CROSS JOIN seeds s
+  ) t WHERE rn = 1
+),
+kdim AS (
+  SELECT centroid_id, v, unnest(range(len(v))) AS dim FROM kassign
+),
+kmeans AS (
+  SELECT centroid_id, dim, ROUND(AVG(v[dim + 1]), 6) AS value
+  FROM kdim GROUP BY centroid_id, dim
+),
+cents AS (
+  SELECT centroid_id, list(value ORDER BY dim) AS cvec
+  FROM kmeans GROUP BY centroid_id
+)
+"""
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    {_KMEANS_CENTS_CTE},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_COS.format(a="q.qv", b="c.cvec")} DESC,
+                                           c.centroid_id) AS rn
+        FROM q CROSS JOIN cents c
+      ) t WHERE rn <= 2
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_COS.format(a="v.v", b="c.cvec")} DESC,
+                                           c.centroid_id) AS rn
+        FROM vecs v CROSS JOIN cents c
+      ) t WHERE rn = 1
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_COS.format(a="p.qv", b="av.v")} AS cosine
+      FROM probes p
+      JOIN assign a ON a.centroid_id = p.centroid_id
+      JOIN vecs av ON av.vec_id = a.vec_id
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= 5
+    """,
+)
+def q_ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF top-k over kmeans-refined centroids (train→search): the
+    centroid table is the ROUNDED one-iteration Lloyd refinement, so the
+    oracle rebuilds bit-identical centroids and replays the probe."""
+    return S.ivf_topk_kmeans(table(spark, sf_dir, "embeddings"), c=8, nprobe=2, iters=1)
 
 
 @register(

@@ -32,3 +32,19 @@ def session_dir(key: str, prefix: str = "yamr_tmp_") -> str:
         _DIRS[key] = d
         atexit.register(shutil.rmtree, d, ignore_errors=True)
     return _DIRS[key]
+
+
+def store_complete(path: str) -> bool:
+    """True iff a Spark-written store at ``path`` COMMITTED: the
+    ``_SUCCESS`` marker exists. A bare directory-existence check would
+    treat a partially-written store as complete (Spark creates the
+    output directory before the job commits), silently reading a corrupt
+    store after any failed first write. If the directory exists without
+    the marker, clear it so the caller's rewrite starts clean."""
+    import os
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return True
+    if os.path.exists(path):
+        shutil.rmtree(path, ignore_errors=True)
+    return False
