@@ -97,7 +97,16 @@ def run_job(
                 out.extend(mapper.run_map(data))
             yield _to_kv_frame(out)
 
-    mapped = input_df.select(col).mapInPandas(map_fn, schema=map_schema)
+    src = input_df.select(col)
+    # The Python map phase parallelizes per PARTITION. A small corpus in
+    # one parquet file scans as a single partition, serializing run_map
+    # onto one core — fan the chunks out first. Guarded: at real scale
+    # the scan already yields >= defaultParallelism partitions
+    # (spark.sql.files.maxPartitionBytes) and no extra shuffle is added.
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    mapped = src.mapInPandas(map_fn, schema=map_schema)
 
     if mode == "grouped":
         # Sorted-stream run-length reduce: hash-partition on key, sort
