@@ -37,8 +37,13 @@ sh AS (
 """
 )
 
+# Same universal-hash permutations as minhash_signatures, built from the
+# SAME coefficient table (operators.dedup.minhash_coeffs) — pure BIGINT
+# arithmetic, so DuckDB reproduces every signature bit-for-bit.
+_H60P = f"(('0x' || substr(md5(shingle), 1, 15))::BIGINT % {D.MINHASH_PRIME})"
 _MINHASH_COLS = ",\n       ".join(
-    f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(16)
+    f"min(({_H60P} * {a} + {b}) % {D.MINHASH_PRIME}) AS mh{i}"
+    for i, (a, b) in enumerate(D.minhash_coeffs(16))
 )
 
 _SIG_CTE = (
@@ -56,8 +61,11 @@ _BANDS_CTE = (
     _SIG_CTE
     + ",\nbands AS (\n"
     + "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band_id, "
-        f"md5(mh{4 * b} || '|' || mh{4 * b + 1} || '|' || mh{4 * b + 2} || '|' || mh{4 * b + 3}) AS bh FROM sig"
+        f"  SELECT doc_id, {b} AS band_id, md5("
+        + " || '|' || ".join(
+            f"CAST(mh{4 * b + r} AS VARCHAR)" for r in range(4)
+        )
+        + ") AS bh FROM sig"
         for b in range(4)
     )
     + "\n)"
