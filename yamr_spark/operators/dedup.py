@@ -554,10 +554,15 @@ def ngram_jaccard_pairs(
        collect the sorted doc-id list, explode all i<j pairs
        column-side (≤ C(cap, 2) per shingle).
 
-    Verification reads per-doc HASHED shingle-set arrays built MAP-SIDE
-    (word_shingle_hash_sets — no extra stream shuffle) and intersects
-    8-byte longs columnar-side. Total: two partial-aggregated shuffles
-    of the hashed stream + the tiny candidate joins."""
+    4. COUNTING verify: a candidate pair is emitted once per shared
+       RARE shingle, so ``groupBy(doc_a, doc_b).count()`` — the very
+       shuffle a ``.distinct()`` would pay anyway — IS |A∩B| restricted
+       to rare shingles. |A∩B| = that count + the hot-shingle
+       intersection, where per-doc hot arrays are tiny (only the few
+       stop-shingles a doc contains) and only candidate pairs pay the
+       correction. |A|,|B| come from a map-side per-doc distinct count.
+       No per-pair full-set arrays are ever built or joined — the
+       verify never touches the corpus again."""
     sh = word_shingle_hashes(docs, n=n, text_col=text_col, id_col=id_col)
     hot = (
         sh.groupBy("sh")
@@ -577,15 +582,64 @@ def ngram_jaccard_pairs(
         "transform(slice(ds, i + 2, size(ds)), y -> "
         "struct(x AS doc_a, y AS doc_b))))"
     )
-    cands = (
+    # one occurrence per shared rare shingle → count == |∩ ∖ hot|
+    inter_rare = (
         postings.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.doc_a", "p.doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_rare"))
     )
-    # rare-shingle blocking degrades toward all-pairs on low-diversity
-    # corpora, so verify with the dense strategy (map-side per-doc set
-    # arrays + columnar intersect), not the sparse pair⋈shingle join
-    sets = word_shingle_hash_sets(docs, n=n, text_col=text_col, id_col=id_col)
-    return jaccard_for_pairs_dense(cands, sets).filter(
-        F.col("jaccard") >= threshold
+    # map-side per-doc FULL distinct-shingle count (zero shuffle)
+    sizes = (
+        docs.select(F.col(id_col).alias("doc_id"), _toks_expr(text_col).alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select("doc_id", F.expr(f"size({_hashed_shingle_array_sql(n)})").alias("sz"))
+    )
+    # per-doc HOT-shingle arrays: the broadcast hot set filters the
+    # stream map-side; rows exist only for docs that contain a
+    # stop-shingle, and each array holds ≤ |hot| entries
+    hotsets = (
+        sh.join(F.broadcast(hot), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("sh")).alias("hs"))
+    )
+    inter = (
+        inter_rare.join(
+            hotsets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha")),
+            "doc_a",
+            "left",
+        )
+        .join(
+            hotsets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")),
+            "doc_b",
+            "left",
+        )
+        .withColumn(
+            "inter_sz",
+            F.col("inter_rare")
+            + F.when(
+                F.col("ha").isNotNull() & F.col("hb").isNotNull(),
+                F.size(F.array_intersect("ha", "hb")),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter_sz")
+                / (F.col("sza") + F.col("szb") - F.col("inter_sz")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
