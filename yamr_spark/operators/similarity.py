@@ -112,6 +112,26 @@ def centroids(emb: DataFrame, c: int = 8, id_col: str = "vec_id", vec_col: str =
     )
 
 
+def _scored_against_centroids(
+    emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vec_id, centroid_id, cosine): every vector scored against every
+    (broadcast) centroid. Norms are precomputed ONCE per side before the
+    cross join — the same sqrt(dot(x,x)) the oracle computes, just not
+    re-evaluated c× per vector — so only the dot product runs per pair."""
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("va")
+    ).withColumn("na", _norm("va"))
+    cn = cents.withColumn("nb", _norm("cvec"))
+    return (
+        vecs.crossJoin(F.broadcast(cn))
+        .withColumn(
+            "cosine", F.round(_dot("va", "cvec") / (F.col("na") * F.col("nb")), 6)
+        )
+        .select("vec_id", "centroid_id", "cosine")
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     c: int = 8,
@@ -120,25 +140,26 @@ def ivf_assign(
     cents: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (ties → lower
-    centroid id). Broadcast-join + window argmin: one pass over the
-    corpus, no shuffle of the vectors themselves beyond the argmin.
+    centroid id). Broadcast score + ``max_by`` argmax: the argmax is a
+    PARTIAL-aggregated hash aggregate, so the map side reduces each
+    vector's c scored rows to one before any exchange — the shuffle
+    carries vecs×1 rows, vs vecs×c for a window argmin (and no sort).
     ``cents`` overrides the deterministic lowest-id centroid table (e.g.
     with kmeans-refined centroids — any (centroid_id, cvec) frame)."""
     if cents is None:
         cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
-    vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("va"))
-    scored = with_cosine(
-        vecs.crossJoin(F.broadcast(cents).withColumnRenamed("cvec", "vb"))
+    scored = _scored_against_centroids(emb, cents, id_col, vec_col)
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("centroid_id", "cosine"),
+            # ties on cosine → LOWER centroid id wins, so negate the id
+            F.struct(F.col("cosine"), (-F.col("centroid_id")).alias("nid")),
+        ).alias("best")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("centroid_id"))
-    return (
-        scored.select(
-            "vec_id", "centroid_id", "cosine", F.row_number().over(w).alias("rn")
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", F.col("cosine").alias("centroid_cosine"))
+    return best.select(
+        "vec_id",
+        F.col("best.centroid_id").alias("centroid_id"),
+        F.col("best.cosine").alias("centroid_cosine"),
     )
 
 
@@ -150,24 +171,34 @@ def ivf_assign_multi(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Multi-probe assignment: every vector lands in its ``p`` nearest
-    cells (ties → lower centroid id). Same broadcast + window-argmin plan
-    as ``ivf_assign``; the filter keeps rank ≤ p instead of rank = 1.
+    cells (ties → lower centroid id). Same broadcast scoring as
+    ``ivf_assign``; the per-vector top-p is a sorted-slice aggregation
+    (collect the c scored structs, sort by (−cosine, centroid_id), keep
+    p) — one hash aggregate, no window sort of the scored stream.
     Storage cost scales ×p; recall for cell-blocked operators rises
     because boundary vectors co-locate with BOTH nearby cells."""
     cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
-    vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("va"))
-    scored = with_cosine(
-        vecs.crossJoin(F.broadcast(cents).withColumnRenamed("cvec", "vb"))
+    scored = _scored_against_centroids(emb, cents, id_col, vec_col)
+    topp = scored.groupBy("vec_id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cosine")).alias("negcos"),
+                        F.col("centroid_id"),
+                    )
+                )
+            ),
+            1,
+            p,
+        ).alias("probes")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "centroid_id")
-    return (
-        scored.select(
-            "vec_id", "centroid_id", F.row_number().over(w).alias("probe_rank")
-        )
-        .filter(F.col("probe_rank") <= p)
-        .select("vec_id", "centroid_id", F.col("probe_rank").cast("long").alias("probe_rank"))
+    return topp.select(
+        "vec_id", F.posexplode("probes").alias("pr", "probe")
+    ).select(
+        "vec_id",
+        F.col("probe.centroid_id").alias("centroid_id"),
+        (F.col("pr") + 1).cast("long").alias("probe_rank"),
     )
 
 
