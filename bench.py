@@ -49,6 +49,7 @@ HEADLINE = [
     "ivf_assign",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
+    "srp_near_dup",
     # text-analysis family
     "quality_score",
     "tfidf_top_terms",

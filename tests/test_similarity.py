@@ -153,3 +153,32 @@ def test_kmeans_ivf_recall_at_k(spark, sf_dir):
     km_recall = len(km_hits) / len(truth)
     assert km_recall >= seed_recall, (km_recall, seed_recall)
     assert km_recall > 0
+
+
+def test_srp_near_dup_real_embeddings(spark, sf_dir):
+    """SRP-LSH blocking: every returned pair really has cosine >= tau,
+    exact duplicates always collide (hamming 0 -> all blocks agree), and
+    signatures are data-independent (two computations identical)."""
+    from yamr_spark.operators.similarity import srp_near_dup, srp_signature
+    from yamr_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = srp_near_dup(emb, threshold=0.4).collect()
+    assert all(r.cosine >= 0.4 for r in pairs)
+    assert all(r.vec_a < r.vec_b for r in pairs)
+    s1 = {r.vec_id: r.srp for r in srp_signature(emb).collect()}
+    s2 = {r.vec_id: r.srp for r in srp_signature(emb).collect()}
+    assert s1 == s2 and all(0 <= v < 2**16 for v in s1.values())
+
+
+def test_srp_exact_dup_always_found(spark):
+    from yamr_spark.operators.similarity import srp_near_dup
+
+    rows = [
+        (0, [1.0, 2.0, -3.0] + [0.5] * 61),
+        (1, [1.0, 2.0, -3.0] + [0.5] * 61),  # exact dup of 0
+        (2, [-1.0, 5.0, 0.25] + [-0.5] * 61),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.vec_a, r.vec_b): r.cosine for r in srp_near_dup(emb, threshold=0.9).collect()}
+    assert (0, 1) in got and got[(0, 1)] == 1.0

@@ -561,3 +561,114 @@ def embedding_near_dup(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# ----------------------------------------------------- SRP-LSH blocking
+
+def srp_hyperplanes(bits: int, dims: int) -> list[list[float]]:
+    """Deterministic signed-random-projection hyperplanes: component
+    (i, d) is an md5-derived value in [-1, 1] with 3 decimal places —
+    no RNG, so the oracle embeds the IDENTICAL literals and every
+    signature bit is engine-reproducible."""
+    import hashlib
+
+    return [
+        [
+            ((int(hashlib.md5(f"{i}|{d}".encode()).hexdigest()[:15], 16) % 2001)
+             - 1000)
+            / 1000.0
+            for d in range(dims)
+        ]
+        for i in range(bits)
+    ]
+
+
+def srp_signature(
+    emb: DataFrame,
+    bits: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, srp) — the ``bits``-bit signed-random-projection
+    signature: bit i = [v·rᵢ ≥ 0]. Entirely map-side (zero shuffle);
+    the hyperplanes are plan literals, broadcast with the task binary.
+    Random-hyperplane LSH (Charikar, STOC'02): P[bit differs] = θ/π,
+    so near-parallel vectors collide on most bits."""
+    planes = srp_hyperplanes(bits, dims)
+    v = f"transform({vec_col}, x -> cast(x as double))"
+    bit_terms = []
+    for i, row in enumerate(planes):
+        lit = "array(" + ", ".join(f"{x}D" for x in row) + ")"
+        dot = (
+            f"aggregate(zip_with({v}, {lit}, (x, y) -> x * y), "
+            f"cast(0.0 as double), (acc, s) -> acc + s)"
+        )
+        bit_terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i}L ELSE 0L END)")
+    sig = " + ".join(bit_terms)
+    return emb.select(
+        F.col(id_col).alias("vec_id"), F.expr(sig).alias("srp")
+    )
+
+
+def srp_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    bits: int = 16,
+    dims: int = 64,
+    max_hamming: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs (cosine ≥ threshold) blocked by SRP-LSH —
+    the hyperplane-bucket alternative to the IVF cell blocking of
+    ``embedding_near_dup``: no centroid table at all, the signature is
+    data-independent, and candidates are pairs agreeing exactly on ≥1
+    pigeonhole block of the signature (same derived-block machinery as
+    SimHash — recall-complete for signature hamming ≤ max_hamming).
+    The candidate join is an equality join on (block_id, block_value);
+    verification is the exact cosine. Like any LSH, a true near-dup
+    pair CAN exceed the hamming budget (P ≈ (θ/π)·bits bits differ) —
+    the bits/max_hamming pair is the recall knob."""
+    from yamr_spark.operators.dedup import pigeonhole_blocks
+
+    sigs = srp_signature(
+        emb, bits=bits, dims=dims, id_col=id_col, vec_col=vec_col
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
+    ).join(sigs, "vec_id").transform(materialize)
+    blocks = pigeonhole_blocks(bits, max_hamming)
+    nib = vecs.select(
+        "vec_id",
+        "v",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("srp"), off).bitwiseAND(F.lit((1 << w) - 1))
+                    for off, w in blocks
+                ]
+            )
+        ).alias("blk_id", "blk_val"),
+    )
+    a, b = nib.alias("a"), nib.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.blk_id") == F.col("b.blk_id"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        with_cosine(cands)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

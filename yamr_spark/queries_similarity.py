@@ -385,3 +385,52 @@ def q_embedding_norms(spark, sf_dir):
             6,
         ).alias("mean_val"),
     )
+
+
+def _srp_sig_sql() -> str:
+    """The 16-bit SRP signature as a DuckDB expression over ``v`` —
+    built from the SAME hyperplane literals as srp_signature (3-decimal
+    md5-derived components; identical decimal strings parse to identical
+    doubles in both engines)."""
+    planes = S.srp_hyperplanes(16, 64)
+    terms = []
+    for i, row in enumerate(planes):
+        lit = "[" + ", ".join(str(x) for x in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _srp_near_dup_oracle() -> str:
+    from yamr_spark.operators.dedup import pigeonhole_blocks
+
+    nib = " UNION ALL ".join(
+        f"SELECT vec_id, v, {i} AS blk_id, (srp >> {off}) & {(1 << w) - 1} AS blk_val FROM sigs"
+        for i, (off, w) in enumerate(pigeonhole_blocks(16, 3))
+    )
+    return f"""
+    WITH {_VECS_CTE},
+    sigs AS (SELECT vec_id, v, CAST({_srp_sig_sql()} AS BIGINT) AS srp FROM vecs),
+    nib AS ({nib}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM nib a JOIN nib b
+        ON a.blk_id = b.blk_id AND a.blk_val = b.blk_val AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, {_COS.format(a="va.v", b="vb.v")} AS cosine
+    FROM cand c
+    JOIN vecs va ON va.vec_id = c.vec_a
+    JOIN vecs vb ON vb.vec_id = c.vec_b
+    WHERE {_COS.format(a="va.v", b="vb.v")} >= 0.4
+    """
+
+
+@register("srp_near_dup", oracle=_srp_near_dup_oracle())
+def q_srp_near_dup(spark, sf_dir):
+    """SRP-LSH-blocked near-dup pairs: the hyperplane-bucket alternative
+    to IVF cell blocking (Charikar random-hyperplane LSH) — no centroid
+    table, data-independent signatures, pigeonhole candidate join,
+    exact-cosine verify. Oracle replays the identical hyperplane
+    literals, signature bits, blocks, and verify."""
+    return S.srp_near_dup(table(spark, sf_dir, "embeddings"))
