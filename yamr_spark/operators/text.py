@@ -68,11 +68,21 @@ def tfidf_top_terms(docs: DataFrame, top_n: int = 3) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer shape: contraction suffixes, space-prefixed
+# letter runs / digit runs / punctuation runs. Counting its matches is
+# the standard cheap "BPE-ish" token estimate that tracks real subword
+# counts far better than chars/4. RE2-compatible (no lookaround), so the
+# DuckDB oracle runs the IDENTICAL pattern.
+BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
-    """Token counting: regex word tokens, whitespace tokens, and a BPE-ish
-    proxy (~chars/4 subword unit estimate, the standard quick estimator)."""
+    """Token counting: regex word tokens, whitespace tokens, a chars/4
+    quick estimate, and a GPT-2-pre-tokenizer-shaped match count
+    (``BPE_REGEX``) — the whitespace + BPE-ish pair of estimators."""
     toks = _tokens_col()
     ws = F.expr("filter(split(text, '\\\\s+'), x -> length(x) > 0)")
+    bpe_pat = BPE_REGEX.replace("\\", "\\\\").replace("'", "\\'")
     return docs.select(
         "doc_id",
         # long casts throughout: Spark size()/length() are int32, the
@@ -81,6 +91,9 @@ def token_stats(docs: DataFrame) -> DataFrame:
         F.size(ws).cast("long").alias("n_ws_tokens"),
         F.length("text").cast("long").alias("n_chars"),
         F.ceil(F.length("text") / 4).cast("long").alias("n_bpe_est"),
+        F.expr(f"size(regexp_extract_all(text, '{bpe_pat}', 0))")
+        .cast("long")
+        .alias("n_bpe_regex"),
         F.round(
             F.expr(f"aggregate({_TOKENS}, 0L, (a, x) -> a + length(x))")
             / F.greatest(F.size(toks), F.lit(1)),

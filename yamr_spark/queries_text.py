@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from yamr_spark.operators import text as T
-from yamr_spark.operators.text import LANG_PROFILES
+from yamr_spark.operators.text import BPE_REGEX, LANG_PROFILES
 from yamr_spark.registry import register
 from yamr_spark.tables import table
 
@@ -13,6 +13,9 @@ _TOKS = (
     "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'), "
     "x -> length(x) > 0)"
 )
+
+# the operator's BPE_REGEX, SQL-quoted (RE2 pattern runs as-is in DuckDB)
+_BPE_SQL = BPE_REGEX.replace("'", "''")
 
 
 @register(
@@ -24,6 +27,7 @@ _TOKS = (
                            x -> length(x) > 0)) AS n_ws_tokens,
            length(text) AS n_chars,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
+           len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_regex,
            ROUND(list_sum(list_transform({_TOKS}, x -> length(x))) * 1.0 /
                  greatest(len({_TOKS}), 1), 6) AS avg_token_len
     FROM documents
