@@ -151,3 +151,27 @@ def test_compat_shim_matches_native_wordcount(spark, texts):
         )
     )
     assert shim == native
+
+
+def test_hash60_cross_engine_parity(spark):
+    """functions.hash60 is the shuffle-key primitive for the whole
+    n-gram/minhash family — pin that Spark, DuckDB, and plain hashlib
+    agree bit-for-bit, including non-ASCII (UTF-8 bytes hash)."""
+    import hashlib
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from yamr_spark.functions import hash60
+
+    samples = ["", "a", "hello world", "naïve café ünïcode", "a b c", "0"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r.s: r.h for r in df.select("s", hash60(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for s in samples:
+        expect = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        assert got[s] == expect, s
+        duck = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+        ).fetchone()[0]
+        assert duck == expect, s
