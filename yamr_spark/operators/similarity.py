@@ -434,18 +434,21 @@ def kmeans_refine(
     the standard cheat; the operator is the same plan either way."""
     cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
     vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("va"))
-    from pyspark.sql import Window
 
     for _ in range(iters):
-        scored = with_cosine(
-            vecs.crossJoin(
-                F.broadcast(cents).select("centroid_id", F.col("cvec").alias("vb"))
-            )
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "centroid_id")
+        # same partial-aggregated max_by argmax as ivf_assign: the map
+        # side reduces each vector's c scored rows to one before the
+        # exchange (ties → lower centroid id via the negated-id key)
+        scored = _scored_against_centroids(emb, cents, id_col, vec_col)
         assign = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            scored.groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.col("centroid_id"),
+                    F.struct(F.col("cosine"), (-F.col("centroid_id")).alias("nid")),
+                ).alias("centroid_id")
+            )
+            .join(vecs, "vec_id")
             .select("vec_id", "centroid_id", "va")
         )
         dims = assign.select(
