@@ -281,3 +281,43 @@ def test_multijoin_dims_broadcast(spark, sf_dir):
         txt = plan_text(df)
         n_bcast = txt.count("BroadcastHashJoin")
         assert n_bcast >= min_bcasts, f"{name}: {n_bcast} broadcast joins\n{txt[:3000]}"
+
+
+def test_q18_big_orders_broadcast_not_shuffle(spark, sf_dir):
+    """large_volume_customers: the HAVING-gated per-order rollup is a
+    sliver — it must broadcast into orders/customer (the big tables are
+    never shuffled for the join)."""
+    df = all_queries()["large_volume_customers"](spark, sf_dir)
+    assert has_broadcast_join(df), "post-HAVING sliver should broadcast"
+
+
+def test_q13_preaggregates_orders_before_left_join(spark, sf_dir):
+    """cust_order_distribution: per-custkey counts are partial-aggregated
+    before any join — the raw customer x orders row stream never shuffles
+    un-aggregated."""
+    df = all_queries()["cust_order_distribution"](spark, sf_dir)
+    assert has_partial_aggregate(df), "orders rollup lost its map-side combine"
+
+
+def test_q17_correlated_avg_decorrelates_with_broadcasts(spark, sf_dir):
+    """small_qty_part_revenue: the per-part qty caps join by broadcast
+    (the brand-gate broadcast join sits behind the materialize()
+    boundary, so only the cap join is visible in the final plan); no
+    sort-merge join anywhere."""
+    from yamr_spark.plans import plan_text
+
+    df = all_queries()["small_qty_part_revenue"](spark, sf_dir)
+    txt = plan_text(df, "simple")
+    assert "BroadcastHashJoin" in txt, txt[:2000]
+    assert "SortMergeJoin" not in txt, txt[:2000]
+
+
+def test_q22_scalar_subquery_broadcasts_and_anti_joins(spark, sf_dir):
+    """rich_idle_customers: the 1-row (total, cnt) aggregate cross-
+    broadcasts; the NOT EXISTS compiles to a single anti join."""
+    from yamr_spark.plans import plan_text
+
+    df = all_queries()["rich_idle_customers"](spark, sf_dir)
+    txt = plan_text(df, "simple")
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt, txt[:2000]
+    assert "LeftAnti" in txt, txt[:2000]

@@ -606,3 +606,228 @@ def q_nation_profit(spark, sf_dir):
             .alias("profit")
         )
     )
+
+
+@register(
+    "cust_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey,
+             COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+        ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def q_cust_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): left join +
+    double aggregation. Scale plan: pre-aggregate orders per custkey FIRST
+    (partial agg → one shuffle of (custkey, count)), then left-join
+    customer against the far-smaller count table and coalesce misses to 0
+    — the raw customer⋈orders row explosion never happens. The second
+    (histogram) agg groups on a tiny domain, partial-agg collapses it
+    map-side."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                  AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): max-of-aggregate scalar subquery.
+    Scale plan: one partial-aggregated shuffle builds per-supplier revenue;
+    the scalar max is a 1-row aggregate broadcast back over the same
+    (cached) revenue table — no window over a single global partition, no
+    second lineitem scan. Ties (multiple suppliers at the max) are kept,
+    matching the SQL. Revenue goes through DECIMAL so the double compared
+    for equality is bit-identical on both engines."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    from yamr_spark.materialize import materialize
+
+    rev = materialize(rev)
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev.total_revenue == mx.mx).select(
+        "l_suppkey", "total_revenue"
+    )
+    return s.join(F.broadcast(top), s.s_suppkey == F.col("l_suppkey")).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@register(
+    "small_qty_part_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q_small_qty_part_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity revenue): correlated scalar
+    subquery per part, decorrelated by hand. Scale plan: broadcast the
+    brand-filtered part keys to narrow lineitem FIRST (the correlated
+    subquery only matters for rows that survive the brand gate, and the
+    per-part average over the narrowed set equals the correlated average
+    because the narrowing is exactly 'partkey ∈ brand parts'); the
+    per-part qty caps are then a small aggregate broadcast back. One
+    shuffle total, on the narrowed stream. l_quantity is integer-valued
+    so AVG is exact in double on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    pb = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li_b = li.join(F.broadcast(pb), li.l_partkey == pb.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    from yamr_spark.materialize import materialize
+
+    li_b = materialize(li_b)
+    caps = li_b.groupBy(F.col("l_partkey").alias("cap_key")).agg(
+        (F.avg("l_quantity") * F.lit(0.2)).alias("qty_cap")
+    )
+    return (
+        li_b.join(F.broadcast(caps), li_b.l_partkey == caps.cap_key)
+        .where(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    ) big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): IN-subquery with
+    GROUP BY + HAVING, decorrelated to an aggregate-then-join. Scale
+    plan: the per-order quantity rollup partial-aggregates map-side
+    before its one shuffle; the >300 HAVING gate cuts it to a sliver
+    (0.1% of orders), which then broadcast-joins into orders and the
+    result broadcast-joins into customer — the big tables are never
+    shuffled. l_quantity is integer-valued so the double sum crossing
+    the HAVING boundary is exact on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "rich_idle_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total, COUNT(*) AS cnt
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > total
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q_rich_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape (wealthy-but-inactive customers): global-average
+    scalar subquery + NOT EXISTS anti-join. Scale plan: the average gate
+    is rewritten multiplicatively (acctbal·cnt > total) so the boundary
+    compares exact decimals, not an order-dependent double average; the
+    1-row (total, cnt) aggregate cross-broadcasts over customer; the
+    NOT EXISTS becomes a left_anti join against the urgent-order custkey
+    stream (distinct-collapsed map-side by the anti-join's own shuffle).
+    customer is scanned twice (once for the scalar, once for the stream)
+    — both scans prune to 2-3 columns."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    pos = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total"),
+        F.count("*").alias("cnt"),
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        c.join(F.broadcast(pos))
+        .where(F.col("c_acctbal").cast("decimal(18,2)") * F.col("cnt") > F.col("total"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )

@@ -101,71 +101,61 @@ def _load_query_modules() -> None:
 _LOADED = False
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
-# per round. Round 1 green-checked registrations 1-50 (core, relational,
-# dedup, similarity, text); this list front-loads the 30 queries that had
-# no driver row in round 1 — streaming, multimodal, temporal, functions,
-# compat, analytics — plus this round's new queries, then backfills with
-# one representative per already-green family so regressions in the core
+# per round. Rounds 1-3 green-checked every then-registered query at
+# least once; this list front-loads round 4's NEW queries and every query
+# whose PLAN changed this round (hashed-shingle dedup, 60-bit simhash,
+# universal-hash minhash, max_by IVF assignment, streamed compat reduce,
+# multimodal oracles, pluggable materialization), then backfills with one
+# representative per already-green family so regressions in unchanged
 # plans still surface. Everything stays registered; only order changes.
 DRIVER_PRIORITY = [
-    # round-3 new: curation family + flagship pipeline + jsonl (no
-    # driver row yet)
-    "llm_prep_pipeline",
-    "split_store_train_counts",
-    "jsonl_roundtrip_stats",
-    "jsonl_corrupt_handling",
-    "pii_scrub_stats",
-    "benchmark_decontaminate",
-    "chunk_dup_stats",
-    "hash_split_counts",
-    "quota_sample_lang",
-    "ngram_novelty",
-    # round-3 changed plans — re-verify under the driver this round
+    # round-4 new: TPC-H Q7/Q8/Q9/Q13/Q15/Q17/Q18/Q22 analogues
+    "nation_trade_volume",
+    "market_share",
+    "nation_profit",
+    "cust_order_distribution",
+    "top_supplier_revenue",
+    "small_qty_part_revenue",
+    "large_volume_customers",
+    "rich_idle_customers",
+    # round-4 new: similarity / text / curation
+    "ann_ivf_kmeans_topk",
+    "kmeans_centroids",
+    "srp_near_dup",
+    "token_stats",
+    "benchmark_decontaminate_n3",
+    # round-4 changed plans: 60-bit hashed shingles / simhash
     "ngram_jaccard_pairs",
-    "repetition_stats",
+    "chunk_dup_stats",
+    "simhash",
+    "simhash_near_dup",
+    # round-4 changed plans: universal-hash minhash permutations
+    "minhash_signatures",
+    "minhash_band_pairs",
+    "minhash_near_dup",
+    "dedup_groups",
+    # round-4 changed plans: max_by IVF assignment + materialization
+    "ivf_assign",
+    "ann_ivf_topk",
+    "ann_brute_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_p2",
     "ivf_probe_partitioned",
-    "streaming_parquet_sink",
-    # round-1 unchecked: compat (the reference's core C7/C8 hook)
+    # round-4 changed plans: streamed compat reduce + map fan-out
     "compat_word_count",
     "compat_year_max_region",
-    # round-1 unchecked: temporal joins
-    "asof_click_purchase",
-    "range_click_near_purchase",
-    # round-1 unchecked: streaming (batch window twins + stream paths)
-    "window_tumbling_counts",
-    "streaming_tumbling_counts",
-    "window_sliding_activity",
-    "window_session_user",
-    "streaming_user_stats",
-    "streaming_click_purchase_join",
-    "streaming_dedup_events",
-    "streaming_event_passthrough",
-    "streaming_parquet_sink",
-    # round-1 unchecked: multimodal
-    "multimodal_meta",
-    "multimodal_large_assets",
+    # round-4 new oracles: multimodal codec seams
     "multimodal_decode_stats",
     "multimodal_thumbnails",
     "multimodal_frame_sample",
-    "multimodal_frame_counts",
-    # round-1 unchecked: functions / skew / analytics
-    "salted_value_sum",
-    "orders_per_month",
-    "part_name_search",
-    "order_value_buckets",
-    "math_price_features",
-    "sql_revenue_by_segment",
-    "null_handling_props",
-    "json_props_stats",
-    "pivot_user_event_counts",
-    "grouping_sets_pricing",
-    "value_percentiles",
-    "approx_aggregates",
-    # new this round
-    "embedding_near_dup_p2",
-    "ivf_probe_partitioned",
-    "repetition_stats",
+    # round-4 touched: NTZ stream timestamps + conf restore
+    "streaming_tumbling_counts",
+    "streaming_parquet_sink",
+    "streaming_dedup_events",
     "streaming_enrich_dim",
+    # ADVICE fixes re-verified: store _SUCCESS guard, decontam fixture
+    "split_store_train_counts",
+    "benchmark_decontaminate",
     # already-green representatives: one per plan family
     "word_count",
     "max_value_per_year",
@@ -174,14 +164,14 @@ DRIVER_PRIORITY = [
     "shipping_priority",
     "moving_stats_per_user",
     "dedup_exact",
-    "minhash_near_dup",
-    "dedup_groups",
-    "simhash_near_dup",
-    "ngram_jaccard_pairs",
-    "ann_brute_topk",
-    "ann_ivf_topk",
-    "tfidf_top_terms",
+    "llm_prep_pipeline",
     "corpus_curation",
+    "quota_sample_lang",
+    "tfidf_top_terms",
+    "asof_click_purchase",
+    "window_session_user",
+    "pivot_user_event_counts",
+    "value_percentiles",
 ]
 
 
