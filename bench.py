@@ -64,6 +64,12 @@ HEADLINE = [
     "llm_prep_pipeline",
     "split_store_train_counts",
     "jsonl_roundtrip_stats",
+    # round 4: sequence packing + target-mixture sampling
+    "pack_sequences",
+    "domain_mix_sample",
+    # round 4: subquery-decorrelation join shapes (Q13/Q18 analogues)
+    "cust_order_distribution",
+    "large_volume_customers",
     # similarity: multi-probe near-dup + the partitioned-store probe
     # (store build is cached per process; the timed pass measures the
     # pruned probe, which is the steady-state cost)

@@ -76,3 +76,69 @@ def test_ngram_novelty_identical_docs(spark):
     assert out[2]["novelty"] == 0.0  # exact copy, zero novel shingles
     assert out[3]["novelty"] == 1.0
     assert out[2]["n_shingles"] == 3 and out[2]["n_novel"] == 0
+
+
+def test_pack_sequences_conserves_tokens_and_bins_are_contiguous(spark):
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 7 + 1), "en") for i in range(200)],
+        "doc_id long, text string, lang string",
+    )
+    packed = C.pack_sequences(docs, seq_len=20, n_buckets=4).collect()
+    # token conservation: every token lands in exactly one bin
+    total_tokens = sum(r.bin_tokens for r in packed)
+    expect = sum(i % 7 + 1 for i in range(200))
+    assert total_tokens == expect
+    assert sum(r.n_docs for r in packed) == 200
+    # bins within a bucket are contiguous from 0 (a doc STARTS in its
+    # bin, so a long doc can spill past the boundary but the next bin
+    # index is still reached by the running sum)
+    by_bucket = {}
+    for r in packed:
+        by_bucket.setdefault(r.bucket, []).append(r.bin_id)
+    for bucket, bins in by_bucket.items():
+        bins = sorted(bins)
+        assert bins[0] == 0, f"bucket {bucket} missing bin 0"
+        assert bins == list(range(len(bins))), f"bucket {bucket}: {bins}"
+
+
+def test_pack_sequences_single_bucket_boundary(spark):
+    # 5 docs x 4 tokens, one bucket, seq_len=10: starts at 0,4,8,12,16
+    # -> bins 0,0,0,1,1 regardless of the hash order (counts are equal).
+    docs = spark.createDataFrame(
+        [(i, "a b c d", "en") for i in range(5)],
+        "doc_id long, text string, lang string",
+    )
+    packed = {r.bin_id: r for r in C.pack_sequences(docs, seq_len=10, n_buckets=1).collect()}
+    assert packed[0].n_docs == 3 and packed[0].bin_tokens == 12
+    assert packed[1].n_docs == 2 and packed[1].bin_tokens == 8
+
+
+def test_domain_mix_full_budget_keeps_everything(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * 10, ["en", "de"][i % 2]) for i in range(100)],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.lang: r for r in C.domain_mix_sample(
+        docs, targets={"en": 0.5, "de": 0.5}, budget_tokens=10**9
+    ).collect()}
+    for lang in ("en", "de"):
+        r = out[lang]
+        assert r.rate_ppm == 1000000
+        assert r.n_sampled == r.lang_docs == 50
+        assert r.sampled_tokens == r.lang_tokens == 500
+
+
+def test_domain_mix_zero_target_drops_lang(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * 10, ["en", "xx"][i % 2]) for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.lang: r for r in C.domain_mix_sample(
+        docs, targets={"en": 1.0}, budget_tokens=100
+    ).collect()}
+    assert out["xx"].rate_ppm == 0 and out["xx"].n_sampled == 0
+    # en: rate = 100/200 tokens -> 500000 ppm; sampled subset is proper
+    assert out["en"].rate_ppm == 500000
+    assert 0 < out["en"].n_sampled < out["en"].lang_docs

@@ -251,3 +251,149 @@ def write_split_corpus(docs: DataFrame, out_dir: str) -> None:
 def read_split(spark, store_dir: str, split: str) -> DataFrame:
     """Read ONE split from the partitioned corpus store (pruned scan)."""
     return spark.read.parquet(store_dir).filter(F.col("split") == split)
+
+
+# Default target language mixture for domain_mix_sample: the shares a
+# pipeline would aim for after curation (must sum to ≤ 1; langs absent
+# from the map get rate 0 and are dropped).
+DEFAULT_MIX: dict[str, float] = {
+    "en": 0.35,
+    "de": 0.15,
+    "es": 0.15,
+    "fr": 0.15,
+    "zh": 0.20,
+}
+
+
+def _ntok_col():
+    from pyspark.sql import Column  # noqa: F401  (typing only)
+
+    return F.size(F.expr(_TOKS)).cast("long")
+
+
+def pack_sequences(
+    docs: DataFrame, seq_len: int = 512, n_buckets: int = 16
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget training
+    bins (the concat-and-chop packing step before tokenized examples are
+    written), reported as per-(bucket, bin) fill statistics.
+
+    Documents are routed to ``n_buckets`` streams by a content hash of
+    doc_id (functions.hash60 — oracle-reproducible, retry-idempotent),
+    ordered pseudo-randomly within the stream by the same hash, and cut
+    into bins of ``seq_len`` tokens by a running-sum window: a document
+    starts in bin floor(preceding_tokens / seq_len).
+
+    Scale design: there is NO global sort — each bucket is one hash
+    partition sorted independently (the window partitions by bucket), so
+    the plan is embarrassingly parallel in n_buckets; at 100 TB raise
+    n_buckets so one bucket's token stream fits an executor (the packing
+    semantics are per-bucket by construction, so the cut points don't
+    change when the bucket count does the partitioning). The reference
+    has no notion of packing; this is a north-star training-data op.
+    """
+    from yamr_spark.functions import hash60
+
+    h = hash60(F.col("doc_id").cast("string"))
+    base = docs.select(
+        F.col("doc_id"),
+        _ntok_col().alias("n_tok"),
+        h.alias("h60"),
+        F.pmod(h, F.lit(n_buckets)).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h60", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    return (
+        base.select("bucket", "n_tok", cum.alias("cum"))
+        .select(
+            "bucket",
+            F.floor((F.col("cum") - F.col("n_tok")) / F.lit(float(seq_len)))
+            .cast("long")
+            .alias("bin_id"),
+            "n_tok",
+        )
+        .groupBy("bucket", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+        )
+    )
+
+
+def domain_mix_sample(
+    docs: DataFrame,
+    targets: dict[str, float] | None = None,
+    budget_tokens: int = 25_000,
+) -> DataFrame:
+    """Deterministic weighted sampling to a target domain mixture: given
+    per-language target shares and a total token budget, compute each
+    language's keep rate = min(1, share·budget / lang_tokens) and apply
+    it with a content-hash Bernoulli (md5 of doc_id, salted ':mix'), so
+    the sample is exactly reproducible across retries, partitionings,
+    and engines. Returns the per-language mixture report: totals, the
+    keep rate (ppm), and the realized sample.
+
+    Scale design: one small shuffle for the per-language totals; the
+    tiny rates table broadcasts back; the keep decision is map-side
+    column math (no RNG state, no driver round-trip); the final rollup
+    is partial-aggregated. Floating arithmetic is confined to the rate
+    computation (identical IEEE ops on both engines); the keep BOUNDARY
+    compares integers (hash % 1e6 < rate_ppm).
+    """
+    from yamr_spark.functions import hash60
+
+    targets = DEFAULT_MIX if targets is None else targets
+    per_doc = docs.select("doc_id", "lang", _ntok_col().alias("n_tok"))
+    totals = per_doc.groupBy("lang").agg(
+        F.sum("n_tok").alias("lang_tokens"),
+        F.count("*").alias("lang_docs"),
+    )
+    share = None
+    for lg in sorted(targets):
+        cond = F.when(F.col("lang") == lg, F.lit(float(targets[lg])))
+        share = cond if share is None else share.when(
+            F.col("lang") == lg, F.lit(float(targets[lg]))
+        )
+    share = share.otherwise(F.lit(0.0))
+    rates = totals.select(
+        "lang",
+        "lang_docs",
+        "lang_tokens",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                share * F.lit(float(budget_tokens)) / F.col("lang_tokens"),
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    keep = (
+        F.pmod(
+            hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+            F.lit(1000000),
+        )
+        < F.col("rate_ppm")
+    )
+    sampled = (
+        per_doc.join(F.broadcast(rates.select("lang", "rate_ppm")), "lang")
+        .where(keep)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_tok").alias("sampled_tokens"),
+        )
+    )
+    return (
+        rates.join(sampled, "lang", "left")
+        .na.fill({"n_sampled": 0, "sampled_tokens": 0})
+        .select(
+            "lang", "lang_docs", "lang_tokens", "rate_ppm",
+            "n_sampled", "sampled_tokens",
+        )
+    )

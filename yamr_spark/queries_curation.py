@@ -254,3 +254,84 @@ def q_split_store_train_counts(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# per-doc token counts with lang — shared by the packing/mixture oracles
+_NTOK_CTE = """
+ntok AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'),
+                         x -> length(x) > 0)) AS n_tok
+  FROM documents
+)
+"""
+
+_H60_DOC = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)"
+_MIX_CASE = (
+    "CASE lang WHEN 'de' THEN CAST(0.15 AS DOUBLE)"
+    " WHEN 'en' THEN CAST(0.35 AS DOUBLE)"
+    " WHEN 'es' THEN CAST(0.15 AS DOUBLE)"
+    " WHEN 'fr' THEN CAST(0.15 AS DOUBLE)"
+    " WHEN 'zh' THEN CAST(0.20 AS DOUBLE)"
+    " ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH {_NTOK_CTE},
+    h AS (
+      SELECT doc_id, n_tok, {_H60_DOC} AS h60, {_H60_DOC} % 16 AS bucket
+      FROM ntok
+    ),
+    cumulated AS (
+      SELECT bucket, n_tok,
+             SUM(n_tok) OVER (PARTITION BY bucket ORDER BY h60, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h
+    )
+    SELECT bucket,
+           CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM cumulated
+    GROUP BY bucket, CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT)
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    return C.pack_sequences(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "domain_mix_sample",
+    oracle=f"""
+    WITH {_NTOK_CTE},
+    totals AS (
+      SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lang_tokens,
+             COUNT(*) AS lang_docs
+      FROM ntok GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang, lang_docs, lang_tokens,
+             CAST(FLOOR(least(CAST(1.0 AS DOUBLE),
+                              {_MIX_CASE} * 25000.0 / lang_tokens)
+                        * 1000000.0) AS BIGINT) AS rate_ppm
+      FROM totals
+    ),
+    samp AS (
+      SELECT t.lang, COUNT(*) AS n_sampled,
+             CAST(SUM(t.n_tok) AS BIGINT) AS sampled_tokens
+      FROM ntok t JOIN rates r USING (lang)
+      WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':mix'), 1, 15))::BIGINT
+              % 1000000 < r.rate_ppm
+      GROUP BY t.lang
+    )
+    SELECT lang, lang_docs, lang_tokens, rate_ppm,
+           COALESCE(n_sampled, 0) AS n_sampled,
+           COALESCE(sampled_tokens, 0) AS sampled_tokens
+    FROM rates LEFT JOIN samp USING (lang)
+    """,
+)
+def q_domain_mix_sample(spark, sf_dir):
+    return C.domain_mix_sample(table(spark, sf_dir, "documents"))

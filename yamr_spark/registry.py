@@ -124,6 +124,8 @@ DRIVER_PRIORITY = [
     "srp_near_dup",
     "token_stats",
     "benchmark_decontaminate_n3",
+    "pack_sequences",
+    "domain_mix_sample",
     # round-4 changed plans: 60-bit hashed shingles / simhash
     "ngram_jaccard_pairs",
     "chunk_dup_stats",
