@@ -321,3 +321,76 @@ def test_q22_scalar_subquery_broadcasts_and_anti_joins(spark, sf_dir):
     txt = plan_text(df, "simple")
     assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt, txt[:2000]
     assert "LeftAnti" in txt, txt[:2000]
+
+
+def test_q2_min_cost_supplier_broadcasts_dims(spark, sf_dir):
+    """min_cost_supplier: part and the region-filtered supplier chain are
+    broadcast; the only fact shuffle is the (partkey, suppkey) rollup —
+    lineitem is never sort-merge-joined."""
+    from yamr_spark.plans import plan_text
+
+    df = all_queries()["min_cost_supplier"](spark, sf_dir)
+    txt = plan_text(df, "simple")
+    assert "BroadcastHashJoin" in txt, txt[:2000]
+    assert "SortMergeJoin" not in txt, txt[:2000]
+
+
+def test_q12_late_shipment_prunes_both_scans(spark, sf_dir):
+    """late_shipment_priority: the cross-table date predicate cannot
+    push below the join, but BOTH scans must prune to the 3 columns the
+    query touches."""
+    df = all_queries()["late_shipment_priority"](spark, sf_dir)
+    rs = read_schema(df)
+    assert "l_extendedprice" not in rs and "l_partkey" not in rs, rs
+    assert "o_totalprice" not in rs and "o_custkey" not in rs, rs
+    assert has_partial_aggregate(df)
+
+
+def test_q14_promo_share_single_aggregate(spark, sf_dir):
+    """promo_revenue_share: the ratio rides ONE aggregate (two
+    conditional sums) — no self-join, shipdate range pushed to the
+    lineitem scan, part broadcast."""
+    df = all_queries()["promo_revenue_share"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf, pf
+    assert has_broadcast_join(df)
+    # scan -> bcast join -> partial agg -> 1 exchange -> final agg
+    # (+1 broadcast exchange)
+    assert shuffle_count(df) <= 2
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark, sf_dir):
+    """supplier_attr_counts: the NOT IN excluded-supplier set compiles
+    to a broadcast LEFT ANTI join, never a shuffle."""
+    from yamr_spark.plans import plan_text
+
+    df = all_queries()["supplier_attr_counts"](spark, sf_dir)
+    txt = plan_text(df, "simple")
+    assert "LeftAnti" in txt, txt[:2000]
+    assert "BroadcastHashJoin" in txt, txt[:2000]
+    assert "SortMergeJoin" not in txt, txt[:2000]
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    """discounted_brand_revenue: Catalyst must factor per-side OR
+    predicates out of the cross-table disjunction and push them into
+    BOTH parquet scans (l_quantity bounds into lineitem, brand/size
+    disjuncts into part)."""
+    df = all_queries()["discounted_brand_revenue"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "Or(" in pf, pf
+    assert "l_quantity" in pf, pf
+    assert "p_brand" in pf, pf
+
+
+def test_q21_single_fact_shuffle_for_double_exists(spark, sf_dir):
+    """waiting_suppliers: both correlated EXISTS collapse into ONE
+    per-order aggregate — the plan contains no self-join of lineitem
+    via sort-merge on a second key, and supplier/orders arrive by
+    broadcast."""
+    from yamr_spark.plans import plan_text
+
+    df = all_queries()["waiting_suppliers"](spark, sf_dir)
+    txt = plan_text(df, "simple")
+    assert "BroadcastHashJoin" in txt, txt[:2000]
+    assert txt.count("SortMergeJoin") <= 1, txt[:2000]

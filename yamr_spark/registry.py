@@ -94,6 +94,7 @@ def _load_query_modules() -> None:
         "queries_compat",
         "queries_analytics",
         "queries_curation",
+        "queries_tpch",
     ):
         __import__(f"yamr_spark.{mod}")
 
@@ -109,6 +110,15 @@ _LOADED = False
 # representative per already-green family so regressions in unchanged
 # plans still surface. Everything stays registered; only order changes.
 DRIVER_PRIORITY = [
+    # round-4 new: TPC-H tail — Q2/Q11/Q12/Q14/Q16/Q19/Q20/Q21 analogues
+    "min_cost_supplier",
+    "important_part_value",
+    "late_shipment_priority",
+    "promo_revenue_share",
+    "supplier_attr_counts",
+    "discounted_brand_revenue",
+    "excess_supply_suppliers",
+    "waiting_suppliers",
     # round-4 new: TPC-H Q7/Q8/Q9/Q13/Q15/Q17/Q18/Q22 analogues
     "nation_trade_volume",
     "market_share",
