@@ -182,3 +182,44 @@ def test_srp_exact_dup_always_found(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {(r.vec_a, r.vec_b): r.cosine for r in srp_near_dup(emb, threshold=0.9).collect()}
     assert (0, 1) in got and got[(0, 1)] == 1.0
+
+
+def test_semdedup_verdicts_consistent_with_near_dup_pairs(spark, sf_dir):
+    """semdedup's dropped set must equal the distinct higher-id side of
+    embedding_near_dup's pair list (same blocking, same eps): the two
+    operators are views of one computation. Every vector appears exactly
+    once, and at least one vector per non-empty cell is kept."""
+    from yamr_spark.operators.similarity import embedding_near_dup, semdedup
+    from yamr_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    verdicts = semdedup(emb, eps=0.4).collect()
+    pairs = embedding_near_dup(emb, threshold=0.4).collect()
+
+    dropped = {r.vec_id for r in verdicts if not r.kept}
+    assert dropped == {r.vec_b for r in pairs}
+
+    n_emb = emb.count()
+    assert len(verdicts) == n_emb
+    assert len({r.vec_id for r in verdicts}) == n_emb
+
+    by_cell: dict[int, list] = {}
+    for r in verdicts:
+        by_cell.setdefault(r.centroid_id, []).append(r)
+    for cell, rows in by_cell.items():
+        assert any(r.kept for r in rows), f"cell {cell} lost every vector"
+        # the lowest id in a cell can never be dropped (no lower-id peer)
+        assert min(rows, key=lambda r: r.vec_id).kept
+
+
+def test_semdedup_exact_dup_dropped(spark):
+    from yamr_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 2.0, -3.0] + [0.5] * 61),
+        (1, [1.0, 2.0, -3.0] + [0.5] * 61),  # exact dup of 0 -> dropped
+        (2, [-1.0, 5.0, 0.25] + [-0.5] * 61),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.kept for r in semdedup(emb, eps=0.99, c=1).collect()}
+    assert got[0] is True and got[1] is False and got[2] is True

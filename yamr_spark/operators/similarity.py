@@ -675,3 +675,68 @@ def srp_near_dup(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# ------------------------------------------------------------ SemDeDup
+
+
+def semdedup(
+    emb: DataFrame,
+    eps: float = 0.4,
+    c: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al.,
+    arXiv:2303.09540): cluster the embedding space, compare only
+    within-cluster pairs, and drop every vector whose cosine to a
+    LOWER-ID vector in its cluster is >= ``eps`` — the paper's released
+    greedy rule (a doc is dropped based on raw pairwise similarity to
+    any earlier doc, whether or not that doc itself survived).
+
+    Returns one row per vector: (vec_id, centroid_id, kept).
+
+    Scale: identical blocking to ``embedding_near_dup`` — candidate
+    generation is an equality self-join on centroid_id (Σ|cell|², never
+    |corpus|²; adaptive c = ceil(sqrt(n)) keeps that ≈ n^1.5), the
+    assigned-vector table is materialized once for both sides of the
+    self-join, and the dropped-id set is a DISTINCT of 8-byte ids —
+    the per-doc verdict join carries no vectors. At 10^10 docs the
+    keep/drop decision is a broadcast-or-shuffle of ids only."""
+    if c is None:
+        c = adaptive_c(emb)
+    assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col).select(
+        "vec_id", "centroid_id"
+    )
+    vecs = (
+        emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+        .join(assign, "vec_id")
+        .transform(materialize)
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    dropped = (
+        with_cosine(
+            a.join(
+                b,
+                (F.col("a.centroid_id") == F.col("b.centroid_id"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            ).select(
+                F.col("b.vec_id").alias("vec_b"),
+                F.col("a.v").alias("va"),
+                F.col("b.v").alias("vb"),
+            )
+        )
+        .filter(F.col("cosine") >= eps)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        vecs.select("vec_id", "centroid_id")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            (~F.coalesce(F.col("is_dup"), F.lit(False))).alias("kept"),
+        )
+    )

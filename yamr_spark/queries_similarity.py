@@ -434,3 +434,44 @@ def q_srp_near_dup(spark, sf_dir):
     exact-cosine verify. Oracle replays the identical hyperplane
     literals, signature bits, blocks, and verify."""
     return S.srp_near_dup(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "semdedup",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    cents AS (
+      SELECT vec_id AS centroid_id, v AS cvec FROM (
+        SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS crn FROM vecs
+      ) t WHERE crn <= (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM vecs)
+    ),
+    scored AS (
+      SELECT vec_id, centroid_id, {_COS.format(a="v", b="cvec")} AS cosine
+      FROM vecs CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, centroid_id) AS rn
+        FROM scored
+      ) t WHERE rn = 1
+    ),
+    av AS (SELECT a.vec_id, a.centroid_id, v.v
+           FROM assign a JOIN vecs v USING (vec_id)),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM av a JOIN av b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {_COS.format(a="a.v", b="b.v")} >= 0.4
+    )
+    SELECT av.vec_id, av.centroid_id,
+           (d.vec_id IS NULL) AS kept
+    FROM av LEFT JOIN dropped d ON av.vec_id = d.vec_id
+    """,
+)
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) per-doc keep/drop verdicts: IVF-cell
+    blocking + the paper's greedy lower-id rule, eps=0.4. Same adaptive
+    cell sizing and 6-dp-rounded cosine as embedding_near_dup so the
+    oracle replays the exact arithmetic."""
+    return S.semdedup(table(spark, sf_dir, "embeddings"))

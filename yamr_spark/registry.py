@@ -129,6 +129,7 @@ DRIVER_PRIORITY = [
     "large_volume_customers",
     "rich_idle_customers",
     # round-4 new: similarity / text / curation
+    "semdedup",
     "ann_ivf_kmeans_topk",
     "kmeans_centroids",
     "srp_near_dup",
