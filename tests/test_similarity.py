@@ -168,7 +168,7 @@ def test_srp_near_dup_real_embeddings(spark, sf_dir):
     assert all(r.vec_a < r.vec_b for r in pairs)
     s1 = {r.vec_id: r.srp for r in srp_signature(emb).collect()}
     s2 = {r.vec_id: r.srp for r in srp_signature(emb).collect()}
-    assert s1 == s2 and all(0 <= v < 2**16 for v in s1.values())
+    assert s1 == s2 and all(0 <= v < 2**32 for v in s1.values())
 
 
 def test_srp_exact_dup_always_found(spark):

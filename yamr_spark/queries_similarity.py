@@ -388,11 +388,11 @@ def q_embedding_norms(spark, sf_dir):
 
 
 def _srp_sig_sql() -> str:
-    """The 16-bit SRP signature as a DuckDB expression over ``v`` —
+    """The 32-bit SRP signature as a DuckDB expression over ``v`` —
     built from the SAME hyperplane literals as srp_signature (3-decimal
     md5-derived components; identical decimal strings parse to identical
     doubles in both engines)."""
-    planes = S.srp_hyperplanes(16, 64)
+    planes = S.srp_hyperplanes(32, 64)
     terms = []
     for i, row in enumerate(planes):
         lit = "[" + ", ".join(str(x) for x in row) + "]"
@@ -407,7 +407,7 @@ def _srp_near_dup_oracle() -> str:
 
     nib = " UNION ALL ".join(
         f"SELECT vec_id, v, {i} AS blk_id, (srp >> {off}) & {(1 << w) - 1} AS blk_val FROM sigs"
-        for i, (off, w) in enumerate(pigeonhole_blocks(16, 3))
+        for i, (off, w) in enumerate(pigeonhole_blocks(32, 3))
     )
     return f"""
     WITH {_VECS_CTE},
