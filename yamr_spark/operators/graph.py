@@ -46,13 +46,23 @@ def connected_components(
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     und = und.distinct().transform(materialize)
 
+    # Round 1, folded into initialization: under identity labels the
+    # first round's messages are just the neighbor ids, so
+    # min(self, neighbors) comes straight off the edge stream — one
+    # aggregate replaces the separate node-distinct, identity-label
+    # join, and first min (two shuffles and a materialize saved per
+    # query; the label table never exists in its identity form).
     labels = (
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        und.select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("b")).alias("component"),
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+        .transform(materialize)
     )
 
-    for it in range(max_iter):
+    for it in range(1, max_iter):
         # each node adopts min(own label, neighbors' labels)
         msgs = und.join(
             labels.withColumnRenamed("node", "b"), "b"

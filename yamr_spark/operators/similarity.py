@@ -60,13 +60,26 @@ def brute_force_topk(
     """Exact top-k cosine neighbors for the ``num_queries`` lowest-id
     vectors (a deterministic query set). The query side is broadcast, the
     corpus streams once; ranking is (cosine desc, neighbor id) so ties
-    are deterministic."""
+    are deterministic. Norms are precomputed ONCE per side before the
+    cross join (same trick as ``_scored_against_centroids``) so each of
+    the queries x corpus pairs evaluates one interpreted dot product,
+    not three — the norm is the identical left-fold the oracle's
+    sqrt(list_dot_product(x,x)) computes, so rounding parity holds."""
     vecs = emb.select(F.col(id_col).alias("qid"), _vec_double(vec_col).alias("va"))
-    queries = vecs.filter(F.col("qid") < num_queries).withColumnRenamed("qid", "query_id")
-    corpus = vecs.select(F.col("qid").alias("neighbor_id"), F.col("va").alias("vb"))
-    scored = with_cosine(
-        F.broadcast(queries).crossJoin(corpus).filter(
-            F.col("query_id") != F.col("neighbor_id")
+    queries = (
+        vecs.filter(F.col("qid") < num_queries)
+        .withColumnRenamed("qid", "query_id")
+        .withColumn("na", _norm("va"))
+    )
+    corpus = vecs.select(
+        F.col("qid").alias("neighbor_id"), F.col("va").alias("vb")
+    ).withColumn("nb", _norm("vb"))
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
         )
     )
     from pyspark.sql import Window
