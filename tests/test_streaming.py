@@ -140,3 +140,70 @@ def test_streaming_dedup_suppresses_duplicates(spark, tmp_path):
     q.awaitTermination()
     rows = sorted(map(tuple, spark.table("t_dedup_stream").collect()))
     assert rows == [(1, "click"), (2, "view")]
+
+
+def test_upsert_incremental_merge_equals_one_shot(spark, tmp_path):
+    """Two sequential batch merges must equal one keep_latest over the
+    union (associativity — what makes foreachBatch upsert correct), and
+    a batch whose keys miss a bucket must not rewrite that bucket."""
+    import os
+
+    from yamr_spark.streaming.upsert import (
+        keep_latest,
+        merge_batch_into_store,
+        read_store,
+    )
+
+    from datetime import datetime
+
+    schema = "user_id long, event_id long, event_type string, value double, ts timestamp"
+    b1 = spark.createDataFrame(
+        [
+            (1, 10, "click", 1.0, datetime(2024, 1, 1, 0, 0)),
+            (2, 11, "view", 2.0, datetime(2024, 1, 1, 0, 1)),
+            (1, 12, "click", 3.0, datetime(2024, 1, 1, 0, 2)),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (1, 13, "purchase", 9.0, datetime(2024, 1, 1, 1, 0)),
+            (3, 14, "view", 4.0, datetime(2024, 1, 1, 1, 1)),
+        ],
+        schema,
+    )
+    store = str(tmp_path / "store")
+    merge_batch_into_store(b1, store, key="user_id", order="ts", tie="event_id")
+    # bucket mtimes after batch 1
+    mtimes = {
+        d: os.path.getmtime(os.path.join(store, d))
+        for d in os.listdir(store)
+        if d.startswith("bucket=")
+    }
+    merge_batch_into_store(b2, store, key="user_id", order="ts", tie="event_id")
+
+    got = {
+        (r.user_id, r.event_id) for r in read_store(spark, store).collect()
+    }
+    want = {
+        (r.user_id, r.event_id)
+        for r in keep_latest(
+            b1.unionByName(b2), "user_id", "ts", "event_id"
+        ).collect()
+    }
+    assert got == want == {(1, 13), (2, 11), (3, 14)}
+
+    # any bucket untouched by batch 2's keys {1, 3} must keep its mtime
+    from pyspark.sql import functions as F
+
+    touched2 = {
+        f"bucket={r[0]}"
+        for r in b2.select(
+            F.pmod(F.xxhash64(F.col("user_id")), F.lit(8))
+        ).distinct().collect()
+    }
+    untouched = set(mtimes) - touched2
+    for d in untouched:
+        assert os.path.getmtime(os.path.join(store, d)) == mtimes[d], (
+            f"{d} was rewritten by a batch that never touched it"
+        )

@@ -257,3 +257,47 @@ def q_streaming_passthrough(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table("streaming_event_passthrough")
+
+
+@register(
+    "streaming_upsert_latest",
+    oracle="""
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def q_streaming_upsert_latest(spark, sf_dir):
+    """MERGE-INTO over an append-only engine: foreachBatch keyed upsert.
+    Each micro-batch merges into a hash-bucketed parquet store (read old
+    bucket ∪ batch slice → keep latest per key → atomic directory swap;
+    untouched buckets never touched). The stream is run TWICE against
+    the same checkpoint — the second run is a no-op batch — and the
+    store must equal the batch keep-latest oracle, proving both merge
+    correctness and restart idempotence. The keep-latest rule is
+    associative, so per-batch incremental application equals the
+    one-shot result the oracle computes."""
+    import os
+
+    from yamr_spark.streaming.upsert import read_store, stream_upsert_to_store
+    from yamr_spark.tmpdirs import session_dir
+
+    base = session_dir(f"stream_upsert:{sf_dir}", "yamr_stream_upsert_")
+    store, ckpt = os.path.join(base, "store"), os.path.join(base, "ckpt")
+    sdf = stream_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    stream_upsert_to_store(sdf, store, ckpt)
+    stream_upsert_to_store(
+        stream_events(spark, sf_dir).select(
+            "user_id", "event_id", "event_type", "value", "ts"
+        ),
+        store,
+        ckpt,
+    )  # restart against the committed checkpoint: must not change the store
+    return read_store(spark, store).select(
+        "user_id", "event_id", "event_type", "value"
+    )

@@ -161,6 +161,8 @@ DRIVER_PRIORITY = [
     "multimodal_decode_stats",
     "multimodal_thumbnails",
     "multimodal_frame_sample",
+    # round-4 new: foreachBatch keyed upsert (merge-into)
+    "streaming_upsert_latest",
     # round-4 touched: NTZ stream timestamps + conf restore
     "streaming_tumbling_counts",
     "streaming_parquet_sink",
