@@ -142,3 +142,35 @@ def test_domain_mix_zero_target_drops_lang(spark):
     # en: rate = 100/200 tokens -> 500000 ppm; sampled subset is proper
     assert out["en"].rate_ppm == 500000
     assert 0 < out["en"].n_sampled < out["en"].lang_docs
+
+
+def test_shuffled_corpus_is_reproducible_permutation(spark, sf_dir, tmp_path):
+    """write_shuffled_corpus: every doc appears exactly once across
+    shards, files within a shard are key-sorted, and a different salt
+    yields a different permutation while the same salt is bit-stable."""
+    from yamr_spark.operators.curation import global_shuffle, write_shuffled_corpus
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = str(tmp_path / "shuffled")
+    write_shuffled_corpus(docs, out, shards=4)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+    import pandas as pd
+
+    for shard in range(4):
+        pdf = (
+            spark.read.parquet(f"{out}/shard={shard}")
+            .select("shuffle_key")
+            .toPandas()
+        )
+        assert pdf.shuffle_key.is_monotonic_increasing or len(pdf) <= 1
+
+    k0 = {r.doc_id: r.shuffle_key for r in global_shuffle(docs, salt="epoch0").collect()}
+    k0b = {r.doc_id: r.shuffle_key for r in global_shuffle(docs, salt="epoch0").collect()}
+    k1 = {r.doc_id: r.shuffle_key for r in global_shuffle(docs, salt="epoch1").collect()}
+    assert k0 == k0b
+    assert k0 != k1

@@ -397,3 +397,87 @@ def domain_mix_sample(
             "n_sampled", "sampled_tokens",
         )
     )
+
+
+# ----------------------------------------------------- global shuffle
+
+
+def shuffle_key(id_col="doc_id", salt: str = "epoch0"):
+    """Deterministic pseudorandom training-order key: hash60 of
+    ``salt|id``. Changing the salt re-shuffles the corpus (one key per
+    epoch) with zero data movement until the write; the key is
+    oracle-reproducible (md5-derived, see functions.hash60)."""
+    from yamr_spark.functions import hash60
+
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return hash60(F.concat(F.lit(salt), F.lit("|"), c.cast("string")))
+
+
+def global_shuffle(
+    docs: DataFrame,
+    shards: int = 16,
+    salt: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document a deterministic shuffle position:
+    ``shard = key % shards`` and the in-shard order is the key itself.
+    This is the training-data shuffle: each trainer rank reads one
+    shard's files in key order and the concatenation is a uniform
+    pseudorandom permutation of the corpus, reproducible from
+    (salt, shards) alone — no RNG state to persist, retry-idempotent.
+
+    Scale: the key is computed map-side; the write (see
+    ``write_shuffled_corpus``) is one repartition on the shard id.
+    Mod-sharding (not range-sharding) keeps shard population
+    concentration-bounded without a sampling pass, and the oracle can
+    replay it exactly."""
+    return docs.withColumn("shuffle_key", shuffle_key(id_col, salt)).withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(shards)).cast("int")
+    )
+
+
+def global_shuffle_stats(
+    docs: DataFrame,
+    shards: int = 16,
+    salt: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard shuffle report: population, key range, and language
+    spread — the balance check a 1000-rank training job runs before
+    reading (a skewed shard = a straggling rank). One
+    partial-aggregated shuffle on the shard id."""
+    return (
+        global_shuffle(docs, shards=shards, salt=salt, id_col=id_col)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("shuffle_key").alias("min_key"),
+            F.max("shuffle_key").alias("max_key"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def write_shuffled_corpus(
+    docs: DataFrame,
+    out_dir: str,
+    shards: int = 16,
+    salt: str = "epoch0",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the shuffled corpus: directory per shard
+    (``shard=k/``), rows sorted by shuffle_key within each shard — a
+    trainer rank does a sequential scan of its directory and sees its
+    slice of the global permutation. One shuffle (repartition on shard)
+    + in-partition sort; no global sort."""
+    (
+        global_shuffle(docs, shards=shards, salt=salt, id_col=id_col)
+        .repartition(shards, F.col("shard"))
+        # leading "shard" matters: the dynamic-partition writer requires
+        # data sorted by the partition column and would otherwise insert
+        # its own (key-order-destroying) sort on shard alone
+        .sortWithinPartitions("shard", "shuffle_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )

@@ -643,3 +643,33 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ------------------------------------------------- incremental (batch-vs-index)
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against a historical digest index — the daily-
+    ingest shape: yesterday's corpus is represented only by its sha2-256
+    digests, and a new document survives iff (a) it is the minimum-id
+    holder of its digest within the batch and (b) its digest is absent
+    from the index. Returns (doc_id, text_hash) of survivors.
+
+    Scale: the index side carries 32-byte digests, never bodies, so the
+    anti-join shuffles digest+id only; the within-batch collapse is one
+    partial-aggregated groupBy on the digest. With a broadcast-sized
+    daily index the anti-join is map-side; at 100 TB both sides shuffle
+    on the digest — the same key, so AQE lines the exchanges up."""
+    batch = new_docs.select(
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("text_hash"),
+        F.col(id_col),
+    )
+    batch_keep = batch.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    return batch_keep.join(
+        index.select("text_hash"), "text_hash", "left_anti"
+    ).select(id_col, "text_hash")

@@ -335,3 +335,29 @@ def q_pack_sequences(spark, sf_dir):
 )
 def q_domain_mix_sample(spark, sf_dir):
     return C.domain_mix_sample(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "global_shuffle_stats",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS shuffle_key
+      FROM documents
+    )
+    SELECT CAST(shuffle_key % 16 AS INTEGER) AS shard,
+           COUNT(*) AS n_docs,
+           MIN(shuffle_key) AS min_key,
+           MAX(shuffle_key) AS max_key,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM keyed
+    GROUP BY 1
+    """,
+)
+def q_global_shuffle_stats(spark, sf_dir):
+    """Deterministic training-order shuffle balance report: 16 shards
+    keyed by hash60('epoch0|doc_id'); per-shard population, key range,
+    and language spread. The oracle replays the identical md5-derived
+    key, so shard placement is bit-exact across engines."""
+    return C.global_shuffle_stats(table(spark, sf_dir, "documents"))

@@ -266,3 +266,29 @@ def q_dedup_groups(spark, sf_dir):
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("group_id")
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH index_digests AS (
+      SELECT DISTINCT sha256(text) AS text_hash
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+      SELECT sha256(text) AS text_hash, MIN(doc_id) AS doc_id
+      FROM documents WHERE doc_id % 2 = 1
+      GROUP BY sha256(text)
+    )
+    SELECT doc_id, text_hash
+    FROM batch
+    WHERE text_hash NOT IN (SELECT text_hash FROM index_digests)
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental (batch-vs-index) dedup: even doc_ids play yesterday's
+    indexed corpus (digests only), odd doc_ids are today's batch;
+    survivors are batch-unique AND index-absent."""
+    docs = table(spark, sf_dir, "documents")
+    index = D.exact_dedup(docs.where(F.col("doc_id") % 2 == 0)).select("text_hash")
+    return D.incremental_dedup(docs.where(F.col("doc_id") % 2 == 1), index)

@@ -163,6 +163,9 @@ DRIVER_PRIORITY = [
     "multimodal_frame_sample",
     # round-4 new: foreachBatch keyed upsert (merge-into)
     "streaming_upsert_latest",
+    # round-4 new: incremental dedup + deterministic training shuffle
+    "dedup_incremental",
+    "global_shuffle_stats",
     # round-4 touched: NTZ stream timestamps + conf restore
     "streaming_tumbling_counts",
     "streaming_parquet_sink",
