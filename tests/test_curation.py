@@ -174,3 +174,36 @@ def test_shuffled_corpus_is_reproducible_permutation(spark, sf_dir, tmp_path):
     k1 = {r.doc_id: r.shuffle_key for r in global_shuffle(docs, salt="epoch1").collect()}
     assert k0 == k0b
     assert k0 != k1
+
+
+def test_chunk_udtf_matches_column_path(spark, sf_dir):
+    """The Python-UDTF chunker (the extension hook for model-backed
+    tokenizers) must produce exactly the JVM Column path's chunks —
+    same windows, same order, same token counts."""
+    from pyspark.sql import functions as F
+
+    from yamr_spark.functions import hash60
+    from yamr_spark.operators.curation import ChunkDocUDTF, chunk_documents
+    from yamr_spark.registry import _ship_package
+    from yamr_spark.tables import table
+
+    assert ChunkDocUDTF is not None
+    _ship_package(spark)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("chunk_udtf_docs")
+    spark.udtf.register("chunk_doc", ChunkDocUDTF)
+    via_udtf = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk_text
+        FROM chunk_udtf_docs d, LATERAL chunk_doc(d.text, 32, 24) c
+        """
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        hash60(F.col("chunk_text")).alias("chunk_hash"),
+    )
+    fast = chunk_documents(docs)
+    a = {tuple(r) for r in via_udtf.collect()}
+    b = {tuple(r) for r in fast.collect()}
+    assert a == b and len(a) > 0

@@ -481,3 +481,77 @@ def write_shuffled_corpus(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+
+
+# --------------------------------------------------- document chunking
+
+
+def chunk_documents(
+    docs: DataFrame,
+    width: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunks — the RAG/context-window prep
+    shape: each document's token stream becomes windows of ``width``
+    tokens every ``stride`` tokens (overlap = width - stride). Returns
+    (doc_id, chunk_idx, n_tokens, chunk_hash) with chunk_hash =
+    hash60 of the space-joined window, so downstream joins/dedup ride
+    8-byte keys, not chunk text.
+
+    Scale: entirely map-side (tokenize → sequence → slice → explode are
+    all codegen'd/higher-order Column ops; no Python, no shuffle) —
+    chunking 100 TB is embarrassingly parallel. The UDTF twin
+    (``ChunkDocUDTF``) exists as the extension hook for chunkers that
+    genuinely need Python (tokenizer models); same output contract,
+    pinned equal by test."""
+    from yamr_spark.functions import hash60_sql
+
+    t = (
+        f"filter(split(lower({text_col}), '{WORD_BREAK_SQL}'), "
+        "x -> length(x) > 0)"
+    )
+    chunks = (
+        f"CASE WHEN size({t}) = 0 THEN "
+        "array() "
+        f"ELSE transform(sequence(0, size({t}) - 1, {stride}), "
+        f"s -> struct(array_join(slice({t}, s + 1, {width}), ' ') AS txt, "
+        f"size(slice({t}, s + 1, {width})) AS n)) END"
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(F.expr(chunks)).alias("chunk_idx", "ch")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.col("ch.n").alias("n_tokens"),
+        F.expr(hash60_sql("ch.txt")).alias("chunk_hash"),
+    )
+
+
+try:  # pyspark >= 3.5 — the modern UDTF extension hook
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int")
+    class ChunkDocUDTF:
+        """Per-row lateral chunker (Python UDTF): the C8 generic-UDTF
+        hook in its modern form. The engine's default chunker is the
+        pure-Column ``chunk_documents`` (JVM-side); this class is the
+        seam where a real tokenizer model (BPE, sentencepiece) would
+        plug in — anything that must run Python. Register with
+        ``spark.udtf.register("chunk_doc", ChunkDocUDTF)`` and use via
+        ``... FROM docs d, LATERAL chunk_doc(d.text, 32, 24) c``."""
+
+        def eval(self, text: str, width: int, stride: int):
+            import re
+
+            # Python re has no \p{L}: \W+ is the Python spelling of the
+            # engine's Java word-break class [^\p{L}\p{N}_]+ (both mean
+            # "not a Unicode letter/digit/underscore")
+            toks = [t for t in re.split(r"\W+", (text or "").lower()) if t]
+            for idx, s in enumerate(range(0, len(toks), stride)):
+                window = toks[s : s + width]
+                yield idx, " ".join(window), len(window)
+
+except ImportError:  # pragma: no cover - pyspark without UDTF support
+    ChunkDocUDTF = None

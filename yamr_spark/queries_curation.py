@@ -361,3 +361,34 @@ def q_global_shuffle_stats(spark, sf_dir):
     and language spread. The oracle replays the identical md5-derived
     key, so shard placement is bit-exact across engines."""
     return C.global_shuffle_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'),
+                         x -> length(x) > 0) AS t
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(range(CAST(ceil(len(t) / 24.0) AS BIGINT))) AS j
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(j AS INTEGER) AS chunk_idx,
+           CAST(len(t[j*24+1 : j*24+32]) AS INTEGER) AS n_tokens,
+           ('0x' || substr(md5(array_to_string(t[j*24+1 : j*24+32], ' ')), 1, 15))::BIGINT
+             AS chunk_hash
+    FROM idx
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (width 32, stride 24) — the
+    RAG/context-window prep pass, pure map-side Column ops; chunk
+    identity rides a 60-bit md5-derived hash so downstream never
+    shuffles chunk text. The oracle replays the identical windowing
+    arithmetic (ceil(len/stride) windows, inclusive-clamped slices)."""
+    return C.chunk_documents(table(spark, sf_dir, "documents"))

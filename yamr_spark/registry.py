@@ -166,6 +166,7 @@ DRIVER_PRIORITY = [
     # round-4 new: incremental dedup + deterministic training shuffle
     "dedup_incremental",
     "global_shuffle_stats",
+    "chunk_documents",
     # round-4 touched: NTZ stream timestamps + conf restore
     "streaming_tumbling_counts",
     "streaming_parquet_sink",
