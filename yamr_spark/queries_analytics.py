@@ -102,3 +102,43 @@ def q_approx_aggregates(spark, sf_dir):
             F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
         )
     )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           NTH_VALUE(c_custkey, 2) OVER
+             (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS runner_up
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_window_rank_family(spark, sf_dir):
+    """The remaining rank-family window functions in one pass: ntile,
+    percent_rank, cume_dist over the default ordered frame, nth_value
+    over the full partition frame (explicit UNBOUNDED FOLLOWING — the
+    default frame would freeze nth_value at the current row). One
+    window partitioning serves all four, so the plan is a single
+    shuffle+sort on c_nationkey; (acctbal desc, custkey) is a total
+    order, making percent_rank/cume_dist exact same-formula doubles on
+    both engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("c_custkey", 2).over(wfull).alias("runner_up"),
+    )

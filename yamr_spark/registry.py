@@ -167,6 +167,7 @@ DRIVER_PRIORITY = [
     "dedup_incremental",
     "global_shuffle_stats",
     "chunk_documents",
+    "window_rank_family",
     # round-4 touched: NTZ stream timestamps + conf restore
     "streaming_tumbling_counts",
     "streaming_parquet_sink",
