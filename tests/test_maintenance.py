@@ -1,0 +1,59 @@
+"""Small-file compaction: content preservation, file-count reduction,
+idempotence, and partition-layout preservation."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from yamr_spark.operators.maintenance import compact_store, compaction_plan
+from yamr_spark.tables import table
+
+
+def _parquet_files(d):
+    out = []
+    for root, _dirs, files in os.walk(d):
+        out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def test_compaction_preserves_content_and_reduces_files(spark, sf_dir, tmp_path):
+    store = str(tmp_path / "store")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # deliberately fragment: many tiny files per lang partition
+    docs.repartition(20).write.partitionBy("lang").parquet(store)
+    before_files = len(_parquet_files(store))
+    before_rows = sorted(r.doc_id for r in spark.read.parquet(store).collect())
+
+    plan = compact_store(spark, store, target_bytes=64 * 1024 * 1024)
+    after_files = len(_parquet_files(store))
+    assert after_files < before_files
+    assert all(e["n_files_after"] == e["target_files"] for e in plan if e["needed"])
+
+    back = spark.read.parquet(store)
+    assert sorted(r.doc_id for r in back.collect()) == before_rows
+    # partition column survives the per-leaf rewrite
+    assert {r.lang for r in back.select("lang").distinct().collect()} == {
+        r.lang for r in docs.select("lang").distinct().collect()
+    }
+
+    # idempotent: a second run plans nothing
+    plan2 = compaction_plan(store, target_bytes=64 * 1024 * 1024)
+    assert not any(e["needed"] for e in plan2)
+
+
+def test_compaction_prunes_still_work_after_rewrite(spark, sf_dir, tmp_path):
+    """Partition pruning must survive compaction (the directory names are
+    the partition index)."""
+    from yamr_spark.plans import plan_text
+
+    store = str(tmp_path / "store")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs.repartition(10).write.partitionBy("lang").parquet(store)
+    compact_store(spark, store, target_bytes=64 * 1024 * 1024)
+
+    pruned = spark.read.parquet(store).filter(F.col("lang") == "en")
+    txt = plan_text(pruned)
+    assert "PartitionFilters" in txt and "lang" in txt
+    assert pruned.count() == docs.filter(F.col("lang") == "en").count()

@@ -392,3 +392,45 @@ def q_chunk_documents(spark, sf_dir):
     shuffles chunk text. The oracle replays the identical windowing
     arithmetic (ceil(len/stride) windows, inclusive-clamped slices)."""
     return C.chunk_documents(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "compacted_store_counts",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_compacted_store_counts(spark, sf_dir):
+    """Small-file compaction under the hash gate: a deliberately
+    fragmented per-lang store (20 files per partition) is compacted to
+    right-sized files (atomic per-directory swap, metadata-only
+    planning), then read back and rolled up — any row lost, duplicated,
+    or mis-partitioned by the rewrite fails the content hash against
+    the uncompacted oracle."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yamr_spark.operators.maintenance import compact_store
+    from yamr_spark.tmpdirs import session_dir, store_complete
+
+    base = session_dir(f"compact_store:{sf_dir}", "yamr_compact_")
+    store = os.path.join(base, "store")
+    if not store_complete(store):
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars", "lang"
+        )
+        docs.repartition(20).write.partitionBy("lang").mode("overwrite").parquet(
+            store
+        )
+        compact_store(spark, store, target_bytes=64 * 1024 * 1024)
+    return (
+        spark.read.parquet(store)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

@@ -168,6 +168,7 @@ DRIVER_PRIORITY = [
     "global_shuffle_stats",
     "chunk_documents",
     "window_rank_family",
+    "compacted_store_counts",
     # round-4 touched: NTZ stream timestamps + conf restore
     "streaming_tumbling_counts",
     "streaming_parquet_sink",
