@@ -231,3 +231,69 @@ def doc_fingerprint(docs: DataFrame, n: int = 8) -> DataFrame:
         F.array_max(grams).alias("fp_max"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval for a term-set query: the classic
+    full-text relevance function as one declarative plan.
+
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1)  (the standard
+    non-negative variant); score = Σ_t idf·tf·(k1+1)/(tf + k1·(1-b +
+    b·dl/avgdl)); ties break on doc_id; scores round to 6 dp BEFORE
+    ranking so the cut is engine-identical.
+
+    Scale plan: the query-term filter lands map-side INSIDE the token
+    explode stage, so the (doc, term) tf aggregate — the only
+    fact-sized shuffle — carries query-matching tokens only
+    (|terms| ≤ dozens, corpus-sized input never shuffles whole).
+    Doc lengths ride a second narrow aggregate over the same scan; the
+    corpus-level scalars (N, avgdl) and per-term df are 1-row /
+    |terms|-row aggregates cross-broadcast back. Top-k is
+    TakeOrderedAndProject (per-partition heaps), no global sort."""
+    toks = docs.select("doc_id", F.explode(_tokens_col()).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtoks = toks.where(F.col("token").isin(*query_terms))
+    tf = qtoks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf")
+            * (F.lit(k1) + 1)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("term_score"), 6).alias("score"),
+            F.count("*").alias("n_matched_terms"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )

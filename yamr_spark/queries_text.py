@@ -230,3 +230,43 @@ def q_corpus_curation(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang"))
     )
     return dedup.groupBy("lang").agg(F.count("*").alias("docs_kept"))
+
+
+@register(
+    "bm25_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'),
+                                x -> length(x) > 0)) AS token
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE token IN ('hash', 'join', 'vector')
+      GROUP BY doc_id, token
+    ),
+    dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+    SELECT doc_id,
+           ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * tf * 2.2
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score,
+           COUNT(*) AS n_matched_terms
+    FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN corpus
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 ranked retrieval for the query {hash, join, vector}:
+    map-side term filter inside the explode stage (the only fact-sized
+    shuffle carries matching tokens only), scalar corpus stats
+    cross-broadcast, TakeOrdered top-20. Scores round to 6 dp before
+    ranking; ties break on doc_id — the oracle replays the identical
+    idf/tf normalization arithmetic."""
+    return T.bm25_search(
+        table(spark, sf_dir, "documents"), ["hash", "join", "vector"]
+    )

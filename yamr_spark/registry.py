@@ -169,6 +169,7 @@ DRIVER_PRIORITY = [
     "chunk_documents",
     "window_rank_family",
     "compacted_store_counts",
+    "bm25_search",
     # round-4 touched: NTZ stream timestamps + conf restore
     "streaming_tumbling_counts",
     "streaming_parquet_sink",
