@@ -77,6 +77,13 @@ HEADLINE = [
     "ivf_probe_partitioned",
     # event-time windows
     "window_tumbling_counts",
+    # round 4 (cont.): TPC-H tail double-EXISTS + disjunctive pushdown
+    "waiting_suppliers",
+    "discounted_brand_revenue",
+    # round 4 (cont.): semantic dedup, BM25 retrieval, chunking
+    "semdedup",
+    "bm25_search",
+    "chunk_documents",
 ]
 
 
