@@ -297,3 +297,46 @@ def bm25_search(
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+def unigram_lm_score(docs: DataFrame, alpha: float = 1.0) -> DataFrame:
+    """CCNet-style language-model quality score: per-document mean
+    token log-probability under the corpus's own add-``alpha`` smoothed
+    unigram model. Well-formed prose scores near the corpus mode;
+    gibberish and boilerplate land in the tails — the standard cheap
+    proxy before a real LM pass.
+
+    p(t) = (count(t) + alpha) / (total + alpha * vocab);
+    score(doc) = mean over its tokens of ln p(t), rounded 6 dp.
+
+    Scale plan: the unigram table is ONE partial-aggregated shuffle of
+    (token, count) — the same shape as word_count — and the corpus
+    scalars (total, vocab) are a 1-row aggregate cross-broadcast back.
+    Scoring re-joins tokens to the (broadcast-sized at any realistic
+    vocab) frequency table, then one per-doc mean. The model and the
+    scoring share the single tokenized scan via materialize."""
+    from yamr_spark.materialize import materialize
+
+    toks = docs.select("doc_id", F.explode(_tokens_col()).alias("token")).transform(
+        materialize
+    )
+    uni = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    corpus = uni.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("vocab")
+    )
+    return (
+        toks.join(F.broadcast(uni), "token")
+        .join(F.broadcast(corpus))
+        .withColumn(
+            "logp",
+            F.log(
+                (F.col("cnt") + F.lit(alpha))
+                / (F.col("total") + F.lit(alpha) * F.col("vocab"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("logp"), 6).alias("lm_score"),
+            F.count("*").alias("n_tokens"),
+        )
+    )

@@ -270,3 +270,29 @@ def q_bm25_search(spark, sf_dir):
     return T.bm25_search(
         table(spark, sf_dir, "documents"), ["hash", "join", "vector"]
     )
+
+
+@register(
+    "unigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'),
+                                x -> length(x) > 0)) AS token
+      FROM documents
+    ),
+    uni AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    corpus AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM uni)
+    SELECT doc_id,
+           ROUND(AVG(ln((cnt + 1.0) / (total + 1.0 * vocab))), 6) AS lm_score,
+           COUNT(*) AS n_tokens
+    FROM toks JOIN uni USING (token) CROSS JOIN corpus
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_lm_score(spark, sf_dir):
+    """Per-doc mean log-probability under the corpus's own add-1
+    unigram model (CCNet-style LM quality proxy). One word_count-shaped
+    shuffle builds the model; scalars cross-broadcast; one per-doc mean
+    scores. The oracle replays the identical smoothing arithmetic."""
+    return T.unigram_lm_score(table(spark, sf_dir, "documents"))

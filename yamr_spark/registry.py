@@ -170,6 +170,7 @@ DRIVER_PRIORITY = [
     "window_rank_family",
     "compacted_store_counts",
     "bm25_search",
+    "unigram_lm_score",
     # round-4 touched: NTZ stream timestamps + conf restore
     "streaming_tumbling_counts",
     "streaming_parquet_sink",
