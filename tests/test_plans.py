@@ -394,3 +394,38 @@ def test_q21_single_fact_shuffle_for_double_exists(spark, sf_dir):
     txt = plan_text(df, "simple")
     assert "BroadcastHashJoin" in txt, txt[:2000]
     assert txt.count("SortMergeJoin") <= 1, txt[:2000]
+
+
+def test_chunking_is_map_side_only(spark, sf_dir):
+    """chunk_documents: tokenize → sequence → slice → posexplode is one
+    map-side stage — ZERO exchanges. Chunking 100 TB must be
+    embarrassingly parallel."""
+    df = all_queries()["chunk_documents"](spark, sf_dir)
+    assert shuffle_count(df) == 0, "chunking grew a shuffle"
+    rs = read_schema(df)
+    assert "lang" not in rs and "source" not in rs, rs
+
+
+def test_bm25_topk_and_partial_agg(spark, sf_dir):
+    """bm25_search: top-k via TakeOrderedAndProject (per-partition
+    heaps), tf aggregate partial-aggregated, df/corpus scalars arrive
+    by broadcast."""
+    from yamr_spark.plans import plan_text
+
+    df = all_queries()["bm25_search"](spark, sf_dir)
+    txt = plan_text(df, "simple")
+    assert "TakeOrderedAndProject" in txt, txt[:1500]
+    assert has_partial_aggregate(df)
+    assert "BroadcastHashJoin" in txt or "BroadcastNestedLoopJoin" in txt
+
+
+def test_unigram_lm_model_join_broadcasts(spark, sf_dir):
+    """unigram_lm_score: the frequency-table join and the corpus-scalar
+    join must both be broadcasts — the token stream is never shuffled
+    for scoring (its only shuffle is the per-doc mean)."""
+    from yamr_spark.plans import plan_text
+
+    df = all_queries()["unigram_lm_score"](spark, sf_dir)
+    txt = plan_text(df, "simple")
+    assert "BroadcastHashJoin" in txt, txt[:1500]
+    assert "SortMergeJoin" not in txt, txt[:1500]
