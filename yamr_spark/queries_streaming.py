@@ -238,11 +238,15 @@ def q_streaming_enrich_dim(spark, sf_dir):
     return spark.table("streaming_enrich_dim")
 
 
-@register("streaming_event_passthrough")
+@register(
+    "streaming_event_passthrough",
+    oracle="SELECT event_id, event_type, value FROM events WHERE value > 0.5",
+)
 def q_streaming_passthrough(spark, sf_dir):
     """Stateless streaming ETL: readStream → filter + projection → append
-    sink. No SQL oracle (rows-only check): the point under test is the
-    stream execution path with outputMode('append')."""
+    sink. Deterministic (no state, no watermark drops under availableNow),
+    so the batch filter IS the oracle — the stream execution path itself
+    sits under the content hash."""
     sdf = (
         stream_events(spark, sf_dir)
         .where("value > 0.5")

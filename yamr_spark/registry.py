@@ -163,6 +163,8 @@ DRIVER_PRIORITY = [
     "multimodal_frame_sample",
     # round-4 new: foreachBatch keyed upsert (merge-into)
     "streaming_upsert_latest",
+    # round-4: passthrough gains a real oracle (was rows-only)
+    "streaming_event_passthrough",
     # round-4 new: incremental dedup + deterministic training shuffle
     "dedup_incremental",
     "global_shuffle_stats",
