@@ -673,3 +673,48 @@ def incremental_dedup(
     return batch_keep.join(
         index.select("text_hash"), "text_hash", "left_anti"
     ).select(id_col, "text_hash")
+
+
+# ------------------------------------------------------ fuzzy matching
+
+
+def fuzzy_match_pairs(
+    rows: DataFrame,
+    block_cols: list[str],
+    name_col: str,
+    id_col: str,
+    max_edit: int = 3,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: same-block rows whose
+    ``name_col`` values are within Levenshtein distance ``max_edit``
+    (and not identical — exact dups are the cheap hash path's job).
+
+    Scale design: the edit-distance comparison is quadratic and must
+    NEVER see the full corpus — blocking on ``block_cols`` (an equality
+    self-join) bounds it to Σ|block|²; pick block keys so blocks stay
+    ~√n (the same discipline as IVF cells / LSH buckets). A length
+    pre-filter (abs(len_a − len_b) ≤ max_edit, a Levenshtein lower
+    bound) discards most survivors before the distance evaluates.
+    Levenshtein is a builtin Column function on both engines, so the
+    oracle replays it exactly."""
+    keyed = rows.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("name"),
+        *[F.col(c) for c in block_cols],
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cond = (F.col("a.id") < F.col("b.id")) & (
+        F.abs(F.length("a.name") - F.length("b.name")) <= max_edit
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn("edit_dist", F.levenshtein(F.col("a.name"), F.col("b.name")))
+        .where((F.col("edit_dist") <= max_edit) & (F.col("edit_dist") > 0))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("edit_dist").cast("long").alias("edit_dist"),
+        )
+    )

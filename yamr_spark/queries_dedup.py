@@ -292,3 +292,28 @@ def q_dedup_incremental(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     index = D.exact_dedup(docs.where(F.col("doc_id") % 2 == 0)).select("text_hash")
     return D.incremental_dedup(docs.where(F.col("doc_id") % 2 == 1), index)
+
+
+@register(
+    "fuzzy_part_pairs",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 3
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+    """,
+)
+def q_fuzzy_part_pairs(spark, sf_dir):
+    """Blocked fuzzy entity matching: same-brand part pairs within
+    Levenshtein distance 3 (exact dups excluded). Blocking bounds the
+    quadratic comparison to Σ|brand-block|²; the length lower bound
+    prunes before the distance evaluates."""
+    return D.fuzzy_match_pairs(
+        table(spark, sf_dir, "part"),
+        block_cols=["p_brand"],
+        name_col="p_name",
+        id_col="p_partkey",
+    )

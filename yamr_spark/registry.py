@@ -173,6 +173,7 @@ DRIVER_PRIORITY = [
     "compacted_store_counts",
     "bm25_search",
     "unigram_lm_score",
+    "fuzzy_part_pairs",
     # round-4 touched: NTZ stream timestamps + conf restore
     "streaming_tumbling_counts",
     "streaming_parquet_sink",
