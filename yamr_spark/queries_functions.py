@@ -225,3 +225,44 @@ def q_pii_scrub_stats(spark, sf_dir):
         F.sum(digits).cast("long").alias("total_digits"),
         F.round(F.avg(redacted_len), 6).alias("avg_redacted_len"),
     )
+
+
+@register(
+    "date_features",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(month(o_orderdate) AS INTEGER) AS mon,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS INTEGER) AS days_since_epoch_start
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    """,
+)
+def q_date_features(spark, sf_dir):
+    """Date/time function surface in one pass: year/quarter/month/
+    dayofyear, ISO week + ISO day-of-week, month-end, day arithmetic —
+    the fields whose semantics agree exactly across engines (Spark's
+    1=Sunday dayofweek is deliberately avoided for the ISO form both
+    engines define identically). Map-side only; the date filter is
+    pushed to the scan."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderdate") >= "2001-01-01")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("int").alias("yr"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.month(d).cast("int").alias("mon"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.expr("extract(DAYOFWEEK_ISO FROM o_orderdate)").cast("int").alias("iso_dow"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+    )

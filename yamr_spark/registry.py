@@ -174,6 +174,7 @@ DRIVER_PRIORITY = [
     "bm25_search",
     "unigram_lm_score",
     "fuzzy_part_pairs",
+    "date_features",
     # round-4 touched: NTZ stream timestamps + conf restore
     "streaming_tumbling_counts",
     "streaming_parquet_sink",
