@@ -305,3 +305,43 @@ def q_streaming_upsert_latest(spark, sf_dir):
     return read_store(spark, store).select(
         "user_id", "event_id", "event_type", "value"
     )
+
+
+@register(
+    "streaming_session_windows",
+    oracle="""
+    SELECT MIN(ts) AS session_start, user_id, CAST(COUNT(*) AS BIGINT) AS event_cnt
+    FROM (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts) AS sess
+      FROM (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events
+      ) a
+    ) b
+    GROUP BY user_id, sess
+    """,
+)
+def q_streaming_session_windows(spark, sf_dir):
+    """The SAME session-window aggregation executed as a Structured
+    Streaming query: session_window is the one window type whose
+    streaming state MERGES (sessions extend/coalesce as events arrive),
+    so this pins the merging-state code path, not just the batch plan.
+    Watermark + complete-mode memory sink under availableNow; must
+    match the batch gaps-and-islands oracle exactly."""
+    sdf = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("event_cnt"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "user_id",
+            "event_cnt",
+        )
+    )
+    return run_stream_to_memory(spark, sdf, "streaming_session_windows")

@@ -165,6 +165,8 @@ DRIVER_PRIORITY = [
     "streaming_upsert_latest",
     # round-4: passthrough gains a real oracle (was rows-only)
     "streaming_event_passthrough",
+    # round-4 new: merging-state session windows through the stream path
+    "streaming_session_windows",
     # round-4 new: incremental dedup + deterministic training shuffle
     "dedup_incremental",
     "global_shuffle_stats",
