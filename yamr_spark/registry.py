@@ -110,7 +110,14 @@ _LOADED = False
 # representative per already-green family so regressions in unchanged
 # plans still surface. Everything stays registered; only order changes.
 DRIVER_PRIORITY = [
-    # round-4 new: TPC-H tail — Q2/Q11/Q12/Q14/Q16/Q19/Q20/Q21 analogues
+    # ---- the 50-slot check window: every query the driver has NEVER
+    # checked (33 new since r03) first, then the highest-value
+    # re-checks: queries whose ORACLE is new (passthrough + the three
+    # multimodal codec seams were rows-only in r03) and queries whose
+    # PLAN changed in round 4. Components of composites (simhash,
+    # minhash_signatures/band_pairs) yield their slots to breadth —
+    # their composites (simhash_near_dup, minhash_near_dup) cover them.
+    # round-4: TPC-H tail — Q2/Q11/Q12/Q14/Q16/Q19/Q20/Q21 analogues
     "min_cost_supplier",
     "important_part_value",
     "late_shipment_priority",
@@ -119,7 +126,7 @@ DRIVER_PRIORITY = [
     "discounted_brand_revenue",
     "excess_supply_suppliers",
     "waiting_suppliers",
-    # round-4 new: TPC-H Q7/Q8/Q9/Q13/Q15/Q17/Q18/Q22 analogues
+    # round-4: TPC-H Q7/Q8/Q9/Q13/Q15/Q17/Q18/Q22 analogues
     "nation_trade_volume",
     "market_share",
     "nation_profit",
@@ -128,46 +135,15 @@ DRIVER_PRIORITY = [
     "small_qty_part_revenue",
     "large_volume_customers",
     "rich_idle_customers",
-    # round-4 new: similarity / text / curation
+    # round-4: similarity / text / curation / streaming additions
     "semdedup",
     "ann_ivf_kmeans_topk",
-    "kmeans_centroids",
     "srp_near_dup",
-    "token_stats",
     "benchmark_decontaminate_n3",
     "pack_sequences",
     "domain_mix_sample",
-    # round-4 changed plans: 60-bit hashed shingles / simhash
-    "ngram_jaccard_pairs",
-    "chunk_dup_stats",
-    "simhash",
-    "simhash_near_dup",
-    # round-4 changed plans: universal-hash minhash permutations
-    "minhash_signatures",
-    "minhash_band_pairs",
-    "minhash_near_dup",
-    "dedup_groups",
-    # round-4 changed plans: max_by IVF assignment + materialization
-    "ivf_assign",
-    "ann_ivf_topk",
-    "ann_brute_topk",
-    "embedding_near_dup",
-    "embedding_near_dup_p2",
-    "ivf_probe_partitioned",
-    # round-4 changed plans: streamed compat reduce + map fan-out
-    "compat_word_count",
-    "compat_year_max_region",
-    # round-4 new oracles: multimodal codec seams
-    "multimodal_decode_stats",
-    "multimodal_thumbnails",
-    "multimodal_frame_sample",
-    # round-4 new: foreachBatch keyed upsert (merge-into)
     "streaming_upsert_latest",
-    # round-4: passthrough gains a real oracle (was rows-only)
-    "streaming_event_passthrough",
-    # round-4 new: merging-state session windows through the stream path
     "streaming_session_windows",
-    # round-4 new: incremental dedup + deterministic training shuffle
     "dedup_incremental",
     "global_shuffle_stats",
     "chunk_documents",
@@ -177,15 +153,35 @@ DRIVER_PRIORITY = [
     "unigram_lm_score",
     "fuzzy_part_pairs",
     "date_features",
-    # round-4 touched: NTZ stream timestamps + conf restore
+    # oracles new in round 4 (rows-only in r03)
+    "streaming_event_passthrough",
+    "multimodal_decode_stats",
+    "multimodal_thumbnails",
+    "multimodal_frame_sample",
+    # plans changed in round 4
+    "ngram_jaccard_pairs",
+    "chunk_dup_stats",
+    "simhash_near_dup",
+    "minhash_near_dup",
+    "dedup_groups",
+    "ivf_assign",
+    "ann_ivf_topk",
+    "ann_brute_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_p2",
+    "ivf_probe_partitioned",
+    "compat_word_count",
+    "compat_year_max_region",
+    # ---- beyond slot 50: green-in-r01-r03 representatives (backfill)
+    "simhash",
+    "minhash_signatures",
+    "minhash_band_pairs",
     "streaming_tumbling_counts",
     "streaming_parquet_sink",
     "streaming_dedup_events",
     "streaming_enrich_dim",
-    # ADVICE fixes re-verified: store _SUCCESS guard, decontam fixture
     "split_store_train_counts",
     "benchmark_decontaminate",
-    # already-green representatives: one per plan family
     "word_count",
     "max_value_per_year",
     "pricing_summary",
