@@ -50,6 +50,41 @@ def with_cosine(df: DataFrame, a: str = "va", b: str = "vb") -> DataFrame:
     )
 
 
+def _attach_and_score(
+    cands: DataFrame, vecs: DataFrame, threshold: float
+) -> DataFrame:
+    """(vec_a, vec_b) id-pairs × (vec_id, v) vectors → thresholded
+    cosine pairs. Norms precompute ONCE per vector — the identical
+    left-fold the oracle's sqrt(list_dot_product(v,v)) evaluates, so
+    rounding parity holds — and each candidate pair then costs a single
+    interpreted dot product instead of three."""
+    vn = vecs.withColumn("nv", _norm("v"))
+    paired = (
+        cands.join(
+            vn.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("v").alias("va"),
+                F.col("nv").alias("na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            vn.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("v").alias("vb"),
+                F.col("nv").alias("nb"),
+            ),
+            "vec_b",
+        )
+        .withColumn(
+            "cosine", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+        )
+    )
+    return paired.filter(F.col("cosine") >= threshold).select(
+        "vec_a", "vec_b", "cosine"
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     k: int = 5,
@@ -254,21 +289,7 @@ def embedding_near_dup_multi(
         .distinct()
     )
     vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
-    paired = (
-        cands.join(
-            vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")),
-            "vec_a",
-        )
-        .join(
-            vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")),
-            "vec_b",
-        )
-    )
-    return (
-        with_cosine(paired)
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
-    )
+    return _attach_and_score(cands, vecs, threshold)
 
 
 def ivf_topk(
@@ -553,8 +574,12 @@ def embedding_near_dup(
     assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col).select(
         "vec_id", "centroid_id"
     )
+    # norm computed BEFORE materialize: stored once in the checkpointed
+    # table (the same left-fold the oracle's sqrt(dot(v,v)) evaluates),
+    # so each candidate pair costs one interpreted dot, not three
     vecs = (
         emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+        .withColumn("nv", _norm("v"))
         .join(assign, "vec_id")
         .transform(materialize)
     )
@@ -570,10 +595,14 @@ def embedding_near_dup(
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.v").alias("va"),
             F.col("b.v").alias("vb"),
+            F.col("a.nv").alias("na"),
+            F.col("b.nv").alias("nb"),
         )
     )
     return (
-        with_cosine(paired)
+        paired.withColumn(
+            "cosine", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+        )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -687,16 +716,7 @@ def srp_near_dup(
         .distinct()
     )
     vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
-    paired = cands.join(
-        vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a"
-    ).join(
-        vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b"
-    )
-    return (
-        with_cosine(paired)
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
-    )
+    return _attach_and_score(cands, vecs, threshold)
 
 
 # ------------------------------------------------------------ SemDeDup
@@ -732,21 +752,26 @@ def semdedup(
     )
     vecs = (
         emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+        .withColumn("nv", _norm("v"))
         .join(assign, "vec_id")
         .transform(materialize)
     )
     a, b = vecs.alias("a"), vecs.alias("b")
     dropped = (
-        with_cosine(
-            a.join(
-                b,
-                (F.col("a.centroid_id") == F.col("b.centroid_id"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
-            ).select(
-                F.col("b.vec_id").alias("vec_b"),
-                F.col("a.v").alias("va"),
-                F.col("b.v").alias("vb"),
-            )
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+            F.col("a.nv").alias("na"),
+            F.col("b.nv").alias("nb"),
+        )
+        .withColumn(
+            "cosine", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
         )
         .filter(F.col("cosine") >= eps)
         .select(F.col("vec_b").alias("vec_id"))
