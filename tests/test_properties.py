@@ -175,3 +175,61 @@ def test_hash60_cross_engine_parity(spark):
             "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
         ).fetchone()[0]
         assert duck == expect, s
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c.d-e\n"), min_size=0, max_size=120
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    width=st.integers(2, 10),
+    stride=st.integers(1, 10),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_matches_naive(spark, texts, width, stride):
+    """chunk_documents vs a 5-line pure-Python reference: window count
+    is ceil(n_tokens/stride), every window is tokens[s:s+width], hashes
+    agree — for arbitrary text, width, and stride."""
+    import hashlib
+    import re
+
+    from yamr_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_hash)
+        for r in chunk_documents(docs, width=width, stride=stride).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        toks = [x for x in re.split(r"\W+", t.lower()) if x]
+        for idx, s in enumerate(range(0, len(toks), stride)):
+            w = toks[s : s + width]
+            h = int(hashlib.md5(" ".join(w).encode()).hexdigest()[:15], 16)
+            want[(i, idx)] = (len(w), h)
+    assert got == want
+
+
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=60, unique=True))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_global_shuffle_is_permutation(spark, ids):
+    """global_shuffle: bijective over ids, shard = key % shards, key
+    matches the md5 reference implementation for arbitrary ids."""
+    import hashlib
+
+    from yamr_spark.operators.curation import global_shuffle
+
+    docs = spark.createDataFrame([(i, "en") for i in ids], "doc_id long, lang string")
+    rows = global_shuffle(docs, shards=8, salt="s1").collect()
+    assert len(rows) == len(ids)
+    for r in rows:
+        expect = int(
+            hashlib.md5(f"s1|{r.doc_id}".encode()).hexdigest()[:15], 16
+        )
+        assert r.shuffle_key == expect
+        assert r.shard == expect % 8

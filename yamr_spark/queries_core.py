@@ -248,3 +248,34 @@ def q_jsonl_corrupt_handling(spark, sf_dir):
         F.sum((~bad).cast("long")).alias("n_good"),
         F.sum(F.when(~bad, F.col("n_chars")).otherwise(0)).alias("good_chars"),
     )
+
+
+@register(
+    "csv_roundtrip_stats",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents GROUP BY lang
+    """,
+)
+def q_csv_roundtrip_stats(spark, sf_dir):
+    """CSV sink → source round-trip fidelity (full quoting, embedded
+    newlines via multiLine): same contract as the JSONL round-trip —
+    the oracle runs on the ORIGINAL parquet, so any row loss, quoting
+    damage, or type drift through the CSV hop fails the hash."""
+    import os
+
+    from yamr_spark.sources import read_csv, write_csv
+    from yamr_spark.tmpdirs import session_dir
+
+    docs = table(spark, sf_dir, "documents")
+    out = os.path.join(session_dir(f"csv:{sf_dir}", "yamr_csv_"), "docs")
+    write_csv(docs, out)
+    back = read_csv(spark, out, docs.schema)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -153,6 +153,7 @@ DRIVER_PRIORITY = [
     "unigram_lm_score",
     "fuzzy_part_pairs",
     "date_features",
+    "csv_roundtrip_stats",
     # oracles new in round 4 (rows-only in r03)
     "streaming_event_passthrough",
     "multimodal_decode_stats",

@@ -181,3 +181,32 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink with full quoting/escaping (header, quoted fields,
+    escaped quotes) — the lowest-common-denominator interchange format.
+    Multi-line values are quoted, so the file needs multiLine read
+    support (see ``read_csv``); prefer JSONL/parquet when the consumer
+    allows."""
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """CSV source with an EXPLICIT schema (inference = full pre-scan;
+    production declares). multiLine handles quoted embedded newlines —
+    note multiLine makes individual files non-splittable, which is the
+    real 100 TB reason to keep corpora out of CSV."""
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
