@@ -84,3 +84,42 @@ def q_salted_value_sum(spark, sf_dir):
     """Two-phase salted aggregation — result identical to a plain
     groupBy sum (the oracle), plan spreads each key over 16 salts."""
     return salted_sum(_events(spark, sf_dir), key="event_type", value="value", buckets=16)
+
+
+@register(
+    "salted_dim_join",
+    oracle="""
+    SELECT e.event_type,
+           CAST(length(e.event_type) AS INTEGER) AS type_len,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum
+    FROM events e
+    GROUP BY e.event_type
+    """,
+)
+def q_salted_dim_join(spark, sf_dir):
+    """Manually salted skew join under the content hash: events carry
+    only 5 distinct event_type keys (maximal key skew — every key is
+    hot), the dim side replicates across 16 salts, the fact side salts
+    deterministically per row, and the joined rollup must equal the
+    plain join the oracle computes. This is the pre-AQE skew lever;
+    tests/test_plans.py pins the AQE runtime path separately."""
+    from yamr_spark.operators.skew import salted_join
+
+    events = _events(spark, sf_dir).select("event_type", "value")
+    dim = (
+        _events(spark, sf_dir)
+        .select("event_type")
+        .distinct()
+        .withColumn("type_len", F.length("event_type").cast("int"))
+    )
+    return (
+        salted_join(events, dim, on=["event_type"], buckets=16)
+        .groupBy("event_type", "type_len")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+    )

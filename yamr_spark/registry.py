@@ -154,6 +154,7 @@ DRIVER_PRIORITY = [
     "fuzzy_part_pairs",
     "date_features",
     "csv_roundtrip_stats",
+    "salted_dim_join",
     # oracles new in round 4 (rows-only in r03)
     "streaming_event_passthrough",
     "multimodal_decode_stats",
