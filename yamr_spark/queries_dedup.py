@@ -301,19 +301,25 @@ def q_dedup_incremental(spark, sf_dir):
            CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
     FROM part a JOIN part b
       ON a.p_brand = b.p_brand
+     AND a.p_size // 10 = b.p_size // 10
      AND a.p_partkey < b.p_partkey
      AND abs(length(a.p_name) - length(b.p_name)) <= 3
     WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
     """,
 )
 def q_fuzzy_part_pairs(spark, sf_dir):
-    """Blocked fuzzy entity matching: same-brand part pairs within
-    Levenshtein distance 3 (exact dups excluded). Blocking bounds the
-    quadratic comparison to Σ|brand-block|²; the length lower bound
-    prunes before the distance evaluates."""
+    """Blocked fuzzy entity matching: (brand, size-decade)-blocked part
+    pairs within Levenshtein distance 3 (exact dups excluded). Blocking
+    bounds the quadratic comparison to Σ|block|² — brand alone leaves
+    ~n/25 per block (the comparison count grows quadratically with SF);
+    the size band brings blocks back toward √n. The length lower bound
+    prunes candidates before the distance evaluates."""
+    parts = table(spark, sf_dir, "part").withColumn(
+        "size_band", (F.col("p_size") / 10).cast("int")
+    )
     return D.fuzzy_match_pairs(
-        table(spark, sf_dir, "part"),
-        block_cols=["p_brand"],
+        parts,
+        block_cols=["p_brand", "size_band"],
         name_col="p_name",
         id_col="p_partkey",
     )
