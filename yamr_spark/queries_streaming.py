@@ -345,3 +345,79 @@ def q_streaming_session_windows(spark, sf_dir):
         )
     )
     return run_stream_to_memory(spark, sdf, "streaming_session_windows")
+
+
+@register(
+    "snapshot_time_travel",
+    oracle="""
+    WITH half1 AS (
+      SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-16'
+      ) t WHERE rn = 1
+    ),
+    allrows AS (
+      SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) t WHERE rn = 1
+    )
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum
+    FROM half1
+    UNION ALL
+    SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum
+    FROM allrows
+    """,
+)
+def q_snapshot_time_travel(spark, sf_dir):
+    """Snapshot isolation + time travel under the content hash: commit 1
+    merges the first half-month of events (keep-latest per user),
+    commit 2 merges the rest; reading snapshot v1 AFTER v2 committed
+    must still equal the half-month keep-latest, and v2 the full
+    keep-latest — any in-place mutation of shared bucket versions
+    breaks the v1 hash. Immutable bucket versions + manifest pointers
+    (operators/snapshots.py), the Iceberg/Delta core on plain parquet."""
+    import os
+
+    from yamr_spark.operators.snapshots import (
+        commit_merge,
+        create_table,
+        read_snapshot,
+    )
+    from yamr_spark.tmpdirs import session_dir
+
+    base = session_dir(f"snap_table:{sf_dir}", "yamr_snap_")
+    t = os.path.join(base, "table")
+    if not os.path.exists(os.path.join(t, "LATEST")):
+        create_table(t)
+        ev = table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "value", "ts"
+        )
+        commit_merge(
+            ev.where(F.col("ts") < "2024-01-16"),
+            t, key="user_id", order="ts", tie="event_id",
+        )
+        commit_merge(
+            ev.where(F.col("ts") >= "2024-01-16"),
+            t, key="user_id", order="ts", tie="event_id",
+        )
+
+    def rollup(version):
+        return (
+            read_snapshot(spark, t, version)
+            .agg(
+                F.count("*").alias("n_keys"),
+                F.sum(F.col("value").cast("decimal(18,3)"))
+                .cast("double")
+                .alias("value_sum"),
+            )
+            .select(F.lit(version).alias("version"), "n_keys", "value_sum")
+        )
+
+    return rollup(1).unionAll(rollup(2))

@@ -155,6 +155,7 @@ DRIVER_PRIORITY = [
     "date_features",
     "csv_roundtrip_stats",
     "salted_dim_join",
+    "snapshot_time_travel",
     # oracles new in round 4 (rows-only in r03)
     "streaming_event_passthrough",
     "multimodal_decode_stats",
