@@ -340,3 +340,45 @@ def unigram_lm_score(docs: DataFrame, alpha: float = 1.0) -> DataFrame:
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+def kmv_distinct(
+    df: DataFrame, col: str, k: int = 256
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002):
+    hash every value to hash60's uniform 60-bit space, keep the k
+    smallest DISTINCT hashes, and estimate |distinct| as
+    (k-1) / (kth_min / 2^60). Standard error ~ 1/sqrt(k) (~6% at
+    k=256). Unlike HLL sketches, the estimator is a DETERMINISTIC
+    function of the data — both engines replay the identical md5-derived
+    arithmetic, so approximate aggregation sits under the exact content
+    hash.
+
+    Scale plan: the per-value hash is map-side; the distinct collapses
+    partial-aggregated on the 8-byte hash; orderBy(h).limit(k) plans as
+    TakeOrderedAndProject — per-partition bottom-k heaps merged at the
+    driver, never a global sort. Exactly the mergeable-sketch shape: a
+    union of two sketches is the bottom-k of their concatenation.
+
+    Returns one row: (n_hashes, kth_min, estimate) — n_hashes < k means
+    the sketch saw every distinct value and the estimate IS exact
+    (n_hashes)."""
+    from yamr_spark.functions import hash60
+
+    hashes = df.select(hash60(F.col(col).cast("string")).alias("h")).distinct()
+    bottom = hashes.orderBy("h").limit(k)
+    return bottom.agg(
+        F.count("*").alias("n_hashes"),
+        F.max("h").alias("kth_min"),
+    ).select(
+        "n_hashes",
+        "kth_min",
+        F.round(
+            F.when(
+                F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+            ).otherwise(
+                F.lit(float(k - 1)) / (F.col("kth_min").cast("double") / F.lit(float(1 << 60)))
+            ),
+            4,
+        ).alias("estimate"),
+    )

@@ -142,3 +142,29 @@ def q_window_rank_family(spark, sf_dir):
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.nth_value("c_custkey", 2).over(wfull).alias("runner_up"),
     )
+
+
+@register(
+    "kmv_distinct_orders",
+    oracle="""
+    WITH hashes AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM lineitem
+    ),
+    bottom AS (SELECT h FROM hashes ORDER BY h LIMIT 256)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hashes,
+           MAX(h) AS kth_min,
+           ROUND(CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                 ELSE 255.0 / (CAST(MAX(h) AS DOUBLE) / 1152921504606846976.0)
+                 END, 4) AS estimate
+    FROM bottom
+    """,
+)
+def q_kmv_distinct_orders(spark, sf_dir):
+    """Deterministic approximate COUNT DISTINCT: the KMV bottom-k sketch
+    over l_orderkey. hash60 placement is md5-exact on both engines, so
+    — unlike HLL — the approximate answer itself is content-hash
+    checkable. TakeOrdered bottom-k, no global sort."""
+    from yamr_spark.operators.text import kmv_distinct
+
+    return kmv_distinct(table(spark, sf_dir, "lineitem"), "l_orderkey", k=256)

@@ -156,6 +156,7 @@ DRIVER_PRIORITY = [
     "csv_roundtrip_stats",
     "salted_dim_join",
     "snapshot_time_travel",
+    "kmv_distinct_orders",
     # oracles new in round 4 (rows-only in r03)
     "streaming_event_passthrough",
     "multimodal_decode_stats",
