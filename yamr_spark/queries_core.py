@@ -279,3 +279,46 @@ def q_csv_roundtrip_stats(spark, sf_dir):
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@register(
+    "synthetic_source_stats",
+    oracle="""
+    WITH rows AS (
+      SELECT r AS row_id, CAST(r // 100 AS INTEGER) AS part,
+             ('0x' || substr(md5('syn|' || CAST(r AS VARCHAR)), 1, 15))::BIGINT AS doc_hash
+      FROM (SELECT unnest(range(800)) AS r)
+    )
+    SELECT part,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(doc_hash) AS min_hash,
+           ROUND(SUM((doc_hash % 1000000) / 1000000.0), 6) AS value_sum
+    FROM rows
+    GROUP BY part
+    """,
+)
+def q_synthetic_source_stats(spark, sf_dir):
+    """Custom Python DataSource under the hash gate: the yamr_synthetic
+    connector plans 8 InputPartitions, each executor generates its
+    shard from md5-derived row functions, and the per-partition rollup
+    must match DuckDB replaying the same generator arithmetic — the
+    connector's partition planning, option plumbing, and row emission
+    are all on the hashed path. (sf_dir is unused: the source IS the
+    data.)"""
+    from yamr_spark.sources.synthetic import SyntheticCorpusDataSource
+
+    try:
+        spark.dataSource.register(SyntheticCorpusDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("yamr_synthetic")
+        .option("parts", 8)
+        .option("rows_per_part", 100)
+        .load()
+    )
+    return df.groupBy("part").agg(
+        F.count("*").alias("n_rows"),
+        F.min("doc_hash").alias("min_hash"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )

@@ -157,6 +157,7 @@ DRIVER_PRIORITY = [
     "salted_dim_join",
     "snapshot_time_travel",
     "kmv_distinct_orders",
+    "synthetic_source_stats",
     # oracles new in round 4 (rows-only in r03)
     "streaming_event_passthrough",
     "multimodal_decode_stats",
