@@ -322,3 +322,40 @@ def q_synthetic_source_stats(spark, sf_dir):
         F.min("doc_hash").alias("min_hash"),
         F.round(F.sum("value"), 6).alias("value_sum"),
     )
+
+
+@register(
+    "observed_gate_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_in,
+           CAST(SUM(CASE WHEN n_chars >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN n_chars >= 30 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_pass
+    FROM documents
+    """,
+)
+def q_observed_gate_metrics(spark, sf_dir):
+    """Pipeline observability via the Observation API: metrics ride the
+    SAME job as the data pass (named accumulators evaluated inline — no
+    second scan, which at 100 TB is the whole point vs a separate
+    count query). The observed gate counters are deterministic
+    aggregates, so even the metrics side-channel sits under the
+    content hash."""
+    from pyspark.sql import Observation
+
+    docs = table(spark, sf_dir, "documents")
+    obs = Observation("quality_gate")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(F.when(F.col("n_chars") >= 30, 1).otherwise(0)).alias("n_pass"),
+        F.sum(F.when(F.col("n_chars") >= 30, F.col("n_chars")).otherwise(0)).alias(
+            "chars_pass"
+        ),
+    )
+    observed.where(F.col("n_chars") >= 30).count()  # the data pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_in"], m["n_pass"], m["chars_pass"])],
+        "n_in bigint, n_pass bigint, chars_pass bigint",
+    )

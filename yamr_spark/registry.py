@@ -158,6 +158,7 @@ DRIVER_PRIORITY = [
     "snapshot_time_travel",
     "kmv_distinct_orders",
     "synthetic_source_stats",
+    "observed_gate_metrics",
     # oracles new in round 4 (rows-only in r03)
     "streaming_event_passthrough",
     "multimodal_decode_stats",
