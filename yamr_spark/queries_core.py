@@ -359,3 +359,45 @@ def q_observed_gate_metrics(spark, sf_dir):
         [(m["n_in"], m["n_pass"], m["chars_pass"])],
         "n_in bigint, n_pass bigint, chars_pass bigint",
     )
+
+
+@register(
+    "sql_view_pipeline",
+    oracle="""
+    WITH gated AS (
+      SELECT doc_id, lang, n_chars, sha256(text) AS text_hash
+      FROM documents WHERE n_chars >= 30
+    ),
+    deduped AS (
+      SELECT lang, text_hash, MIN(doc_id) AS keep_id
+      FROM gated GROUP BY lang, text_hash
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM deduped GROUP BY lang
+    """,
+)
+def q_sql_view_pipeline(spark, sf_dir):
+    """The pure-SQL user path: a temp-view chain (gate → dedup →
+    report) executed entirely through spark.sql — the same Catalyst
+    plan the DataFrame API builds, exercised via the SQL front door a
+    migrating reference user would actually type. Views are lazy;
+    Catalyst fuses the whole chain into one DAG (no materialization
+    between steps)."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("sqlp_docs")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW sqlp_gated AS
+        SELECT doc_id, lang, n_chars, sha2(text, 256) AS text_hash
+        FROM sqlp_docs WHERE n_chars >= 30
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW sqlp_deduped AS
+        SELECT lang, text_hash, MIN(doc_id) AS keep_id
+        FROM sqlp_gated GROUP BY lang, text_hash
+        """
+    )
+    return spark.sql(
+        "SELECT lang, COUNT(*) AS n_kept FROM sqlp_deduped GROUP BY lang"
+    )

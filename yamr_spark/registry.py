@@ -159,6 +159,7 @@ DRIVER_PRIORITY = [
     "kmv_distinct_orders",
     "synthetic_source_stats",
     "observed_gate_metrics",
+    "sql_view_pipeline",
     # oracles new in round 4 (rows-only in r03)
     "streaming_event_passthrough",
     "multimodal_decode_stats",
