@@ -555,3 +555,56 @@ try:  # pyspark >= 3.5 — the modern UDTF extension hook
 
 except ImportError:  # pragma: no cover - pyspark without UDTF support
     ChunkDocUDTF = None
+
+
+def llm_prep_pipeline_v2(
+    docs: DataFrame,
+    min_words: int = 5,
+    min_chars: int = 30,
+    bench_mod: int = 97,
+) -> DataFrame:
+    """The flagship pipeline, COMPLETE: v1's gate → benchmark carve-out
+    → exact dedup → decontamination → split → report, with the missing
+    production stage added between exact dedup and decontamination —
+    NEAR-duplicate group collapse: MinHash-LSH pairs over the exact-dedup
+    survivors, connected components, keep only each group's canonical
+    (minimum-id) member. This is the full modern ordering (exact dedup
+    first so near-dup never pays for byte-identical copies; group
+    collapse so a 1000-way template cluster keeps ONE doc, not
+    pairwise-random survivors).
+
+    Scale: the near-dup stage inherits MinHash's shuffle profile
+    (signatures = docs×17 fixed width, banded candidates, semi-joined
+    verify) computed ONLY over exact-dedup survivors; the CC loop runs
+    on the pair list (edges ≪ docs); everything else is v1. The oracle
+    replays the whole thing — including the transitive closure — in
+    one recursive-CTE SQL statement."""
+    from yamr_spark.operators.dedup import minhash_near_dup
+    from yamr_spark.operators.graph import connected_components
+
+    n_words = F.size(F.expr(_TOKS))
+    kept = docs.filter(
+        (n_words >= min_words)
+        & (F.length("text") >= min_chars)
+        & (F.col("doc_id") % bench_mod != 0)
+    )
+    surv = (
+        kept.groupBy(F.sha2(F.col("text").cast("binary"), 256).alias("h"))
+        .agg(F.min(F.struct("doc_id", "lang")).alias("k"))
+        .select(F.col("k.doc_id").alias("doc_id"), F.col("k.lang").alias("lang"))
+    )
+    surv_docs = docs.join(surv.select("doc_id"), "doc_id", "left_semi")
+    pairs = minhash_near_dup(surv_docs)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    non_canonical = comp.where(F.col("component") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    flagged = benchmark_decontaminate(docs, bench_mod=bench_mod).select("doc_id")
+    clean = surv.join(non_canonical, "doc_id", "left_anti").join(
+        flagged, "doc_id", "left_anti"
+    )
+    return (
+        clean.select("lang", split_col().alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )

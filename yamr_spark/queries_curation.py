@@ -434,3 +434,86 @@ def q_compacted_store_counts(spark, sf_dir):
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+def _pipeline_v2_oracle() -> str:
+    """v1's oracle with the near-dup group-collapse stage spliced in:
+    the minhash/band/jaccard fragments from queries_dedup are reused
+    verbatim but renamed into an ``m_``-prefixed CTE namespace and
+    re-rooted at the exact-dedup SURVIVOR set instead of raw
+    documents — the recursive closure then yields the non-canonical
+    ids the pipeline drops."""
+    import re
+
+    from yamr_spark.queries_dedup import _BANDS_CTE, _CAND_PAIRS, _JACCARD
+
+    chain = f"{_BANDS_CTE}, {_CAND_PAIRS}, {_JACCARD}"
+    for name in ("toks", "pos", "sh", "sig", "bands", "cand", "sizes", "inter"):
+        chain = re.sub(rf"\b{name}\b", f"m_{name}", chain)
+    chain = chain.replace(
+        "FROM documents", "FROM documents JOIN surv USING (doc_id)"
+    )
+    return f"""
+    WITH RECURSIVE {_SH5_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    flagged AS (
+      SELECT doc_id FROM corpus JOIN bench USING (shingle)
+      GROUP BY doc_id HAVING COUNT(*) >= 3
+    ),
+    gated AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE {_NWORDS} >= 5 AND length(text) >= 30 AND doc_id % 97 <> 0
+    ),
+    surv AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM gated
+      ) t WHERE rn = 1
+    ),
+    {chain},
+    dups AS (
+      SELECT c.doc_a, c.doc_b
+      FROM m_cand c
+      JOIN m_inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN m_sizes za ON za.doc_id = c.doc_a
+      JOIN m_sizes zb ON zb.doc_id = c.doc_b
+      WHERE CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM dups
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM dups
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    non_canon AS (
+      SELECT node AS doc_id FROM reach GROUP BY node
+      HAVING MIN(label) <> node
+    ),
+    clean AS (
+      SELECT * FROM surv
+      WHERE doc_id NOT IN (SELECT doc_id FROM non_canon)
+        AND doc_id NOT IN (SELECT doc_id FROM flagged)
+    )
+    SELECT CASE WHEN {_BUCKET} < 205 THEN 'train'
+                WHEN {_BUCKET} < 230 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM clean GROUP BY 1, 2
+    """
+
+
+@register("llm_prep_pipeline_v2", oracle=_pipeline_v2_oracle())
+def q_llm_prep_pipeline_v2(spark, sf_dir):
+    """The COMPLETE flagship: v1 plus near-duplicate group collapse
+    (MinHash-LSH pairs over exact-dedup survivors → connected
+    components → keep each group's canonical member) between dedup and
+    decontamination — the full modern prep ordering. The oracle replays
+    everything, including the transitive closure, in one recursive-CTE
+    statement."""
+    return C.llm_prep_pipeline_v2(table(spark, sf_dir, "documents"))

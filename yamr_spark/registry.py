@@ -160,6 +160,7 @@ DRIVER_PRIORITY = [
     "synthetic_source_stats",
     "observed_gate_metrics",
     "sql_view_pipeline",
+    "llm_prep_pipeline_v2",
     # oracles new in round 4 (rows-only in r03)
     "streaming_event_passthrough",
     "multimodal_decode_stats",
