@@ -84,6 +84,9 @@ HEADLINE = [
     "semdedup",
     "bm25_search",
     "chunk_documents",
+    # round 4 (cont.): complete flagship + blocked fuzzy matching
+    "llm_prep_pipeline_v2",
+    "fuzzy_part_pairs",
 ]
 
 
