@@ -171,3 +171,66 @@ def sample_frames(df: DataFrame, frame_bytes: int = 256, every_k: int = 4) -> Da
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+def modality_interleave(
+    docs: DataFrame,
+    text_per_batch: int = 6,
+    image_per_batch: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Modality-aware training-batch assembly: interleave text and image
+    documents into fixed-ratio batches (``text_per_batch`` :
+    ``image_per_batch`` slots). Modality is the deterministic
+    hash-derived tag a real pipeline would carry in metadata; each
+    modality stream is ordered by its shuffle key (hash60 of the id —
+    the same reproducible permutation global_shuffle uses) and dealt
+    round-robin into its slots, so batch composition is a pure function
+    of the corpus.
+
+    Returns (batch_id, n_text, n_image, complete) — ``complete`` marks
+    batches with both quotas filled; the trailing partial batches are
+    what a loader would either pad or drop.
+
+    Scale: two windowed row_numbers (one per modality partition — the
+    window key has 2 values, so at extreme scale this becomes the
+    per-partition pre-rank + offset-merge rewrite, same as any global
+    sequence assignment) and one tiny rollup."""
+    from pyspark.sql import Window
+
+    from yamr_spark.functions import hash60
+
+    tagged = docs.select(
+        F.col(id_col),
+        hash60(F.concat(F.lit("mix|"), F.col(id_col).cast("string"))).alias("k"),
+    ).withColumn(
+        "modality",
+        F.when(F.col("k") % 4 == 0, F.lit("image")).otherwise(F.lit("text")),
+    )
+    w = Window.partitionBy("modality").orderBy("k")
+    per = F.when(
+        F.col("modality") == "image", F.lit(image_per_batch)
+    ).otherwise(F.lit(text_per_batch))
+    assigned = tagged.withColumn("rn", F.row_number().over(w)).withColumn(
+        "batch_id", ((F.col("rn") - 1) / per).cast("long")
+    )
+    return (
+        assigned.groupBy("batch_id")
+        .agg(
+            F.sum(F.when(F.col("modality") == "text", 1).otherwise(0)).alias(
+                "n_text"
+            ),
+            F.sum(F.when(F.col("modality") == "image", 1).otherwise(0)).alias(
+                "n_image"
+            ),
+        )
+        .select(
+            "batch_id",
+            "n_text",
+            "n_image",
+            (
+                (F.col("n_text") == text_per_batch)
+                & (F.col("n_image") == image_per_batch)
+            ).alias("complete"),
+        )
+    )

@@ -166,3 +166,43 @@ def q_multimodal_frame_counts(spark, sf_dir):
     rows-only; the COUNT is exact)."""
     frames = sample_frames(_payload(spark, sf_dir), frame_bytes=256, every_k=4)
     return frames.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+
+
+@register(
+    "modality_interleave",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+      FROM documents
+    ),
+    modal AS (
+      SELECT doc_id, k,
+             CASE WHEN k % 4 = 0 THEN 'image' ELSE 'text' END AS modality
+      FROM tagged
+    ),
+    assigned AS (
+      SELECT modality,
+             (ROW_NUMBER() OVER (PARTITION BY modality ORDER BY k) - 1)
+               // (CASE WHEN modality = 'image' THEN 2 ELSE 6 END) AS batch_id
+      FROM modal
+    )
+    SELECT batch_id,
+           CAST(SUM(CASE WHEN modality = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_text,
+           CAST(SUM(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_image,
+           (SUM(CASE WHEN modality = 'text' THEN 1 ELSE 0 END) = 6 AND
+            SUM(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) = 2) AS complete
+    FROM assigned
+    GROUP BY batch_id
+    """,
+)
+def q_modality_interleave(spark, sf_dir):
+    """Fixed-ratio (6 text : 2 image) training-batch assembly from a
+    hash-tagged modality split, dealt in reproducible hash60 order —
+    batch composition is a pure function of the corpus, so the batch
+    plan itself is content-hash-checked."""
+    from yamr_spark.operators.multimodal import modality_interleave
+
+    return modality_interleave(table(spark, sf_dir, "documents"))

@@ -161,6 +161,7 @@ DRIVER_PRIORITY = [
     "observed_gate_metrics",
     "sql_view_pipeline",
     "llm_prep_pipeline_v2",
+    "modality_interleave",
     # oracles new in round 4 (rows-only in r03)
     "streaming_event_passthrough",
     "multimodal_decode_stats",
