@@ -84,3 +84,53 @@ def test_expire_keeps_latest_readable_and_sweeps_orphans(spark, tmp_path):
     # swept paths are gone
     for p in deleted:
         assert not os.path.exists(p)
+
+
+def test_random_batch_sequence_equals_one_shot(spark, tmp_path):
+    """Property-ish: any sequence of commits equals keep_latest over the
+    concatenation (associativity through the manifest chain)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from yamr_spark.streaming.upsert import keep_latest
+
+    rng = random.Random(7)
+    base = datetime(2024, 1, 1)
+    all_rows = []
+    table = str(tmp_path / "t")
+    create_table(table)
+    for _ in range(4):
+        batch = [
+            (
+                rng.randrange(6),
+                len(all_rows) * 100 + i,
+                float(rng.randrange(100)),
+                base + timedelta(minutes=rng.randrange(10000)),
+            )
+            for i in range(rng.randrange(1, 8))
+        ]
+        all_rows += batch
+        commit_merge(
+            _batch(spark, batch), table, key="user_id", order="ts", tie="event_id"
+        )
+    got = {
+        (r.user_id, r.event_id) for r in read_snapshot(spark, table).collect()
+    }
+    want = {
+        (r.user_id, r.event_id)
+        for r in keep_latest(
+            _batch(spark, all_rows), "user_id", "ts", "event_id"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_read_missing_snapshot_raises(spark, tmp_path):
+    import pytest
+
+    table = str(tmp_path / "t")
+    create_table(table)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, 99)
+    with pytest.raises(ValueError):
+        read_snapshot(spark, table, 0)  # empty snapshot

@@ -64,3 +64,23 @@ def test_doc_fingerprint_stability(spark):
         )
     ).collect()[0]
     assert (fa.fp_min, fa.fp_max) != (c.fp_min, c.fp_max)
+
+
+def test_kmv_exact_below_k_and_bounded_above_k(spark):
+    """KMV: when distinct < k the sketch IS exact; when distinct >> k the
+    estimate lands within the 3-sigma KMV error band (~3/sqrt(k))."""
+    from yamr_spark.operators.text import kmv_distinct
+
+    small = spark.range(0, 100).selectExpr("CAST(id AS STRING) AS v")
+    r = kmv_distinct(small, "v", k=256).collect()[0]
+    assert r.n_hashes == 100 and r.estimate == 100.0
+
+    big = spark.range(0, 50_000).selectExpr("CAST(id AS STRING) AS v")
+    r = kmv_distinct(big, "v", k=256).collect()[0]
+    assert r.n_hashes == 256
+    rel_err = abs(r.estimate - 50_000) / 50_000
+    assert rel_err < 3.0 / (256 ** 0.5), f"estimate {r.estimate} off by {rel_err:.3f}"
+
+    # determinism: identical on re-evaluation
+    r2 = kmv_distinct(big, "v", k=256).collect()[0]
+    assert (r.kth_min, r.estimate) == (r2.kth_min, r2.estimate)
