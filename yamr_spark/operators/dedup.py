@@ -594,7 +594,14 @@ def ngram_jaccard_pairs(
        correction. |A|,|B| come from a map-side per-doc distinct count.
        No per-pair full-set arrays are ever built or joined — the
        verify never touches the corpus again."""
-    sh = word_shingle_hashes(docs, n=n, text_col=text_col, id_col=id_col)
+    # The HASHED shingle stream (16-byte rows) is consumed by the df
+    # pass, the posting aggregation, and the hot-set build — materialize
+    # it once. (The r03 lesson "don't checkpoint the shingle stream"
+    # predates hashing: it was measured on STRING shingles, where the
+    # checkpoint wrote the n-gram text; the hashed stream is ~10×
+    # narrower and re-deriving it costs a full tokenize+explode per
+    # consumer. Measured: postings pass 2.3 → 1.8 s at sf0.1.)
+    sh = materialize(word_shingle_hashes(docs, n=n, text_col=text_col, id_col=id_col))
     hot = (
         sh.groupBy("sh")
         .agg(F.count("*").alias("df"))
