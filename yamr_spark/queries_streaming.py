@@ -392,9 +392,22 @@ def q_snapshot_time_travel(spark, sf_dir):
     )
     from yamr_spark.tmpdirs import session_dir
 
+    from yamr_spark.operators.snapshots import latest_version
+
     base = session_dir(f"snap_table:{sf_dir}", "yamr_snap_")
     t = os.path.join(base, "table")
-    if not os.path.exists(os.path.join(t, "LATEST")):
+
+    def _built() -> bool:
+        # LATEST existing is not enough (a crash between the two
+        # commits leaves a half-built table that would silently serve a
+        # wrong v2 — the same trap as the r03 bare-directory _SUCCESS
+        # advice); require the final version number.
+        try:
+            return latest_version(t) == 2
+        except FileNotFoundError:
+            return False
+
+    if not _built():
         create_table(t)
         ev = table(spark, sf_dir, "events").select(
             "user_id", "event_id", "value", "ts"
