@@ -20,7 +20,10 @@ Design:
   listing; no data is read to decide whether/how much to compact.
   (Local implementation walks the filesystem; on a cluster the same
   listing comes from the Hadoop FileSystem API — the plan/rewrite/swap
-  structure is unchanged.)
+  structure is unchanged. The per-leaf loop is sequential on the
+  driver; with many thousands of undersized leaves, submit the
+  rewrites through a thread pool — Spark schedules concurrent jobs
+  fine — or compact coarser prefixes.)
 """
 
 from __future__ import annotations

@@ -13,7 +13,13 @@ Scale notes: the store is bucketed by key hash into a fixed directory
 layout, and each micro-batch rewrites ONLY the buckets its keys touch
 (read old bucket + union batch slice + keep-latest + atomic
 tmp-dir/rename swap). Untouched buckets are never read or written, so
-per-batch cost is O(batch ∪ touched-buckets), not O(store). On a real
+per-batch cost is O(batch ∪ touched-buckets), not O(store). The
+per-bucket driver loop issues sequential jobs — right for the
+dozens-of-buckets layouts here; at thousands of touched buckets the
+single-job rewrite is Spark's dynamic partition overwrite
+(partitionOverwriteMode=dynamic over a bucket-partitioned store:
+one pruned read of the touched buckets ∪ batch, one partitioned
+write), same merge semantics, job-level commit. On a real
 cluster the same pattern is what Delta/Iceberg MERGE INTO compiles to
 under the hood (copy-on-write of matched files); here it is expressed
 with plain parquet + directory swaps so the engine has no table-format
