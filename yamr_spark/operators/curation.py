@@ -469,7 +469,10 @@ def write_shuffled_corpus(
     (``shard=k/``), rows sorted by shuffle_key within each shard — a
     trainer rank does a sequential scan of its directory and sees its
     slice of the global permutation. One shuffle (repartition on shard)
-    + in-partition sort; no global sort."""
+    + in-partition sort; no global sort. Size ``shards`` like output
+    files, not like ranks: ~corpus_bytes / 1-2 GB (a rank can own many
+    shards; a 100 TB corpus wants ~50-100k shards, NOT 16 — the
+    default suits the fixtures)."""
     (
         global_shuffle(docs, shards=shards, salt=salt, id_col=id_col)
         .repartition(shards, F.col("shard"))
