@@ -266,3 +266,35 @@ def q_date_features(spark, sf_dir):
         .cast("int")
         .alias("days_since_epoch_start"),
     )
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS n_with_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS k_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_props_stats(spark, sf_dir):
+    """Semi-structured payloads through Spark 4's VARIANT type:
+    parse_json once into a binary variant, variant_get typed paths out
+    — the open-schema path that replaces per-query JSON re-parsing
+    (the variant parse happens once per row; every extraction after
+    that is a binary path walk, which is the 100 TB argument vs
+    get_json_object re-parsing text per field). NULL props and missing
+    keys degrade to NULL, matching SQL JSON semantics on both
+    engines."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json(F.col("props"))
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.expr("variant_get(v, '$.k', 'int')")).alias("n_with_k"),
+        F.sum(F.expr("variant_get(v, '$.k', 'int')")).cast("bigint").alias("k_sum"),
+    )

@@ -162,6 +162,7 @@ DRIVER_PRIORITY = [
     "sql_view_pipeline",
     "llm_prep_pipeline_v2",
     "modality_interleave",
+    "variant_props_stats",
     # oracles new in round 4 (rows-only in r03)
     "streaming_event_passthrough",
     "multimodal_decode_stats",
