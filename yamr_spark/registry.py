@@ -167,12 +167,13 @@ DRIVER_PRIORITY = [
     "streaming_event_passthrough",
     "multimodal_decode_stats",
     "multimodal_thumbnails",
-    "multimodal_frame_sample",
-    # plans changed in round 4
+    # plans changed in round 4 (frame_sample shares decode's mapInPandas
+    # seam — it yields its slot to the changed minhash plan)
     "ngram_jaccard_pairs",
     "chunk_dup_stats",
     "simhash_near_dup",
     "minhash_near_dup",
+    "multimodal_frame_sample",
     "dedup_groups",
     "ivf_assign",
     "ann_ivf_topk",
