@@ -611,3 +611,39 @@ def llm_prep_pipeline_v2(
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dataset-version diff at document granularity: full-outer join of
+    the two corpus versions on id, comparing sha2-256 digests — the
+    release-notes report (added / removed / changed / unchanged counts)
+    a corpus publisher runs between versions.
+
+    Scale: both sides reduce to (id, 32-byte digest) map-side before
+    the one full-outer shuffle on id; document bodies never move. The
+    classification is pure column logic on null-ness + digest equality."""
+    oh = old.select(
+        F.col(id_col).alias("id"),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("h_old"),
+    )
+    nh = new.select(
+        F.col(id_col).alias("id"),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("h_new"),
+    )
+    status = (
+        F.when(F.col("h_old").isNull(), "added")
+        .when(F.col("h_new").isNull(), "removed")
+        .when(F.col("h_old") == F.col("h_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        oh.join(nh, "id", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+    )

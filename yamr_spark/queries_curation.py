@@ -517,3 +517,42 @@ def q_llm_prep_pipeline_v2(spark, sf_dir):
     everything, including the transitive closure, in one recursive-CTE
     statement."""
     return C.llm_prep_pipeline_v2(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_version_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 3 <> 0
+    ),
+    new AS (
+      SELECT doc_id,
+             sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                WHEN o.h = n.h THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM old o FULL OUTER JOIN new n USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def q_corpus_version_diff(spark, sf_dir):
+    """Release diff between two corpus versions (carved from the fixture:
+    v_old = ids not div by 3, v_new = ids not div by 5 with every 7th
+    doc edited): digest-level added/removed/changed/unchanged counts —
+    bodies reduce to 32-byte digests before the single full-outer
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return C.corpus_diff(old, new)

@@ -163,6 +163,7 @@ DRIVER_PRIORITY = [
     "llm_prep_pipeline_v2",
     "modality_interleave",
     "variant_props_stats",
+    "corpus_version_diff",
     # oracles new in round 4 (rows-only in r03)
     "streaming_event_passthrough",
     "multimodal_decode_stats",
