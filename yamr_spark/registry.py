@@ -167,13 +167,14 @@ DRIVER_PRIORITY = [
     # oracles new in round 4 (rows-only in r03)
     "streaming_event_passthrough",
     "multimodal_decode_stats",
-    "multimodal_thumbnails",
-    # plans changed in round 4 (frame_sample shares decode's mapInPandas
-    # seam — it yields its slot to the changed minhash plan)
+    # plans changed in round 4 (thumbnails/frame_sample share decode's
+    # mapInPandas seam — they yield their slots to the changed
+    # ngram/simhash/minhash plans)
     "ngram_jaccard_pairs",
     "chunk_dup_stats",
     "simhash_near_dup",
     "minhash_near_dup",
+    "multimodal_thumbnails",
     "multimodal_frame_sample",
     "dedup_groups",
     "ivf_assign",
