@@ -431,6 +431,8 @@ def global_shuffle(
     Mod-sharding (not range-sharding) keeps shard population
     concentration-bounded without a sampling pass, and the oracle can
     replay it exactly."""
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
     return docs.withColumn("shuffle_key", shuffle_key(id_col, salt)).withColumn(
         "shard", F.pmod(F.col("shuffle_key"), F.lit(shards)).cast("int")
     )
@@ -509,6 +511,8 @@ def chunk_documents(
     (``ChunkDocUDTF``) exists as the extension hook for chunkers that
     genuinely need Python (tokenizer models); same output contract,
     pinned equal by test."""
+    if width < 1 or stride < 1:
+        raise ValueError(f"width/stride must be >= 1, got {width}/{stride}")
     from yamr_spark.functions import hash60_sql
 
     t = (

@@ -256,6 +256,8 @@ def bm25_search(
     corpus-level scalars (N, avgdl) and per-term df are 1-row /
     |terms|-row aggregates cross-broadcast back. Top-k is
     TakeOrderedAndProject (per-partition heaps), no global sort."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     toks = docs.select("doc_id", F.explode(_tokens_col()).alias("token"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     corpus = dl.agg(
@@ -363,6 +365,8 @@ def kmv_distinct(
     Returns one row: (n_hashes, kth_min, estimate) — n_hashes < k means
     the sketch saw every distinct value and the estimate IS exact
     (n_hashes)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
     from yamr_spark.functions import hash60
 
     hashes = df.select(hash60(F.col(col).cast("string")).alias("h")).distinct()
