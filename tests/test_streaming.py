@@ -207,3 +207,69 @@ def test_upsert_incremental_merge_equals_one_shot(spark, tmp_path):
         assert os.path.getmtime(os.path.join(store, d)) == mtimes[d], (
             f"{d} was rewritten by a batch that never touched it"
         )
+
+
+def test_dpo_merge_equals_per_bucket_loop(spark, tmp_path):
+    """The single-job dynamic-partition-overwrite merge must produce the
+    same store state as the per-bucket swap loop, and leave untouched
+    bucket partitions' files alone."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from yamr_spark.streaming.upsert import (
+        merge_batch_into_store,
+        merge_batch_into_store_dpo,
+        read_store,
+    )
+
+    schema = "user_id long, event_id long, value double, ts timestamp"
+    b1 = spark.createDataFrame(
+        [
+            (u, u * 10, float(u), datetime(2024, 1, 1, u % 12))
+            for u in range(1, 9)
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(1, 99, 9.0, datetime(2024, 1, 2)), (3, 98, 8.0, datetime(2024, 1, 2))],
+        schema,
+    )
+
+    loop_store = str(tmp_path / "loop")
+    dpo_store = str(tmp_path / "dpo")
+    for b in (b1, b2):
+        merge_batch_into_store(b, loop_store, key="user_id", order="ts", tie="event_id")
+        merge_batch_into_store_dpo(
+            b, dpo_store, key="user_id", order="ts", tie="event_id"
+        )
+
+    loop_state = {
+        (r.user_id, r.event_id) for r in read_store(spark, loop_store).collect()
+    }
+    dpo_state = {
+        (r.user_id, r.event_id)
+        for r in spark.read.parquet(dpo_store)
+        .select("user_id", "event_id")
+        .collect()
+    }
+    assert dpo_state == loop_state
+
+    # untouched partitions keep their files: record mtimes, merge again
+    mtimes = {}
+    for d in os.listdir(dpo_store):
+        if d.startswith("bucket="):
+            p = os.path.join(dpo_store, d)
+            mtimes[d] = max(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p))
+    b3 = spark.createDataFrame([(1, 97, 1.0, datetime(2024, 1, 3))], schema)
+    merge_batch_into_store_dpo(b3, dpo_store, key="user_id", order="ts", tie="event_id")
+    touched = {
+        f"bucket={r[0]}"
+        for r in b3.select(F.pmod(F.xxhash64(F.col("user_id")), F.lit(8))).collect()
+    }
+    for d, mt in mtimes.items():
+        if d not in touched:
+            p = os.path.join(dpo_store, d)
+            now = max(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p))
+            assert now == mt, f"{d} rewritten by a merge that never touched it"

@@ -129,3 +129,54 @@ def read_store(spark: SparkSession, store_dir: str) -> DataFrame:
         and os.path.exists(os.path.join(store_dir, d, "_SUCCESS"))
     ]
     return spark.read.parquet(*buckets)
+
+
+def merge_batch_into_store_dpo(
+    batch_df: DataFrame,
+    store_dir: str,
+    key: str,
+    order: str,
+    tie: str,
+    n_buckets: int = 8,
+) -> None:
+    """The SINGLE-JOB form of ``merge_batch_into_store``: one pruned
+    read of the touched buckets ∪ the batch, one keep-latest, one
+    dynamic-partition-overwrite write — Spark's committer replaces
+    exactly the partitions present in the output (the touched buckets)
+    and leaves the rest untouched. Same merge semantics as the
+    per-bucket loop (test-pinned equal); right when a batch touches
+    hundreds+ of buckets and the sequential per-bucket jobs dominate.
+
+    The merged frame is materialized before the write because Spark
+    (correctly) refuses to overwrite a path an active plan is reading;
+    the barrier bounds that staging cost to touched-bucket data, not
+    the store."""
+    import os
+
+    from yamr_spark.materialize import materialize
+
+    spark = batch_df.sparkSession
+    batch = batch_df.withColumn("bucket", _bucket_of(F.col(key), n_buckets))
+    batch.persist()
+    try:
+        touched = [r[0] for r in batch.select("bucket").distinct().collect()]
+        if os.path.exists(store_dir) and any(
+            d.startswith("bucket=") for d in os.listdir(store_dir)
+        ):
+            old = (
+                spark.read.parquet(store_dir)
+                .where(F.col("bucket").isin(touched))
+                .select(*batch.columns)
+            )
+            merged = keep_latest(old.unionByName(batch), key, order, tie)
+        else:
+            merged = keep_latest(batch, key, order, tie)
+        merged = materialize(merged)
+        prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(store_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    finally:
+        batch.unpersist()
