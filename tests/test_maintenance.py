@@ -57,3 +57,23 @@ def test_compaction_prunes_still_work_after_rewrite(spark, sf_dir, tmp_path):
     txt = plan_text(pruned)
     assert "PartitionFilters" in txt and "lang" in txt
     assert pruned.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_concurrent_compaction_equals_sequential(spark, sf_dir, tmp_path):
+    from yamr_spark.operators.maintenance import compact_store
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    seq_store, con_store = str(tmp_path / "seq"), str(tmp_path / "con")
+    for store in (seq_store, con_store):
+        docs.repartition(12).write.partitionBy("lang").parquet(store)
+    p1 = compact_store(spark, seq_store, target_bytes=64 * 1024 * 1024)
+    p2 = compact_store(
+        spark, con_store, target_bytes=64 * 1024 * 1024, max_concurrency=4
+    )
+    assert sorted(r.doc_id for r in spark.read.parquet(con_store).collect()) == sorted(
+        r.doc_id for r in spark.read.parquet(seq_store).collect()
+    )
+    by_rel = lambda plan, root: {
+        e["dir"].replace(root, ""): e["n_files_after"] for e in plan
+    }
+    assert by_rel(p1, seq_store) == by_rel(p2, con_store)

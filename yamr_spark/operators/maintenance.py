@@ -79,17 +79,23 @@ def compact_store(
     spark: SparkSession,
     store_dir: str,
     target_bytes: int = 128 * 1024 * 1024,
+    max_concurrency: int = 1,
 ) -> list[dict]:
     """Compact every leaf directory that exceeds its target file count;
     returns the executed plan (with ``n_files_after`` filled in).
     Content-preserving by construction: each rewrite is
     read → coalesce(target) → write of the same rows, swapped in
-    atomically."""
+    atomically. ``max_concurrency`` > 1 submits leaf rewrites through a
+    thread pool — Spark's scheduler interleaves the independent jobs
+    (FIFO within a pool is fine: each job is small) so thousands of
+    tiny leaves don't serialize on driver round-trips; each leaf's
+    swap stays atomic and leaves never share state."""
     plan = compaction_plan(store_dir, target_bytes)
-    for entry in plan:
+
+    def _compact_leaf(entry: dict) -> None:
         if not entry["needed"]:
             entry["n_files_after"] = entry["n_files"]
-            continue
+            return
         leaf, n_out = entry["dir"], entry["target_files"]
         tmp = leaf + ".compact.tmp"
         # coalesce, not repartition: merging files needs no shuffle
@@ -101,4 +107,13 @@ def compact_store(
         entry["n_files_after"] = sum(
             1 for f in os.listdir(leaf) if f.endswith(".parquet")
         )
+
+    if max_concurrency <= 1:
+        for entry in plan:
+            _compact_leaf(entry)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            list(pool.map(_compact_leaf, plan))
     return plan
