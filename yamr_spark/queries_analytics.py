@@ -168,3 +168,35 @@ def q_kmv_distinct_orders(spark, sf_dir):
     from yamr_spark.operators.text import kmv_distinct
 
     return kmv_distinct(table(spark, sf_dir, "lineitem"), "l_orderkey", k=256)
+
+
+@register(
+    "stats_moments",
+    oracle="""
+    SELECT event_type,
+           ROUND(stddev_samp(value), 6) AS sd,
+           ROUND(var_samp(value), 6) AS vr,
+           ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cv,
+           ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS cr,
+           ROUND(median(value), 6) AS md
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stats_moments(spark, sf_dir):
+    """Second-moment aggregate surface: sample stddev/variance,
+    covariance, Pearson correlation, exact median — the subset whose
+    definitions agree bit-for-bit (at 6 dp) across engines (skewness/
+    kurtosis are deliberately excluded: Spark computes population
+    moments, DuckDB bias-corrected sample moments). One
+    partial-aggregated shuffle; median is the exact interpolating
+    percentile both engines define identically."""
+    ev = table(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 6).alias("vr"),
+        F.round(F.covar_samp("value", u), 6).alias("cv"),
+        F.round(F.corr("value", u), 6).alias("cr"),
+        F.round(F.median("value"), 6).alias("md"),
+    )

@@ -298,3 +298,39 @@ def q_variant_props_stats(spark, sf_dir):
         F.count(F.expr("variant_get(v, '$.k', 'int')")).alias("n_with_k"),
         F.sum(F.expr("variant_get(v, '$.k', 'int')")).cast("bigint").alias("k_sum"),
     )
+
+
+@register(
+    "string_features",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up,
+           trim(p_name) AS tr,
+           lpad(p_brand, 12, '*') AS padded,
+           split_part(p_name, ' ', 1) AS first_word,
+           regexp_extract(p_brand, '[0-9]+', 0) AS brand_num,
+           reverse(p_name) AS rev,
+           replace(p_name, ' ', '_') AS snake,
+           CAST(strpos(p_name, 'a') AS INTEGER) AS a_pos
+    FROM part
+    WHERE p_partkey < 200
+    """,
+)
+def q_string_features(spark, sf_dir):
+    """String-function surface in one projection: case mapping, trim,
+    padding, token extraction (split_part), regex capture, reverse,
+    replace, and 1-based substring position — the fields whose
+    semantics align exactly across engines. Map-side only; the partkey
+    range pushes to the scan."""
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.trim("p_name").alias("tr"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.reverse("p_name").alias("rev"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.instr("p_name", "a").cast("int").alias("a_pos"),
+    )

@@ -185,7 +185,10 @@ DRIVER_PRIORITY = [
     "ivf_probe_partitioned",
     "compat_word_count",
     "compat_year_max_region",
-    # ---- beyond slot 50: green-in-r01-r03 representatives (backfill)
+    # ---- beyond slot 50: round-4 tail additions (r05 window candidates)
+    "stats_moments",
+    "string_features",
+    # green-in-r01-r03 representatives (backfill)
     "simhash",
     "minhash_signatures",
     "minhash_band_pairs",
