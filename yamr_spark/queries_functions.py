@@ -334,3 +334,32 @@ def q_string_features(spark, sf_dir):
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
         F.instr("p_name", "a").cast("int").alias("a_pos"),
     )
+
+
+@register(
+    "try_function_features",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN (o_orderkey % 10) = 0 THEN NULL
+                ELSE ROUND(o_totalprice / (o_orderkey % 10), 6) END AS safe_div,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+)
+def q_try_function_features(spark, sf_dir):
+    """Error-safe expression surface: try_divide (NULL on zero divisor
+    instead of ANSI failure) and try_cast on non-numeric /
+    prefix-numeric strings — the functions that keep a 100 TB job from
+    dying on one malformed row. The oracle spells the same semantics
+    with CASE/TRY_CAST."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 10), 6
+        ).alias("safe_div"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
+    )

@@ -188,6 +188,7 @@ DRIVER_PRIORITY = [
     # ---- beyond slot 50: round-4 tail additions (r05 window candidates)
     "stats_moments",
     "string_features",
+    "try_function_features",
     # green-in-r01-r03 representatives (backfill)
     "simhash",
     "minhash_signatures",
