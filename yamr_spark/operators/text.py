@@ -386,3 +386,98 @@ def kmv_distinct(
             4,
         ).alias("estimate"),
     )
+
+
+def bpe_learn_merges(docs: DataFrame, n_merges: int = 3) -> DataFrame:
+    """Distributed BPE merge learning (Sennrich et al. 2016 / the GPT-2
+    vocab recipe), the first ``n_merges`` rounds: words become
+    space-joined symbol strings, each round counts adjacent symbol
+    pairs (weighted by word frequency), picks the most frequent pair
+    (ties: lexicographically smallest), and applies the merge
+    corpus-wide. Returns (rank, sym_a, sym_b, freq) — the learned merge
+    table, the artifact a tokenizer trainer persists.
+
+    Merge application is string replace of ' a b ' with ' ab ' over
+    sentinel-padded symbol strings — left-to-right non-overlapping,
+    exactly the semantics both engines' replace() implement, so the
+    oracle replays training bit-for-bit.
+
+    Scale: the word table (word, count) is materialized once (vocab ≪
+    corpus — this is why real BPE trainers count words first); each
+    round is one explode+partial-aggregated pair count, a 1-row argmax
+    broadcast back as a LITERAL-free column (no driver collect), and a
+    map-side replace. Rounds are sequential by nature (each merge
+    changes the next round's counts) — n_merges small driver-side
+    loop, like every published distributed BPE."""
+    from yamr_spark.materialize import materialize
+
+    words = (
+        docs.select(F.explode(_tokens_col()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        # sentinel-padded symbol string: ' h e l l o '
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.split(F.col("w"), ""), " "),
+                F.lit(" "),
+            ).alias("s"),
+            "cnt",
+        )
+        .transform(materialize)
+    )
+    merges = None
+    cur = words
+    for rank in range(1, n_merges + 1):
+        # sequence(1, 0) DESCENDS in Spark — guard 1-symbol words
+        toks = "filter(split(s, ' '), x -> length(x) > 0)"
+        pairs_expr = (
+            f"CASE WHEN size({toks}) < 2 THEN "
+            "array() "
+            f"ELSE transform(sequence(1, size({toks}) - 1), "
+            f"i -> struct(element_at({toks}, i) AS a, "
+            f"element_at({toks}, i + 1) AS b)) END"
+        )
+        pairs = cur.select(F.explode(F.expr(pairs_expr)).alias("p"), "cnt")
+        # deterministic tiebreak: min_by over (-freq, a, b) lexicographic
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("freq"))
+            .agg(
+                F.min_by(
+                    F.struct(
+                        F.col("p.a").alias("a"),
+                        F.col("p.b").alias("b"),
+                        F.col("freq"),
+                    ),
+                    F.struct(
+                        (-F.col("freq")).alias("nf"),
+                        F.col("p.a").alias("a"),
+                        F.col("p.b").alias("b"),
+                    ),
+                ).alias("x")
+            )
+            .select(
+                F.lit(rank).cast("long").alias("rank"),
+                F.col("x.a").alias("sym_a"),
+                F.col("x.b").alias("sym_b"),
+                F.col("x.freq").alias("freq"),
+            )
+            .transform(materialize)
+        )
+        merges = best if merges is None else merges.unionAll(best)
+        cur = (
+            cur.crossJoin(F.broadcast(best.select("sym_a", "sym_b")))
+            .select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit(" "), F.col("sym_a"), F.lit(" "), F.col("sym_b"), F.lit(" ")
+                    ),
+                    F.concat(F.lit(" "), F.col("sym_a"), F.col("sym_b"), F.lit(" ")),
+                ).alias("s"),
+                "cnt",
+            )
+            .transform(materialize)
+        )
+    return merges

@@ -296,3 +296,62 @@ def q_unigram_lm_score(spark, sf_dir):
     shuffle builds the model; scalars cross-broadcast; one per-doc mean
     scores. The oracle replays the identical smoothing arithmetic."""
     return T.unigram_lm_score(table(spark, sf_dir, "documents"))
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
+    """Unrolled BPE training replay: w0 → (pairs→best→merge) × n."""
+    head = """
+    w0 AS (
+      SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s,
+             cnt
+      FROM (
+        SELECT w, COUNT(*) AS cnt FROM (
+          SELECT unnest(list_filter(
+            regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'),
+            x -> length(x) > 0)) AS w
+          FROM documents
+        ) GROUP BY w
+      )
+    )"""
+    rounds = []
+    for r in range(1, n_merges + 1):
+        prev = f"w{r - 1}"
+        rounds.append(f"""
+    t{r} AS (
+      SELECT list_filter(string_split(s, ' '), x -> length(x) > 0) AS t, cnt
+      FROM {prev}
+    ),
+    p{r} AS (
+      SELECT p.a AS a, p.b AS b, SUM(cnt) AS freq
+      FROM (
+        SELECT unnest([struct_pack(a := t[i], b := t[i+1])
+                       for i in generate_series(1, len(t) - 1)]) AS p, cnt
+        FROM t{r} WHERE len(t) >= 2
+      )
+      GROUP BY p.a, p.b
+    ),
+    b{r} AS (
+      SELECT {r} AS rank, a AS sym_a, b AS sym_b, freq
+      FROM p{r} ORDER BY freq DESC, a, b LIMIT 1
+    ),
+    w{r} AS (
+      SELECT replace(s, ' ' || sym_a || ' ' || sym_b || ' ',
+                     ' ' || sym_a || sym_b || ' ') AS s, cnt
+      FROM {prev} CROSS JOIN b{r}
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST(rank AS BIGINT) AS rank, sym_a, sym_b, CAST(freq AS BIGINT) AS freq FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join([head] + rounds) + "\n" + selects
+
+
+@register("bpe_learn_merges", oracle=_bpe_oracle())
+def q_bpe_learn_merges(spark, sf_dir):
+    """Distributed BPE merge learning, first 3 rounds (Sennrich et al.
+    2016): per-round adjacent-pair counting over the materialized word
+    table, deterministic argmax (min_by on (-freq, a, b)), corpus-wide
+    merge via shared-boundary replace — the oracle replays training
+    round-for-round, so the learned merge table is content-hash
+    checked."""
+    return T.bpe_learn_merges(table(spark, sf_dir, "documents"))

@@ -189,6 +189,7 @@ DRIVER_PRIORITY = [
     "stats_moments",
     "string_features",
     "try_function_features",
+    "bpe_learn_merges",
     # green-in-r01-r03 representatives (backfill)
     "simhash",
     "minhash_signatures",
