@@ -135,3 +135,29 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
     assert len(truth & found) == len(truth), (
         f"recall {len(truth & found)}/{len(truth)}"
     )
+
+
+def test_simhash_overflow_guard(spark):
+    """A doc whose total token weight exceeds the 12-bit SWAR lane
+    capacity must not get a silently corrupted signature: default mode
+    raises at execution, 'null' mode emits NULL; in-capacity docs are
+    untouched in both modes."""
+    import pytest
+
+    from yamr_spark.operators.dedup import SIMHASH_LANE_BITS, simhash
+
+    cap = (1 << SIMHASH_LANE_BITS) - 1
+    big = " ".join(f"w{i % 7}" for i in range(cap + 1))
+    docs = spark.createDataFrame(
+        [(1, "small doc here"), (2, big)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="simhash SWAR lane overflow"):
+        simhash(docs).collect()
+
+    rows = {r.doc_id: r.simhash for r in simhash(docs, on_overflow="null").collect()}
+    assert rows[2] is None and rows[1] is not None
+    ok = docs.where("doc_id = 1")
+    assert (
+        simhash(ok).collect()[0].simhash
+        == simhash(ok, on_overflow="null").collect()[0].simhash
+    )

@@ -77,3 +77,48 @@ def test_concurrent_compaction_equals_sequential(spark, sf_dir, tmp_path):
         e["dir"].replace(root, ""): e["n_files_after"] for e in plan
     }
     assert by_rel(p1, seq_store) == by_rel(p2, con_store)
+
+
+def test_crash_residue_recovery(spark, sf_dir, tmp_path):
+    """A crash at any point of the swap leaves only underscore-hidden
+    residue; compaction_plan sweeps it (restoring the between-renames
+    backup) and a plain read never sees duplicated or bogus rows."""
+    import shutil
+
+    from yamr_spark.operators.maintenance import (
+        _leaf_parquet_dirs,
+        _stage_name,
+        _sweep_residue,
+    )
+
+    store = str(tmp_path / "store")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs.repartition(6).write.partitionBy("lang").parquet(store)
+    truth = sorted(r.doc_id for r in spark.read.parquet(store).collect())
+    leaves = _leaf_parquet_dirs(store)
+    assert leaves
+
+    # crash A: tmp written, swap never started
+    l0 = leaves[0]
+    parent, base = os.path.split(l0)
+    tmp = os.path.join(parent, _stage_name(base, ".compact.tmp"))
+    shutil.copytree(l0, tmp)
+    # crash B: old renamed aside, new rename never happened (leaf missing)
+    l1 = leaves[1]
+    parent1, base1 = os.path.split(l1)
+    old = os.path.join(parent1, _stage_name(base1, ".compact.old"))
+    os.rename(l1, old)
+
+    # Spark partition discovery ignores the residue even BEFORE sweep
+    # (underscore prefix) — no bogus partitions, no duplicate rows; the
+    # between-renames leaf is invisible until restored.
+    seen = sorted(r.doc_id for r in spark.read.parquet(store).collect())
+    assert set(seen) <= set(truth) and len(seen) == len(set(seen))
+
+    plan = compaction_plan(store, target_bytes=64 * 1024 * 1024)
+    assert not os.path.exists(tmp) and not os.path.exists(old)
+    assert os.path.exists(l1)  # backup restored
+    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == truth
+    # planner never lists underscore dirs as leaves
+    assert all("/_" not in e["dir"].replace(store, "") for e in plan)
+    assert _sweep_residue(store) == []

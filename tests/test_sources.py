@@ -90,3 +90,22 @@ def test_read_csv_with_schema(spark, tmp_path):
     df = read_csv(spark, str(p), schema="k string, v long")
     assert sorted(map(tuple, df.collect())) == [("a", 1), ("b", 2)]
     assert [f.dataType.simpleString() for f in df.schema.fields] == ["string", "bigint"]
+
+
+def test_read_csv_schema_optional_and_multiline_distinct(spark, tmp_path):
+    """The two CSV contracts coexist un-shadowed: read_csv (optional
+    schema, inference fallback, splittable) and read_csv_multiline
+    (schema-required, quoted embedded newlines)."""
+    from yamr_spark.sources import read_csv, read_csv_multiline, write_csv
+
+    p = tmp_path / "plain.csv"
+    p.write_text("k,v\na,1\nb,2\n")
+    inferred = read_csv(spark, str(p))  # optional-schema contract
+    assert sorted(r["k"] for r in inferred.collect()) == ["a", "b"]
+
+    df = spark.createDataFrame([("x", "line1\nline2"), ("y", "flat")], "k string, body string")
+    out = str(tmp_path / "multi")
+    write_csv(df, out)
+    back = read_csv_multiline(spark, out, "k string, body string")
+    rows = {r["k"]: r["body"] for r in back.collect()}
+    assert rows == {"x": "line1\nline2", "y": "flat"}

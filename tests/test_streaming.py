@@ -273,3 +273,65 @@ def test_dpo_merge_equals_per_bucket_loop(spark, tmp_path):
             p = os.path.join(dpo_store, d)
             now = max(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p))
             assert now == mt, f"{d} rewritten by a merge that never touched it"
+
+
+def test_upsert_crash_residue_invisible_and_recovered(spark, tmp_path):
+    """Staging residue from a crashed merge is invisible to read_store
+    (no duplicated keys), and a re-merge restores a bucket stranded
+    between the two swap renames instead of dropping its rows."""
+    import os
+    import shutil
+    from datetime import datetime
+
+    from yamr_spark.streaming.upsert import merge_batch_into_store, read_store
+
+    schema = "user_id long, event_id long, event_type string, value double, ts timestamp"
+    b1 = spark.createDataFrame(
+        [
+            (1, 10, "click", 1.0, datetime(2024, 1, 1, 0, 0)),
+            (2, 11, "view", 2.0, datetime(2024, 1, 1, 0, 1)),
+            (3, 12, "view", 3.0, datetime(2024, 1, 1, 0, 2)),
+        ],
+        schema,
+    )
+    store = str(tmp_path / "store")
+    merge_batch_into_store(b1, store, key="user_id", order="ts", tie="event_id")
+    buckets = sorted(d for d in os.listdir(store) if d.startswith("bucket="))
+    assert buckets
+    truth = {(r.user_id, r.event_id) for r in read_store(spark, store).collect()}
+
+    # crash A: a committed-looking tmp next to a live bucket (the old
+    # pre-fix layout 'bucket=K.tmp' read as a bucket; the new layout
+    # must not)
+    b0 = buckets[0]
+    n0 = b0.split("=")[1]
+    tmp = os.path.join(store, f"_bucket_{n0}.tmp")
+    shutil.copytree(os.path.join(store, b0), tmp)
+    assert {
+        (r.user_id, r.event_id) for r in read_store(spark, store).collect()
+    } == truth  # no duplicated keys from residue
+
+    # crash B: bucket renamed aside, new rename never happened
+    b_last = buckets[-1]
+    n_last = b_last.split("=")[1]
+    os.rename(
+        os.path.join(store, b_last), os.path.join(store, f"_bucket_{n_last}.old")
+    )
+    # re-merge an empty-for-that-bucket batch targeting bucket n_last:
+    # recovery must restore the stranded rows
+    b2 = spark.createDataFrame([(1, 99, "click", 5.0, datetime(2024, 1, 2))], schema)
+    merge_batch_into_store(b2, store, key="user_id", order="ts", tie="event_id")
+    # force recovery of every touched bucket by merging the full keyset
+    b3 = spark.createDataFrame(
+        [
+            (1, 100, "click", 6.0, datetime(2024, 1, 3)),
+            (2, 101, "view", 7.0, datetime(2024, 1, 3)),
+            (3, 102, "view", 8.0, datetime(2024, 1, 3)),
+        ],
+        schema,
+    )
+    merge_batch_into_store(b3, store, key="user_id", order="ts", tie="event_id")
+    got = {(r.user_id, r.event_id) for r in read_store(spark, store).collect()}
+    assert got == {(1, 100), (2, 101), (3, 102)}
+    # all residue swept by the merges that touched those buckets
+    assert not any(d.endswith((".tmp", ".old")) for d in os.listdir(store))

@@ -436,7 +436,12 @@ def _token_counts(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    on_overflow: str = "error",
+) -> DataFrame:
     """60-bit SimHash per document, term-frequency weighted.
 
     Token hash = first 15 md5 hex chars as a BIGINT (functions.hash60 —
@@ -446,7 +451,18 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     aggregates with fixed-width (14-column SWAR-packed) buffers; no
     pairwise work. The DuckDB oracle keeps the UNPACKED 60-sum
     formulation — matching it end-to-end is the proof that the packed
-    representation computes the identical signature."""
+    representation computes the identical signature.
+
+    The SWAR lanes hold weighted bit-counts up to 2^12−1 = 4095, so a
+    document whose TOTAL token weight exceeds 4095 would silently
+    carry into adjacent lanes and corrupt its signature. wsum is
+    already aggregated per doc, so the guard is free and LAZY (a
+    branch inside the signature expression — no extra job):
+    ``on_overflow='error'`` (default) raises at execution time naming
+    the doc; ``'null'`` emits a NULL signature for over-capacity docs
+    (caller filters or routes them to a wide-lane/unpacked pass)."""
+    if on_overflow not in ("error", "null"):
+        raise ValueError(f"on_overflow must be 'error' or 'null', got {on_overflow!r}")
     from yamr_spark.functions import hash60
 
     tc = _token_counts(docs, text_col, id_col).withColumn("h", hash60(F.col("token")))
@@ -487,7 +503,28 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         ).bitwiseAND(F.lit(lane_mask))
         term = F.when(lane * 2 > F.col("wsum"), F.lit(1 << j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return sums.select("doc_id", sig.cast("long").alias("simhash"))
+    lane_capacity = (1 << SIMHASH_LANE_BITS) - 1
+    if on_overflow == "error":
+        guarded = F.when(
+            F.col("wsum") > lane_capacity,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "simhash SWAR lane overflow: doc_id="
+                    ),
+                    F.col("doc_id").cast("string"),
+                    F.lit(
+                        f" has token weight > {lane_capacity}; widen lanes"
+                        " or pass on_overflow='null'"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(sig.cast("long"))
+    else:
+        guarded = F.when(F.col("wsum") > lane_capacity, F.lit(None).cast("long")).otherwise(
+            sig.cast("long")
+        )
+    return sums.select("doc_id", guarded.alias("simhash"))
 
 
 def simhash_near_dup(

@@ -14,8 +14,14 @@ Design:
   compacts incrementally — a crashed run leaves every completed
   directory valid, and re-running skips directories already within
   budget.
-- **Atomic swap**: rewrite to ``<dir>.compact.tmp`` then rename over
-  the original — readers see the old or the new file set, never a mix.
+- **Atomic swap with invisible staging**: rewrite to
+  ``_<dir>.compact.tmp`` (the underscore prefix makes Spark's
+  FileIndex — and this module's planner — ignore it), rename the
+  original aside to ``_<dir>.compact.old``, rename the rewrite into
+  place, drop the backup. Readers see the old or the new file set,
+  never a mix, and a crash at ANY step leaves only underscore-hidden
+  residue that ``compaction_plan`` sweeps (restoring the backup when
+  the crash landed between the two renames).
 - **Planning from metadata only**: file sizes come from a directory
   listing; no data is read to decide whether/how much to compact.
   (Local implementation walks the filesystem; on a cluster the same
@@ -35,16 +41,69 @@ import shutil
 from pyspark.sql import SparkSession
 
 
+def _stage_name(base: str, suffix: str) -> str:
+    """Staging/backup dir name for leaf ``base``: underscore-prefixed so
+    Spark's FileIndex ignores it — with ``=`` percent-encoded, because
+    Spark's filter (HadoopFsUtils.shouldFilterOutPathName) exempts
+    underscore names CONTAINING '=' (it must keep partition dirs), so
+    a literal ``_lang=en.compact.old`` would be partition-parsed as a
+    conflicting ``_lang`` column."""
+    return "_" + base.replace("=", "%3D") + suffix
+
+
+def _unstage_name(name: str, suffix: str) -> str:
+    return name[1 : -len(suffix)].replace("%3D", "=")
+
+
 def _leaf_parquet_dirs(store_dir: str) -> list[str]:
     """Leaf directories holding parquet files (a flat store is its own
-    single leaf)."""
+    single leaf). Any path component with a leading underscore is
+    staging/backup residue (``_<leaf>.compact.tmp`` / ``.compact.old``)
+    — skipped here exactly as Spark's FileIndex skips it, so a crashed
+    compaction can neither be re-compacted nor partition-discovered."""
     leaves = []
     for root, _dirs, files in os.walk(store_dir):
-        if root.endswith(".compact.tmp"):
+        rel = os.path.relpath(root, store_dir)
+        if rel != "." and any(part.startswith("_") for part in rel.split(os.sep)):
             continue
         if any(f.endswith(".parquet") for f in files):
             leaves.append(root)
     return sorted(leaves)
+
+
+def _sweep_residue(store_dir: str) -> list[str]:
+    """Recover from a crashed compaction. Residue is invisible to
+    readers and the planner (underscore prefix), so sweeping never
+    races a read. Rules, per leaf ``<L>``:
+
+    - ``_<L>.compact.old`` present, ``<L>`` missing → the crash hit
+      between the two swap renames; the backup IS the data — rename it
+      back into place.
+    - ``_<L>.compact.old`` present, ``<L>`` present → the new leaf was
+      fully renamed in; the backup is superseded — delete it.
+    - ``_<L>.compact.tmp`` → always a partial/complete rewrite whose
+      source rows still live at ``<L>`` or its ``.old`` — delete it.
+    """
+    actions = []
+    for root, dirs, _files in os.walk(store_dir):
+        for d in list(dirs):
+            if not d.startswith("_"):
+                continue
+            full = os.path.join(root, d)
+            if d.endswith(".compact.old"):
+                leaf = os.path.join(root, _unstage_name(d, ".compact.old"))
+                if os.path.exists(leaf):
+                    shutil.rmtree(full)
+                    actions.append(f"removed superseded backup {full}")
+                else:
+                    os.rename(full, leaf)
+                    actions.append(f"restored {leaf} from backup")
+                dirs.remove(d)
+            elif d.endswith(".compact.tmp"):
+                shutil.rmtree(full)
+                dirs.remove(d)
+                actions.append(f"removed partial rewrite {full}")
+    return actions
 
 
 def compaction_plan(
@@ -53,7 +112,11 @@ def compaction_plan(
     """Metadata-only plan: one entry per leaf directory with its file
     count, byte total, and the file count compaction would produce.
     ``needed`` is False when the directory is already at (or below) its
-    target file count — re-running a completed compaction is a no-op."""
+    target file count — re-running a completed compaction is a no-op.
+    Planning starts by sweeping (and where needed, restoring from)
+    residue of any crashed prior run, so the plan always sees exactly
+    the committed leaves."""
+    _sweep_residue(store_dir)
     plan = []
     for leaf in _leaf_parquet_dirs(store_dir):
         files = [
@@ -97,10 +160,11 @@ def compact_store(
             entry["n_files_after"] = entry["n_files"]
             return
         leaf, n_out = entry["dir"], entry["target_files"]
-        tmp = leaf + ".compact.tmp"
+        parent, base = os.path.split(leaf)
+        tmp = os.path.join(parent, _stage_name(base, ".compact.tmp"))
+        swap = os.path.join(parent, _stage_name(base, ".compact.old"))
         # coalesce, not repartition: merging files needs no shuffle
         spark.read.parquet(leaf).coalesce(n_out).write.mode("overwrite").parquet(tmp)
-        swap = leaf + ".compact.old"
         os.rename(leaf, swap)
         os.rename(tmp, leaf)
         shutil.rmtree(swap)

@@ -266,13 +266,13 @@ def q_csv_roundtrip_stats(spark, sf_dir):
     damage, or type drift through the CSV hop fails the hash."""
     import os
 
-    from yamr_spark.sources import read_csv, write_csv
+    from yamr_spark.sources import read_csv_multiline, write_csv
     from yamr_spark.tmpdirs import session_dir
 
     docs = table(spark, sf_dir, "documents")
     out = os.path.join(session_dir(f"csv:{sf_dir}", "yamr_csv_"), "docs")
     write_csv(docs, out)
-    back = read_csv(spark, out, docs.schema)
+    back = read_csv_multiline(spark, out, docs.schema)
     return back.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),

@@ -397,7 +397,8 @@ def q_chunk_documents(spark, sf_dir):
 @register(
     "compacted_store_counts",
     oracle="""
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     GROUP BY lang
     """,

@@ -198,11 +198,12 @@ def write_csv(df: DataFrame, path: str) -> None:
     )
 
 
-def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+def read_csv_multiline(spark: SparkSession, path: str, schema) -> DataFrame:
     """CSV source with an EXPLICIT schema (inference = full pre-scan;
     production declares). multiLine handles quoted embedded newlines —
     note multiLine makes individual files non-splittable, which is the
-    real 100 TB reason to keep corpora out of CSV."""
+    real 100 TB reason to keep corpora out of CSV. For plain
+    newline-free CSV use ``read_csv`` (splittable, optional schema)."""
     return (
         spark.read.schema(schema)
         .option("header", "true")

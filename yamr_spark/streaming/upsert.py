@@ -60,10 +60,13 @@ def merge_batch_into_store(
     """Batch-merge ``batch_df`` into the keyed store: for each BUCKET the
     batch touches, read the old bucket, union the batch slice, keep the
     latest row per key, and atomically swap the bucket directory. The
-    swap (write to ``<bucket>.tmp`` then rename over the old directory)
-    keeps a concurrent reader consistent per-bucket and makes a crashed
-    merge retryable — the _SUCCESS-marked tmp either fully replaces the
-    bucket or is ignored."""
+    staging dir is ``_bucket_<b>.tmp`` — the leading underscore means
+    Spark's FileIndex AND ``read_store`` both ignore it, so a crash at
+    any point leaves only invisible residue (swept on retry), never a
+    half-committed bucket that reads as duplicated keys. The swap is
+    two renames (old → ``_bucket_<b>.old``, tmp → bucket), so the
+    window where a concurrent reader sees the bucket missing is two
+    metadata ops, not an rmtree of the old data."""
     spark = batch_df.sparkSession
     batch_df = batch_df.withColumn("__bucket", _bucket_of(F.col(key), n_buckets))
     batch_df.persist()
@@ -73,17 +76,34 @@ def merge_batch_into_store(
         ]
         for b in touched:
             bucket_dir = os.path.join(store_dir, f"bucket={b}")
+            # no '=' in staging names: Spark's path filter exempts
+            # underscore names containing '=' (partition-dir support),
+            # so '_bucket=K.tmp' would be partition-discovered.
+            tmp = os.path.join(store_dir, f"_bucket_{b}.tmp")
+            old_stage = os.path.join(store_dir, f"_bucket_{b}.old")
+            # recover residue from a previous crashed merge of this
+            # bucket: a .old with no committed bucket is the data (the
+            # crash hit between the two renames) — restore it; any
+            # other residue is superseded — drop it.
+            if os.path.exists(old_stage):
+                if os.path.exists(bucket_dir):
+                    shutil.rmtree(old_stage)
+                else:
+                    os.rename(old_stage, bucket_dir)
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
             slice_df = batch_df.where(F.col("__bucket") == b).drop("__bucket")
             if os.path.exists(os.path.join(bucket_dir, "_SUCCESS")):
                 old = spark.read.parquet(bucket_dir).select(*slice_df.columns)
                 merged = keep_latest(old.unionByName(slice_df), key, order, tie)
             else:
                 merged = keep_latest(slice_df, key, order, tie)
-            tmp = bucket_dir + ".tmp"
             merged.coalesce(1).write.mode("overwrite").parquet(tmp)
             if os.path.exists(bucket_dir):
-                shutil.rmtree(bucket_dir)
+                os.rename(bucket_dir, old_stage)
             os.rename(tmp, bucket_dir)
+            if os.path.exists(old_stage):
+                shutil.rmtree(old_stage)
     finally:
         batch_df.unpersist()
 
@@ -121,11 +141,18 @@ def stream_upsert_to_store(
 
 
 def read_store(spark: SparkSession, store_dir: str) -> DataFrame:
-    """Read every committed bucket of the store back as one DataFrame."""
+    """Read every committed bucket of the store back as one DataFrame.
+
+    Only exact ``bucket=<int>`` dirs with a _SUCCESS marker qualify —
+    staging residue (``_bucket=K.tmp`` / ``_bucket=K.old``) is invisible
+    by its underscore prefix, and the strict name match additionally
+    excludes any legacy suffixed dir."""
+    import re
+
     buckets = [
         os.path.join(store_dir, d)
         for d in sorted(os.listdir(store_dir))
-        if d.startswith("bucket=")
+        if re.fullmatch(r"bucket=\d+", d)
         and os.path.exists(os.path.join(store_dir, d, "_SUCCESS"))
     ]
     return spark.read.parquet(*buckets)
