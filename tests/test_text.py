@@ -115,3 +115,43 @@ def test_bpe_merge_chains_on_synthetic(spark):
     rows = {r.rank: (r.sym_a, r.sym_b) for r in bpe_learn_merges(docs, n_merges=2).collect()}
     assert rows[1] == ("a", "b")
     assert rows[2] == ("ab", "c")
+
+
+def test_bpe_batched_cand1_equals_strict(spark, sf_dir):
+    """cand_k=1 batched BPE must BE strict BPE (same merges, order,
+    freqs) — the equivalence that justifies calling batching a scale
+    optimization rather than a different algorithm."""
+    from yamr_spark.operators.text import bpe_learn_merges, bpe_learn_merges_batched
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    seq = bpe_learn_merges(docs, n_merges=3).collect()
+    b1 = sorted(
+        bpe_learn_merges_batched(docs, n_rounds=3, cand_k=1).collect(),
+        key=lambda r: (r.round, r.rank),
+    )
+    assert [(r.sym_a, r.sym_b, r.freq) for r in seq] == [
+        (r.sym_a, r.sym_b, r.freq) for r in b1
+    ]
+    assert all(r.rank == 1 for r in b1)
+
+
+def test_bpe_batched_selection_is_independent(spark, sf_dir):
+    """Within a round, selected merges must have pairwise-disjoint
+    extended symbol sets {a, b, a||b} — the invariant that makes the
+    one-pass fold order-insensitive — and batching must learn more
+    merges per round than strict BPE."""
+    from yamr_spark.operators.text import bpe_learn_merges_batched
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    rows = bpe_learn_merges_batched(docs, n_rounds=2, cand_k=6).collect()
+    assert len(rows) > 2  # strictly more than one merge per round
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r.round, []).append(r)
+    for sel in by_round.values():
+        exts = [{r.sym_a, r.sym_b, r.sym_a + r.sym_b} for r in sel]
+        for i in range(len(exts)):
+            for j in range(i + 1, len(exts)):
+                assert not (exts[i] & exts[j]), (exts[i], exts[j])

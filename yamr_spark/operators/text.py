@@ -406,9 +406,15 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 3) -> DataFrame:
     corpus — this is why real BPE trainers count words first); each
     round is one explode+partial-aggregated pair count, a 1-row argmax
     broadcast back as a LITERAL-free column (no driver collect), and a
-    map-side replace. Rounds are sequential by nature (each merge
-    changes the next round's counts) — n_merges small driver-side
-    loop, like every published distributed BPE."""
+    map-side replace.
+
+    OPERATING ENVELOPE: rounds are sequential by nature (each merge
+    changes the next round's counts), so this strict variant costs
+    n_merges driver-sequenced jobs over the word table — honest for
+    small n_merges (≲ a few hundred); a production 32k-merge vocab
+    wants ``bpe_learn_merges_batched`` (up to cand_k independent
+    merges per round, ~vocab/batch rounds), which degenerates to this
+    exact algorithm at cand_k=1 (test-pinned equivalence)."""
     from yamr_spark.materialize import materialize
 
     words = (
@@ -475,6 +481,119 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 3) -> DataFrame:
                         F.lit(" "), F.col("sym_a"), F.lit(" "), F.col("sym_b"), F.lit(" ")
                     ),
                     F.concat(F.lit(" "), F.col("sym_a"), F.col("sym_b"), F.lit(" ")),
+                ).alias("s"),
+                "cnt",
+            )
+            .transform(materialize)
+        )
+    return merges
+
+
+def bpe_learn_merges_batched(
+    docs: DataFrame, n_rounds: int = 3, cand_k: int = 8
+) -> DataFrame:
+    """Batched BPE merge learning — the production-scale variant of
+    ``bpe_learn_merges``: each round learns UP TO ``cand_k`` mutually
+    independent merges from one pair count, so learning a 32k vocab
+    takes ~vocab/batch driver rounds (≈125 at batch 256) instead of
+    32k sequential full-corpus jobs. This is the batching every real
+    distributed tokenizer trainer does; strict BPE (recount after
+    every merge) is recovered exactly at ``cand_k=1`` (test-pinned).
+
+    Per round: (1) one partial-aggregated adjacent-pair count; (2) the
+    top-``cand_k`` candidates by (freq desc, a, b) — a TakeOrdered,
+    no full sort; (3) a candidate is SELECTED iff its extended symbol
+    set {a, b, a||b} is disjoint from every higher-ranked candidate's
+    — an anti self-join over ≤ cand_k rows. Extended disjointness
+    makes the selected replaces independent (no pattern of one merge
+    contains, or can be created by, another), so applying them
+    sequentially in rank order inside ONE array-fold pass equals
+    applying them simultaneously — and the DuckDB oracle replays the
+    identical selection + fold, so batched training is content-hash
+    checked round-for-round.
+
+    Returns (round, rank, sym_a, sym_b, freq): rank orders merges
+    within their round; (round, rank) is the global merge order.
+    """
+    from pyspark.sql import Window
+
+    from yamr_spark.materialize import materialize
+
+    words = (
+        docs.select(F.explode(_tokens_col()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.split(F.col("w"), ""), " "),
+                F.lit(" "),
+            ).alias("s"),
+            "cnt",
+        )
+        .transform(materialize)
+    )
+    toks = "filter(split(s, ' '), x -> length(x) > 0)"
+    pairs_expr = (
+        f"CASE WHEN size({toks}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - 1), "
+        f"i -> struct(element_at({toks}, i) AS a, "
+        f"element_at({toks}, i + 1) AS b)) END"
+    )
+    merges = None
+    cur = words
+    order = [F.col("freq").desc(), F.col("a"), F.col("b")]
+    for rnd in range(1, n_rounds + 1):
+        cand = (
+            cur.select(F.explode(F.expr(pairs_expr)).alias("p"), "cnt")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(*order)
+            .limit(cand_k)
+            .withColumn("rk", F.row_number().over(Window.orderBy(*order)))
+        )
+        c, q = cand.alias("c"), cand.alias("q")
+
+        def ext(side):
+            return [
+                F.col(f"{side}.a"),
+                F.col(f"{side}.b"),
+                F.concat(F.col(f"{side}.a"), F.col(f"{side}.b")),
+            ]
+
+        overlap = None
+        for lhs in ext("q"):
+            for rhs in ext("c"):
+                term = lhs == rhs
+                overlap = term if overlap is None else overlap | term
+        conflict = (F.col("q.rk") < F.col("c.rk")) & overlap
+        sel = (
+            c.join(q, conflict, "left_anti")
+            .withColumn("rank", F.row_number().over(Window.orderBy("rk")).cast("long"))
+            .select(
+                F.lit(rnd).cast("long").alias("round"),
+                "rank",
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.col("freq"),
+                "rk",
+            )
+            .transform(materialize)
+        )
+        out = sel.drop("rk")
+        merges = out if merges is None else merges.unionAll(out)
+        batch = sel.agg(
+            F.sort_array(
+                F.collect_list(F.struct("rk", "sym_a", "sym_b"))
+            ).alias("ms")
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(batch))
+            .select(
+                F.expr(
+                    "aggregate(ms, s, (acc, m) -> replace(acc, "
+                    "' ' || m.sym_a || ' ' || m.sym_b || ' ', "
+                    "' ' || m.sym_a || m.sym_b || ' '))"
                 ).alias("s"),
                 "cnt",
             )

@@ -355,3 +355,87 @@ def q_bpe_learn_merges(spark, sf_dir):
     round-for-round, so the learned merge table is content-hash
     checked."""
     return T.bpe_learn_merges(table(spark, sf_dir, "documents"))
+
+
+def _bpe_batched_oracle(n_rounds: int = 2, cand_k: int = 6) -> str:
+    """Unrolled BATCHED BPE replay: per round, top-K candidates, the
+    higher-rank-disjoint selection (extended symbol sets {a,b,a||b}),
+    then ONE list_reduce fold applying the batch in rank order —
+    bit-identical to the Spark operator's aggregate() fold."""
+    head = """
+    w0 AS (
+      SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s,
+             cnt
+      FROM (
+        SELECT w, COUNT(*) AS cnt FROM (
+          SELECT unnest(list_filter(
+            regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'),
+            x -> length(x) > 0)) AS w
+          FROM documents
+        ) GROUP BY w
+      )
+    )"""
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        prev = f"w{r - 1}"
+        rounds.append(f"""
+    t{r} AS (
+      SELECT list_filter(string_split(s, ' '), x -> length(x) > 0) AS t, cnt
+      FROM {prev}
+    ),
+    p{r} AS (
+      SELECT p.a AS a, p.b AS b, SUM(cnt) AS freq
+      FROM (
+        SELECT unnest([struct_pack(a := t[i], b := t[i+1])
+                       for i in generate_series(1, len(t) - 1)]) AS p, cnt
+        FROM t{r} WHERE len(t) >= 2
+      )
+      GROUP BY p.a, p.b
+    ),
+    c{r} AS (
+      SELECT a, b, freq,
+             row_number() OVER (ORDER BY freq DESC, a, b) AS rk
+      FROM p{r} ORDER BY freq DESC, a, b LIMIT {cand_k}
+    ),
+    s{r} AS (
+      SELECT row_number() OVER (ORDER BY rk) AS rank, a, b, freq, rk
+      FROM c{r} AS c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM c{r} AS q
+        WHERE q.rk < c.rk
+          AND (q.a IN (c.a, c.b, c.a || c.b)
+            OR q.b IN (c.a, c.b, c.a || c.b)
+            OR q.a || q.b IN (c.a, c.b, c.a || c.b))
+      )
+    ),
+    w{r} AS (
+      SELECT list_reduce(
+        list_prepend(s, (SELECT coalesce(list(a || chr(1) || b ORDER BY rk),
+                                         CAST([] AS VARCHAR[]))
+                         FROM s{r})),
+        (acc, x) -> replace(acc,
+            ' ' || string_split(x, chr(1))[1] || ' '
+                || string_split(x, chr(1))[2] || ' ',
+            ' ' || replace(x, chr(1), '') || ' ')) AS s, cnt
+      FROM {prev}
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, CAST(rank AS BIGINT) AS rank,"
+        f" a AS sym_a, b AS sym_b, CAST(freq AS BIGINT) AS freq FROM s{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return "WITH " + ",".join([head] + rounds) + "\n" + selects
+
+
+@register("bpe_learn_merges_batched", oracle=_bpe_batched_oracle())
+def q_bpe_learn_merges_batched(spark, sf_dir):
+    """Batched BPE merge learning, 2 rounds × up-to-6 merges: the
+    scale path for tokenizer training (~vocab/batch rounds instead of
+    one full-corpus job per merge; strict BPE is the cand_k=1 special
+    case). Selection keeps only candidates whose extended symbol sets
+    are disjoint from every higher-ranked candidate, making the batch
+    order-independent; one array-fold applies it corpus-wide. The
+    oracle replays selection and fold round-for-round."""
+    return T.bpe_learn_merges_batched(
+        table(spark, sf_dir, "documents"), n_rounds=2, cand_k=6
+    )
