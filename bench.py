@@ -120,13 +120,27 @@ def main() -> None:
     for name in ("ivf_probe_partitioned", "split_store_train_counts"):
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Min-of-N (default 3, SPARK_GRAFT_BENCH_REPS): whole-list passes,
+    # per-query minimum across passes. The host VM shows large run-to-run
+    # variance (SCALE.md "Variance caveat": same commit measured 105 s and
+    # 36.8 s single-shot); the minimum is the least-noise estimator of the
+    # plan's actual cost, and the pass-total spread is reported so the
+    # reader can see the noise that was removed.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    pass_totals: list[float] = []
+    for _ in range(reps):
+        pass_total = 0.0
+        for name in HEADLINE:
+            fn = queries[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            pass_total += dt
+            prev = timings.get(name)
+            timings[name] = round(dt if prev is None else min(prev, dt), 3)
+        pass_totals.append(round(pass_total, 3))
 
     total = round(sum(timings.values()), 3)
     print(
@@ -137,6 +151,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "estimator": "min_per_query_over_passes",
+                "pass_totals_sec": pass_totals,
+                "variance_note": (
+                    "host-VM single-shot noise is large; value = sum of "
+                    "per-query minima over passes, pass_totals_sec shows "
+                    "the raw per-pass spread"
+                ),
             }
         )
     )

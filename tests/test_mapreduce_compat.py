@@ -110,3 +110,34 @@ def test_compat_matches_native(spark, sf_dir):
         run_job(spark, docs, WordCountMapper(), SumReducer(), text_col="text").collect()
     )
     assert shim == native
+
+
+def test_compat_overhead_bounded(spark, sf_dir):
+    """The promised perf stamp: the Arrow-batched compat shim stays
+    within 1.5x of the native word_count on the same documents, so the
+    streamed-reduce path can't silently regress to a per-row shuffle.
+    Median-of-3 per side (after a warmup each) to damp host-VM
+    variance; both sides run in this same JVM/session."""
+    import time
+
+    from yamr_spark.operators.wordcount import word_count
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+
+    def timed(fn):
+        fn()  # warmup (scan cache, codegen)
+        samples = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            fn()
+            samples.append(time.monotonic() - t0)
+        return sorted(samples)[1]
+
+    t_native = timed(lambda: word_count(docs).count())
+    t_shim = timed(
+        lambda: run_job(
+            spark, docs, WordCountMapper(), SumReducer(), text_col="text"
+        ).count()
+    )
+    assert t_shim <= 1.5 * t_native + 0.5, (t_shim, t_native)

@@ -323,3 +323,34 @@ def q_fuzzy_part_pairs(spark, sf_dir):
         name_col="p_name",
         id_col="p_partkey",
     )
+
+
+@register(
+    "minhash_near_dup_parquet_staged",
+    oracle=f"""
+    WITH {_BANDS_CTE}, {_CAND_PAIRS}, {_JACCARD}
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i), 6) AS jaccard
+    FROM cand c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    WHERE CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) >= 0.5
+    """,
+)
+def q_minhash_near_dup_parquet_staged(spark, sf_dir):
+    """minhash_near_dup with its intermediates (the signature table)
+    pinned to PARQUET staging — the 100 TB production materialization
+    mode (durable, layout-controlled, readable by later jobs), vs the
+    localCheckpoint default that's only right on the single-JVM
+    harness. Same oracle as minhash_near_dup: the driver gate proves
+    the production staging path end-to-end, not just the unit sweep in
+    tests/test_materialize.py."""
+    from yamr_spark.materialize import current_mode, set_mode
+
+    prior = current_mode()
+    set_mode("parquet")
+    try:
+        return D.minhash_near_dup(table(spark, sf_dir, "documents"))
+    finally:
+        set_mode(prior if prior != "parquet" else None)
