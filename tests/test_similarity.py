@@ -223,3 +223,30 @@ def test_semdedup_exact_dup_dropped(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {r.vec_id: r.kept for r in semdedup(emb, eps=0.99, c=1).collect()}
     assert got[0] is True and got[1] is False and got[2] is True
+
+
+def test_quantized_topk_recall(spark, sf_dir):
+    """Int8-quantized brute-force top-k must preserve the exact top-k
+    neighborhoods (high recall@5) and reconstruction must be tight —
+    the acceptance bar for switching the rerank stage to 4x-smaller
+    codes."""
+    from yamr_spark.operators.similarity import (
+        brute_force_topk,
+        quantize_stats,
+        quantized_topk,
+    )
+    from yamr_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id) for r in quantized_topk(emb, k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, recall
+
+    stats = quantize_stats(emb).collect()
+    assert all(r.mean_cosine >= 0.999 for r in stats)
+    assert all(r.mean_rmse <= 0.01 for r in stats)

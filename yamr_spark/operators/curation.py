@@ -651,3 +651,33 @@ def corpus_diff(
         .groupBy("status")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# PII patterns — RE2-compatible (no lookaround), so the DuckDB oracle
+# runs the IDENTICAL patterns. Email first: the later patterns can't
+# match inside an already-redacted '<EMAIL>' placeholder.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phones", r"\+\d{1,2}-\d{3}-\d{4}", "<PHONE>"),
+]
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction (emails / IPv4 / phone numbers → typed
+    placeholders) with per-doc match counts — the scrubbing pass every
+    public-corpus release runs (cf. RefinedWeb/Dolma pipelines).
+
+    Counts are taken on the ORIGINAL text, then the redactions apply in
+    a fixed order (email → ip → phone) so placeholder text can never be
+    re-matched. Pure Column expressions (regexp_count + chained
+    regexp_replace): map-side only, zero shuffle at any scale."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    keep = [c for c in docs.columns if c != text_col]
+    return docs.select(*keep, *counts, red.alias(text_col))

@@ -600,3 +600,101 @@ def bpe_learn_merges_batched(
             .transform(materialize)
         )
     return merges
+
+
+def vocab_coverage(docs: DataFrame, caps: list[int] = (10, 100, 1000)) -> DataFrame:
+    """Zipf vocabulary coverage: for each rank cap, the fraction of all
+    token OCCURRENCES covered by the top-``cap`` vocabulary entries
+    (rank order: count desc, token asc) — the curve a tokenizer/vocab
+    budget decision reads off.
+
+    Scale: one word_count-shaped partial-aggregated shuffle builds the
+    vocab table (vocab ≪ corpus); the global rank window runs over that
+    VOCAB table, not the corpus, and the caps join multiplies only
+    vocab × |caps| rows. Returns (rank_cap, covered, coverage)."""
+    from pyspark.sql import Window
+
+    tc = (
+        docs.select(F.explode(_tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = tc.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "token"))
+    )
+    total = tc.agg(F.sum("cnt").alias("total"))
+    caps_df = docs.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(int(c)) for c in caps])).alias("rank_cap")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(caps_df))
+        .where(F.col("rk") <= F.col("rank_cap"))
+        .groupBy("rank_cap")
+        .agg(F.sum("cnt").alias("covered"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank_cap").cast("long").alias("rank_cap"),
+            F.col("covered"),
+            F.round(F.col("covered") / F.col("total"), 6).alias("coverage"),
+        )
+    )
+
+
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+
+def gopher_filters(
+    docs: DataFrame,
+    min_words: int = 30,
+    max_words: int = 50_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    min_stop_ratio: float = 0.02,
+    min_unique_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher-style named document-quality rules (Rae et al. 2021's
+    repetition/format heuristics, the subset expressible over this
+    corpus): word-count bounds, mean-word-length band, stopword-ratio
+    floor, distinct-word-ratio floor. Returns per-lang rule-failure
+    counts plus the pass-all count — the report a curation run reads
+    to pick thresholds before filtering.
+
+    Pure Column expressions over one explode-free pass (array ops on
+    the tokenized text), one partial-aggregated shuffle on lang."""
+    toks = _tokens_col()
+    stoplist = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    n = F.size(toks)
+    mean_wlen = F.expr(
+        "aggregate(filter(split(lower(text), '[^\\\\p{L}\\\\p{N}_]+'),"
+        " x -> length(x) > 0), 0L, (acc, x) -> acc + length(x))"
+    ) / n
+    stop_ratio = F.expr(
+        "size(filter(filter(split(lower(text), '[^\\\\p{L}\\\\p{N}_]+'),"
+        f" x -> length(x) > 0), x -> x IN ({stoplist})))"
+    ) / n
+    uniq_ratio = F.size(F.array_distinct(toks)) / n
+    flagged = docs.select(
+        "lang",
+        (~n.between(min_words, max_words)).cast("long").alias("f_nwords"),
+        (~mean_wlen.between(min_mean_wlen, max_mean_wlen))
+        .cast("long")
+        .alias("f_mean_wlen"),
+        (stop_ratio < min_stop_ratio).cast("long").alias("f_stop_ratio"),
+        (uniq_ratio < min_unique_ratio).cast("long").alias("f_unique_ratio"),
+    )
+    fail_any = (
+        (F.col("f_nwords") + F.col("f_mean_wlen") + F.col("f_stop_ratio") + F.col("f_unique_ratio"))
+        > 0
+    ).cast("long")
+    return (
+        flagged.withColumn("f_any", fail_any)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("f_nwords").alias("fail_nwords"),
+            F.sum("f_mean_wlen").alias("fail_mean_wlen"),
+            F.sum("f_stop_ratio").alias("fail_stop_ratio"),
+            F.sum("f_unique_ratio").alias("fail_unique_ratio"),
+            (F.count("*") - F.sum("f_any")).alias("n_pass_all"),
+        )
+    )

@@ -200,3 +200,122 @@ def q_stats_moments(spark, sf_dir):
         F.round(F.corr("value", u), 6).alias("cr"),
         F.round(F.median("value"), 6).alias("md"),
     )
+
+
+@register(
+    "funnel_stages",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, CAST(1 AS BIGINT) AS stage_order,
+           CAST(COUNT(*) AS BIGINT) AS n_users FROM s
+    UNION ALL
+    SELECT 'click_after_signup', CAST(2 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'purchase_after_click', CAST(3 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+)
+def q_funnel_stages(spark, sf_dir):
+    """Ordered-event funnel (signup -> first later click -> first later
+    purchase): the classic product-analytics sequence query. Each stage
+    is one filtered aggregate joined to the previous stage's first-hit
+    time — three partial-aggregated shuffles on user_id, no window over
+    the full event stream and no per-user event sort, so stage cost
+    stays O(events of that type). At 100 TB the three stage aggregates
+    share the user_id hash partitioning (co-located joins)."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df, name, order):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(order).cast("long").alias("stage_order"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        stage(s, "signup", 1)
+        .unionAll(stage(c, "click_after_signup", 2))
+        .unionAll(stage(p, "purchase_after_click", 3))
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS activity_week
+      FROM events
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', f.cohort_week, a.activity_week) / 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-seen ISO week,
+    counted per activity-week offset. Two aggregates (first-seen, the
+    distinct user-week activity set) and one user_id-co-partitioned
+    join — the distinct collapses the event stream to user x week
+    BEFORE the join, so the join input is bounded by users x weeks,
+    not by raw events, which is what survives 100 TB of events."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("activity_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            # ISO string, not DATE: the driver hashes rendered values,
+            # and DATE renders engine-dependently
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("activity_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

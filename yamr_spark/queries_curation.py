@@ -8,6 +8,8 @@ value-hash compares real content.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from yamr_spark.operators import curation as C
 from yamr_spark.queries_dedup import _TOKS_CTE
 from yamr_spark.registry import register
@@ -557,3 +559,71 @@ def q_corpus_version_diff(spark, sf_dir):
         ).otherwise(F.col("text")),
     )
     return C.corpus_diff(old, new)
+
+
+_PII_ENRICH_SQL = """
+    text || CASE CAST(doc_id % 3 AS INTEGER)
+      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      WHEN 1 THEN ' node 10.1.' || CAST(doc_id % 200 AS VARCHAR) || '.7 up'
+      ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+       THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       ELSE '' END
+"""
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT lang, {_PII_ENRICH_SQL} AS text FROM documents
+    ),
+    red AS (
+      SELECT lang,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text,
+          '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(text, '\\+\\d{{1,2}}-\\d{{3}}-\\d{{4}}')) AS BIGINT)
+          AS n_phones,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+            '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+          '\\+\\d{{1,2}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g') AS text
+      FROM enriched
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_emails + n_ips + n_phones > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_pii,
+           CAST(SUM(n_emails) AS BIGINT) AS emails,
+           CAST(SUM(n_ips) AS BIGINT) AS ips,
+           CAST(SUM(n_phones) AS BIGINT) AS phones,
+           CAST(SUM(length(text)) AS BIGINT) AS redacted_chars
+    FROM red GROUP BY lang
+    """,
+)
+def q_pii_redaction_stats(spark, sf_dir):
+    """PII scrubbing end-to-end: the fixture text carries no PII, so a
+    deterministic enrichment (doc_id-derived emails / IPs / phone
+    numbers) makes the parity NON-vacuous — counts and the redacted
+    text's content (via summed length) are both hash-checked. Map-side
+    Column ops only; one lang-keyed aggregate."""
+    from yamr_spark.operators.curation import pii_redact
+
+    docs = table(spark, sf_dir, "documents").selectExpr(
+        "lang", _PII_ENRICH_SQL.replace("VARCHAR", "STRING") + " AS text"
+    )
+    red = pii_redact(docs)
+    return red.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            ((F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) > 0).cast("long")
+        ).alias("docs_with_pii"),
+        F.sum("n_emails").alias("emails"),
+        F.sum("n_ips").alias("ips"),
+        F.sum("n_phones").alias("phones"),
+        F.sum(F.length("text")).alias("redacted_chars"),
+    )

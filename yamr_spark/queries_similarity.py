@@ -475,3 +475,90 @@ def q_semdedup(spark, sf_dir):
     cell sizing and 6-dp-rounded cosine as embedding_near_dup so the
     oracle replays the exact arithmetic."""
     return S.semdedup(table(spark, sf_dir, "embeddings"))
+
+
+# int8 quantization replay: round() BEFORE the int cast (Spark CAST
+# truncates, DuckDB CAST rounds; casting a round()ed integral double is
+# identical in both), scale = max|x| floored at 1e-30.
+_QUANT_CTE = """
+vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+qt AS (
+  SELECT vec_id, label, v,
+         greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-30)
+           AS scale
+  FROM vecs
+),
+quant AS (
+  SELECT vec_id, label, v, scale,
+         list_transform(v, x -> CAST(round(x / scale * 127, 0) AS INTEGER)) AS qvec
+  FROM qt
+)
+"""
+
+
+@register(
+    "embedding_quantize_stats",
+    oracle=f"""
+    WITH {_QUANT_CTE},
+    scored AS (
+      SELECT label,
+        ROUND(sqrt(list_sum(list_transform(
+            list_zip(list_transform(qvec, q -> CAST(q AS DOUBLE) * scale / 127.0), v),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))) / len(v)), 6) AS rmse6,
+        ROUND(
+          list_dot_product(
+            list_transform(qvec, q -> CAST(q AS DOUBLE) * scale / 127.0), v)
+          / (sqrt(list_dot_product(v, v)) *
+             sqrt(list_dot_product(
+               list_transform(qvec, q -> CAST(q AS DOUBLE) * scale / 127.0),
+               list_transform(qvec, q -> CAST(q AS DOUBLE) * scale / 127.0)))),
+          6) AS cos_vr
+      FROM quant
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(CAST(rmse6 AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_rmse,
+           ROUND(CAST(SUM(CAST(cos_vr AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_cosine
+    FROM scored GROUP BY label
+    """,
+)
+def q_embedding_quantize_stats(spark, sf_dir):
+    """Int8 quantization quality per label (mean reconstruction RMSE,
+    mean original-vs-reconstruction cosine) — the acceptance report
+    before switching an embedding store to 4x-smaller codes. Decimal-
+    summed means are aggregation-order independent."""
+    return S.quantize_stats(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_quantized_topk",
+    oracle=f"""
+    WITH {_QUANT_CTE},
+    q AS (SELECT vec_id AS query_id, qvec AS qa FROM quant WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             ROUND(
+               CAST(list_dot_product(CAST(qa AS DOUBLE[]), CAST(c.qvec AS DOUBLE[]))
+                    AS DOUBLE)
+               / (sqrt(list_dot_product(CAST(qa AS DOUBLE[]), CAST(qa AS DOUBLE[]))) *
+                  sqrt(list_dot_product(CAST(c.qvec AS DOUBLE[]),
+                                        CAST(c.qvec AS DOUBLE[])))),
+               6) AS cosine_q
+      FROM q CROSS JOIN quant c
+      WHERE c.vec_id != query_id
+    )
+    SELECT query_id, neighbor_id, cosine_q, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_q DESC, neighbor_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= 5
+    """,
+)
+def q_ann_quantized_topk(spark, sf_dir):
+    """Brute-force top-k in int8-quantized space: integer dot products
+    (exact, 4x fewer bytes moved) normalized by code norms — the
+    memory-bound rerank shape at 100 TB. rnk is BIGINT on both sides."""
+    return S.quantized_topk(table(spark, sf_dir, "embeddings"))

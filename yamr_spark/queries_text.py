@@ -439,3 +439,77 @@ def q_bpe_learn_merges_batched(spark, sf_dir):
     return T.bpe_learn_merges_batched(
         table(spark, sf_dir, "documents"), n_rounds=2, cand_k=6
     )
+
+
+@register(
+    "vocab_coverage",
+    oracle="""
+    WITH tc AS (
+      SELECT token, COUNT(*) AS cnt FROM (
+        SELECT unnest(list_filter(
+          regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'),
+          x -> length(x) > 0)) AS token
+        FROM documents
+      ) GROUP BY token
+    ),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk FROM tc
+    ),
+    total AS (SELECT SUM(cnt) AS total FROM tc)
+    SELECT CAST(c.rank_cap AS BIGINT) AS rank_cap,
+           CAST(SUM(r.cnt) AS BIGINT) AS covered,
+           ROUND(CAST(SUM(r.cnt) AS DOUBLE) / MAX(t.total), 6) AS coverage
+    FROM (SELECT unnest([10, 100, 1000]) AS rank_cap) c
+    JOIN ranked r ON r.rk <= c.rank_cap
+    CROSS JOIN total t
+    GROUP BY c.rank_cap
+    """,
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Zipf vocabulary-coverage curve at rank caps 10/100/1000 — the
+    token-budget report for vocab/tokenizer sizing. The rank window and
+    caps join run over the aggregated VOCAB table, never the corpus."""
+    return T.vocab_coverage(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "gopher_quality_filters",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
+                         x -> length(x) > 0) AS t
+      FROM documents
+    ),
+    f AS (
+      SELECT lang,
+        CASE WHEN len(t) BETWEEN 30 AND 50000 THEN 0 ELSE 1 END AS f_nwords,
+        CASE WHEN (CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+                   / greatest(len(t), 1)) BETWEEN 3.0 AND 10.0
+             THEN 0 ELSE 1 END AS f_mean_wlen,
+        CASE WHEN (CAST(len(list_filter(t,
+                     x -> x IN ({", ".join(f"'{w}'" for w in T.GOPHER_STOPWORDS)})))
+                   AS DOUBLE) / greatest(len(t), 1)) < 0.02
+             THEN 1 ELSE 0 END AS f_stop_ratio,
+        CASE WHEN (CAST(len(list_distinct(t)) AS DOUBLE)
+                   / greatest(len(t), 1)) < 0.3
+             THEN 1 ELSE 0 END AS f_unique_ratio
+      FROM t
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_nwords) AS BIGINT) AS fail_nwords,
+           CAST(SUM(f_mean_wlen) AS BIGINT) AS fail_mean_wlen,
+           CAST(SUM(f_stop_ratio) AS BIGINT) AS fail_stop_ratio,
+           CAST(SUM(f_unique_ratio) AS BIGINT) AS fail_unique_ratio,
+           CAST(COUNT(*) - SUM(CASE WHEN f_nwords + f_mean_wlen
+                + f_stop_ratio + f_unique_ratio > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass_all
+    FROM f GROUP BY lang
+    """,
+)
+def q_gopher_quality_filters(spark, sf_dir):
+    """Gopher-style named quality rules with per-lang failure counts —
+    the threshold-tuning report before a curation filter pass. One
+    explode-free scan of pure Column math, one lang shuffle."""
+    return T.gopher_filters(table(spark, sf_dir, "documents"))
