@@ -681,3 +681,55 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
         red = F.regexp_replace(red, pat, repl)
     keep = [c for c in docs.columns if c != text_col]
     return docs.select(*keep, *counts, red.alias(text_col))
+
+
+def temperature_sample(
+    docs: DataFrame, target_total: int = 200, group_col: str = "lang"
+) -> DataFrame:
+    """Temperature-based mixture sampling (alpha = 0.5), the standard
+    multilingual rebalancing: group weights w_g = sqrt(n_g) / Σ sqrt(n_m)
+    upsample low-resource groups relative to their corpus share; each
+    group contributes quota_g = round(target · w_g) docs, chosen by
+    content hash (md5 of doc_id, tie doc_id) so the draw is
+    deterministic, retry-stable, and oracle-replayable.
+
+    alpha is fixed at 0.5 because sqrt() is IEEE-exact in both engines
+    while pow(x, alpha) may differ in the last ulp between libm
+    implementations; the sqrt weights sum through DECIMAL so the
+    normalizer is independent of aggregation order. The rank window
+    partitions per group (bounded by the group's size); the weight
+    table is group-cardinality-sized and broadcast."""
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    wdec = F.round(F.sqrt(F.col("n_docs")), 9).cast("decimal(18,9)")
+    weights = counts.withColumn("w9", wdec)
+    z = weights.agg(F.sum("w9").alias("z"))
+    quota = weights.crossJoin(F.broadcast(z)).select(
+        group_col,
+        "n_docs",
+        F.round(F.col("w9").cast("double") / F.col("z").cast("double"), 6).alias(
+            "weight"
+        ),
+        F.round(
+            F.lit(float(target_total))
+            * (F.col("w9").cast("double") / F.col("z").cast("double")),
+            0,
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(group_col, "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    sampled = ranked.join(F.broadcast(quota), group_col).where(
+        F.col("rn") <= F.col("quota")
+    )
+    return (
+        sampled.groupBy(group_col, "n_docs", "weight", "quota")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("doc_id").alias("sampled_id_sum"),
+        )
+    )

@@ -627,3 +627,43 @@ def q_pii_redaction_stats(spark, sf_dir):
         F.sum("n_phones").alias("phones"),
         F.sum(F.length("text")).alias("redacted_chars"),
     )
+
+
+@register(
+    "temperature_mixture_sample",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    weights AS (
+      SELECT lang, n_docs, CAST(round(sqrt(n_docs), 9) AS DECIMAL(18,9)) AS w9
+      FROM counts
+    ),
+    z AS (SELECT SUM(w9) AS z FROM weights),
+    quota AS (
+      SELECT lang, n_docs,
+             ROUND(CAST(w9 AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight,
+             CAST(ROUND(200.0 * (CAST(w9 AS DOUBLE) / CAST(z AS DOUBLE)), 0) AS BIGINT)
+               AS quota
+      FROM weights CROSS JOIN z
+    ),
+    ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT q.lang, CAST(q.n_docs AS BIGINT) AS n_docs, q.weight, q.quota,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(r.doc_id) AS BIGINT) AS sampled_id_sum
+    FROM ranked r JOIN quota q USING (lang)
+    WHERE r.rn <= q.quota
+    GROUP BY q.lang, q.n_docs, q.weight, q.quota
+    """,
+)
+def q_temperature_mixture_sample(spark, sf_dir):
+    """Temperature (alpha=0.5) mixture sampling over languages: sqrt
+    weights upsample low-resource groups; quotas drawn by content hash.
+    sampled_id_sum content-checks WHICH docs were drawn, not just how
+    many."""
+    return C.temperature_sample(table(spark, sf_dir, "documents"))

@@ -354,3 +354,69 @@ def q_minhash_near_dup_parquet_staged(spark, sf_dir):
         return D.minhash_near_dup(table(spark, sf_dir, "documents"))
     finally:
         set_mode(prior if prior != "parquet" else None)
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_BANDS_CTE}, {_CAND_PAIRS}, {_JACCARD},
+    dups AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes za ON za.doc_id = c.doc_a
+      JOIN sizes zb ON zb.doc_id = c.doc_b
+      WHERE CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM dups
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM dups
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    groups AS (SELECT node AS doc_id, MIN(label) AS group_id FROM reach GROUP BY node),
+    scored AS (
+      SELECT g.group_id, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY g.group_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM groups g JOIN documents d USING (doc_id)
+    )
+    SELECT group_id,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_doc,
+           CAST(MIN(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS kept_chars
+    FROM scored GROUP BY group_id
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Near-dup collapse keeping the BEST representative per group
+    (longest doc, tie → lowest id) — the policy real pipelines use
+    instead of keep-min-id, since near-dup groups usually contain one
+    full document plus truncated/boilerplate copies. Connected
+    components give the groups; a per-group window argmax picks the
+    keeper. The window partitions by group_id over the GROUP table
+    (size = duplicated docs only), never the corpus."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup(docs)
+    groups = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("group_id")
+    )
+    scored = groups.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .groupBy("group_id")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc"),
+            F.min(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("kept_chars"),
+        )
+    )

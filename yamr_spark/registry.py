@@ -110,111 +110,121 @@ _LOADED = False
 # representative per already-green family so regressions in unchanged
 # plans still surface. Everything stays registered; only order changes.
 DRIVER_PRIORITY = [
-    # ---- the 50-slot check window: every query the driver has NEVER
-    # checked (33 new since r03) first, then the highest-value
-    # re-checks: queries whose ORACLE is new (passthrough + the three
-    # multimodal codec seams were rows-only in r03) and queries whose
-    # PLAN changed in round 4. Components of composites (simhash,
-    # minhash_signatures/band_pairs) yield their slots to breadth —
-    # their composites (simhash_near_dup, minhash_near_dup) cover them.
-    # round-4: TPC-H tail — Q2/Q11/Q12/Q14/Q16/Q19/Q20/Q21 analogues
-    "min_cost_supplier",
-    "important_part_value",
+    # ---- the 50-slot r05 check window.
+    # (1) the two r04 hash-reds, oracle typing now fixed — these green
+    # rows close the only red entries in the repo:
     "late_shipment_priority",
-    "promo_revenue_share",
-    "supplier_attr_counts",
-    "discounted_brand_revenue",
-    "excess_supply_suppliers",
-    "waiting_suppliers",
-    # round-4: TPC-H Q7/Q8/Q9/Q13/Q15/Q17/Q18/Q22 analogues
-    "nation_trade_volume",
-    "market_share",
-    "nation_profit",
-    "cust_order_distribution",
-    "top_supplier_revenue",
-    "small_qty_part_revenue",
-    "large_volume_customers",
-    "rich_idle_customers",
-    # round-4: similarity / text / curation / streaming additions
-    "semdedup",
-    "ann_ivf_kmeans_topk",
-    "srp_near_dup",
-    "benchmark_decontaminate_n3",
-    "pack_sequences",
-    "domain_mix_sample",
-    "streaming_upsert_latest",
-    "streaming_session_windows",
-    "dedup_incremental",
-    "global_shuffle_stats",
-    "chunk_documents",
-    "window_rank_family",
     "compacted_store_counts",
-    "bm25_search",
-    "unigram_lm_score",
-    "fuzzy_part_pairs",
-    "date_features",
-    "csv_roundtrip_stats",
-    "salted_dim_join",
-    "snapshot_time_travel",
-    "kmv_distinct_orders",
-    "synthetic_source_stats",
-    "observed_gate_metrics",
-    "sql_view_pipeline",
-    "llm_prep_pipeline_v2",
-    "modality_interleave",
-    "variant_props_stats",
-    "corpus_version_diff",
-    # oracles new in round 4 (rows-only in r03)
-    "streaming_event_passthrough",
-    "multimodal_decode_stats",
-    # plans changed in round 4 (thumbnails/frame_sample share decode's
-    # mapInPandas seam — they yield their slots to the changed
-    # ngram/simhash/minhash plans)
-    "ngram_jaccard_pairs",
-    "chunk_dup_stats",
-    "simhash_near_dup",
-    "minhash_near_dup",
+    # (2) the six queries that have never had a green driver row
+    # (thumbnails/frame_sample got real oracles in r4 but were never
+    # re-checked; the other four are r4 tail additions):
     "multimodal_thumbnails",
     "multimodal_frame_sample",
-    "dedup_groups",
-    "ivf_assign",
-    "ann_ivf_topk",
-    "ann_brute_topk",
-    "embedding_near_dup",
-    "embedding_near_dup_p2",
-    "ivf_probe_partitioned",
-    "compat_word_count",
-    "compat_year_max_region",
-    # ---- beyond slot 50: round-4 tail additions (r05 window candidates)
     "stats_moments",
     "string_features",
     "try_function_features",
     "bpe_learn_merges",
-    # green-in-r01-r03 representatives (backfill)
+    # (3) new in round 5:
+    "bpe_learn_merges_batched",
+    "minhash_near_dup_parquet_staged",
+    "funnel_stages",
+    "cohort_retention",
+    "vocab_coverage",
+    "gopher_quality_filters",
+    "pii_redaction_stats",
+    "embedding_quantize_stats",
+    "ann_quantized_topk",
+    "dedup_keep_best",
+    "temperature_mixture_sample",
+    # (4) plans/code changed in round 5 (simhash overflow guard,
+    # read_csv de-shadow, upsert staging swap):
     "simhash",
+    "simhash_near_dup",
+    "csv_roundtrip_stats",
+    "streaming_upsert_latest",
+    # (5) backfill: one representative per already-green family so
+    # regressions in unchanged plans still surface:
+    "word_count",
+    "compat_word_count",
+    "compat_year_max_region",
+    "pricing_summary",
+    "revenue_per_nation",
+    "shipping_priority",
+    "moving_stats_per_user",
+    "nation_profit",
+    "market_share",
+    "cust_order_distribution",
+    "min_cost_supplier",
+    "waiting_suppliers",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_groups",
+    "minhash_near_dup",
+    "ngram_jaccard_pairs",
+    "fuzzy_part_pairs",
+    "ann_brute_topk",
+    "ann_ivf_kmeans_topk",
+    "srp_near_dup",
+    "semdedup",
+    "ivf_probe_partitioned",
+    "tfidf_top_terms",
+    "bm25_search",
+    "kmv_distinct_orders",
+    "benchmark_decontaminate_n3",
+    "pack_sequences",
+    "global_shuffle_stats",
+    "llm_prep_pipeline_v2",
+    "snapshot_time_travel",
+    "streaming_session_windows",
+    "multimodal_decode_stats",
+    "variant_props_stats",
+    "asof_click_purchase",
+    "window_rank_family",
+    "salted_dim_join",
+    # ---- beyond slot 50: the remaining green-in-r01-r04 registry
+    "important_part_value",
+    "promo_revenue_share",
+    "supplier_attr_counts",
+    "discounted_brand_revenue",
+    "excess_supply_suppliers",
+    "nation_trade_volume",
+    "top_supplier_revenue",
+    "small_qty_part_revenue",
+    "large_volume_customers",
+    "rich_idle_customers",
+    "ann_ivf_topk",
+    "ivf_assign",
+    "embedding_near_dup",
+    "embedding_near_dup_p2",
     "minhash_signatures",
     "minhash_band_pairs",
     "streaming_tumbling_counts",
     "streaming_parquet_sink",
     "streaming_dedup_events",
     "streaming_enrich_dim",
+    "streaming_event_passthrough",
     "split_store_train_counts",
     "benchmark_decontaminate",
-    "word_count",
     "max_value_per_year",
-    "pricing_summary",
-    "revenue_per_nation",
-    "shipping_priority",
-    "moving_stats_per_user",
-    "dedup_exact",
-    "llm_prep_pipeline",
-    "corpus_curation",
     "quota_sample_lang",
-    "tfidf_top_terms",
-    "asof_click_purchase",
+    "domain_mix_sample",
+    "chunk_documents",
+    "chunk_dup_stats",
+    "corpus_curation",
+    "corpus_version_diff",
+    "llm_prep_pipeline",
+    "quality_score",
+    "unigram_lm_score",
     "window_session_user",
     "pivot_user_event_counts",
     "value_percentiles",
+    "modality_interleave",
+    "date_features",
+    "sql_view_pipeline",
+    "synthetic_source_stats",
+    "observed_gate_metrics",
+    "jsonl_roundtrip_stats",
+    "top_words",
 ]
 
 
