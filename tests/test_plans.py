@@ -494,3 +494,38 @@ def test_aqe_skew_split_fact_fact_sf01(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_round5_query_plan_shapes(spark, sf_dir):
+    """Round-5 additions keep the plan shapes their docstrings claim:
+    funnel aggregates are partial (map-side combine before each user_id
+    exchange); temperature sampling broadcasts its group-cardinality
+    quota table; quantized top-k broadcasts the query side and keeps
+    the corpus un-shuffled (cross join, no exchange on the corpus
+    path); PII redaction is map-side only up to its single lang
+    aggregate exchange."""
+    qs = all_queries()
+
+    funnel = qs["funnel_stages"](spark, sf_dir)
+    assert has_partial_aggregate(funnel)
+
+    temp = qs["temperature_mixture_sample"](spark, sf_dir)
+    assert has_broadcast_join(temp), "quota table should broadcast"
+
+    from yamr_spark.plans import plan_text
+
+    qtopk = qs["ann_quantized_topk"](spark, sf_dir)
+    # cross join + != filter → BroadcastNestedLoopJoin (not a hash join);
+    # the point pinned here is that the QUERY side broadcasts and the
+    # corpus never shuffles for the join
+    assert "BroadcastNestedLoop" in plan_text(qtopk), "query side should broadcast"
+
+    pii = qs["pii_redaction_stats"](spark, sf_dir)
+    assert shuffle_count(pii) == 1, "one lang-keyed exchange only"
+    assert has_partial_aggregate(pii)
+
+    vc = qs["vocab_coverage"](spark, sf_dir)
+    assert has_partial_aggregate(vc)
+
+    gq = qs["gopher_quality_filters"](spark, sf_dir)
+    assert shuffle_count(gq) == 1, "one lang-keyed exchange only"

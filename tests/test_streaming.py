@@ -335,3 +335,51 @@ def test_upsert_crash_residue_invisible_and_recovered(spark, tmp_path):
     assert got == {(1, 100), (2, 101), (3, 102)}
     # all residue swept by the merges that touched those buckets
     assert not any(d.endswith((".tmp", ".old")) for d in os.listdir(store))
+
+
+def test_streaming_lsh_incremental_and_restart(spark, sf_dir, tmp_path):
+    """The LSH ingestion service matches each batch against strictly
+    earlier state (batch 2 must be able to match batch 1's docs — the
+    incremental property), and a restart against the committed
+    checkpoint replays nothing (no duplicated flags, no index growth)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yamr_spark.streaming.lsh import (
+        build_band_index,
+        read_flagged,
+        stage_stream_files,
+        stream_lsh_into_index,
+    )
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    index_dir = str(tmp_path / "index")
+    stream_dir = str(tmp_path / "stream")
+    results_dir = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+    build_band_index(docs.where(F.col("doc_id") % 2 == 0), index_dir)
+    stage_stream_files(
+        docs, stream_dir, [F.col("doc_id") % 4 == 1, F.col("doc_id") % 4 == 3]
+    )
+    stream_lsh_into_index(spark, stream_dir, docs.schema, index_dir, results_dir, ckpt)
+    flagged = {(r.stream_doc, r.index_doc) for r in read_flagged(spark, results_dir).collect()}
+    n_index_files = len(
+        [f for f in os.listdir(index_dir) if f.endswith(".parquet")]
+    )
+    # every flag matched strictly earlier state
+    for s, i in flagged:
+        assert s % 2 == 1
+        assert i % 2 == 0 or (s % 4 == 3 and i % 4 == 1), (s, i)
+
+    # restart: same checkpoint, no new files -> nothing replays
+    stream_lsh_into_index(spark, stream_dir, docs.schema, index_dir, results_dir, ckpt)
+    flagged2 = {
+        (r.stream_doc, r.index_doc) for r in read_flagged(spark, results_dir).collect()
+    }
+    assert flagged2 == flagged
+    assert (
+        len([f for f in os.listdir(index_dir) if f.endswith(".parquet")])
+        == n_index_files
+    )

@@ -206,13 +206,13 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*mins, F.count("*").alias("sz"))
 
 
-def minhash_band_pairs(
+def minhash_band_table(
     sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
-    """LSH banding: docs sharing any band of the signature become a
-    candidate pair (doc_a < doc_b). The band hash join is the blocking
-    step — candidates are generated by equality join on
-    (band_id, band_hash), never by pairwise comparison."""
+    """(doc_id, band_id, band_hash) — the banded form of a signature
+    table. This IS the LSH index representation: fixed-width rows, one
+    per (doc, band), equality-joinable; also what an incremental dedup
+    service persists as its standing index (streaming/lsh.py)."""
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -222,12 +222,22 @@ def minhash_band_pairs(
         for b in range(bands)
     ]
     banded = sigs.select("doc_id", *band_cols)
-    long = banded.select(
+    return banded.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"bh{b}") for b in range(bands)])).alias(
             "band_id", "band_hash"
         ),
     )
+
+
+def minhash_band_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair (doc_a < doc_b). The band hash join is the blocking
+    step — candidates are generated by equality join on
+    (band_id, band_hash), never by pairwise comparison."""
+    long = minhash_band_table(sigs, bands=bands, rows_per_band=rows_per_band)
     a = long.alias("a")
     b = long.alias("b")
     return (

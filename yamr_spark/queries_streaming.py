@@ -434,3 +434,58 @@ def q_snapshot_time_travel(spark, sf_dir):
         )
 
     return rollup(1).unionAll(rollup(2))
+
+
+@register(
+    "streaming_lsh_incremental",
+    oracle=None,  # set below: needs the bands CTE from queries_dedup
+)
+def q_streaming_lsh_incremental(spark, sf_dir):
+    """Online near-dup detection: an LSH dedup SERVICE over an arriving
+    document stream. Even doc_ids seed the standing banded-signature
+    index; odd docs arrive in two deterministic micro-batches
+    (doc_id%4==1 then %4==3, one file per trigger). Each batch is
+    flagged against STRICTLY EARLIER state, then its bands join the
+    index — so batch 2 can match batch 1's docs, which is the
+    incremental property the oracle replays in closed form (batch k
+    matches index0 ∪ batches < k). Checkpointed availableNow: a rerun
+    in the same session replays nothing."""
+    import os
+
+    from yamr_spark.streaming.lsh import (
+        build_band_index,
+        read_flagged,
+        stage_stream_files,
+        stream_lsh_into_index,
+    )
+    from yamr_spark.tmpdirs import session_dir
+
+    docs = table(spark, sf_dir, "documents")
+    base = session_dir(f"stream_lsh:{sf_dir}", "yamr_stream_lsh_")
+    index_dir = os.path.join(base, "index")
+    stream_dir = os.path.join(base, "stream")
+    results_dir = os.path.join(base, "results")
+    ckpt = os.path.join(base, "ckpt")
+    if not os.path.exists(ckpt):
+        build_band_index(docs.where(F.col("doc_id") % 2 == 0), index_dir)
+        stage_stream_files(
+            docs,
+            stream_dir,
+            [F.col("doc_id") % 4 == 1, F.col("doc_id") % 4 == 3],
+        )
+        stream_lsh_into_index(
+            spark, stream_dir, docs.schema, index_dir, results_dir, ckpt
+        )
+    return read_flagged(spark, results_dir)
+
+
+from yamr_spark.queries_dedup import _BANDS_CTE as _LSH_BANDS_CTE  # noqa: E402
+from yamr_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["streaming_lsh_incremental"] = f"""
+    WITH {_LSH_BANDS_CTE}
+    SELECT DISTINCT s.doc_id AS stream_doc, i.doc_id AS index_doc
+    FROM bands s JOIN bands i ON s.band_id = i.band_id AND s.bh = i.bh
+    WHERE (s.doc_id % 4 = 1 AND i.doc_id % 2 = 0)
+       OR (s.doc_id % 4 = 3 AND (i.doc_id % 2 = 0 OR i.doc_id % 4 = 1))
+"""

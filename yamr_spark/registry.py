@@ -136,6 +136,7 @@ DRIVER_PRIORITY = [
     "ann_quantized_topk",
     "dedup_keep_best",
     "temperature_mixture_sample",
+    "streaming_lsh_incremental",
     # (4) plans/code changed in round 5 (simhash overflow guard,
     # read_csv de-shadow, upsert staging swap):
     "simhash",
