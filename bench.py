@@ -87,6 +87,19 @@ HEADLINE = [
     # round 4 (cont.): complete flagship + blocked fuzzy matching
     "llm_prep_pipeline_v2",
     "fuzzy_part_pairs",
+    # round 5: analytics (funnel/cohort), PII scrubbing, vocab/quality
+    # reports, int8-quantized ANN, keep-best collapse, temperature
+    # mixture, batched BPE
+    "funnel_stages",
+    "cohort_retention",
+    "pii_redaction_stats",
+    "vocab_coverage",
+    "gopher_quality_filters",
+    "embedding_quantize_stats",
+    "ann_quantized_topk",
+    "dedup_keep_best",
+    "temperature_mixture_sample",
+    "bpe_learn_merges_batched",
 ]
 
 
