@@ -109,3 +109,43 @@ def test_read_csv_schema_optional_and_multiline_distinct(spark, tmp_path):
     back = read_csv_multiline(spark, out, "k string, body string")
     rows = {r["k"]: r["body"] for r in back.collect()}
     assert rows == {"x": "line1\nline2", "y": "flat"}
+
+
+def test_sorted_store_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
+    """write_sorted_store must produce files whose min/max statistics
+    are pairwise disjoint on the sort column (the property row-group
+    skipping exploits), while preserving content exactly."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from yamr_spark.sources import write_sorted_store
+    from yamr_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    store = str(tmp_path / "sorted")
+    write_sorted_store(ev, store, "user_id", n_files=6)
+
+    ranges = []
+    for f in glob.glob(store + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index("user_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+    back = spark.read.parquet(store)
+    assert sorted(r.event_id for r in back.collect()) == sorted(
+        r.event_id for r in ev.collect()
+    )
+    # the predicate reaches the scan, so the stats actually get consulted
+    from yamr_spark.plans import pushed_filters
+
+    assert "user_id" in pushed_filters(back.where(F.col("user_id") == 42))

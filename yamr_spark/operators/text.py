@@ -490,8 +490,8 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 3) -> DataFrame:
 
 
 def bpe_learn_merges_batched(
-    docs: DataFrame, n_rounds: int = 3, cand_k: int = 8
-) -> DataFrame:
+    docs: DataFrame, n_rounds: int = 3, cand_k: int = 8, return_words: bool = False
+):
     """Batched BPE merge learning — the production-scale variant of
     ``bpe_learn_merges``: each round learns UP TO ``cand_k`` mutually
     independent merges from one pair count, so learning a 32k vocab
@@ -513,7 +513,11 @@ def bpe_learn_merges_batched(
     checked round-for-round.
 
     Returns (round, rank, sym_a, sym_b, freq): rank orders merges
-    within their round; (round, rank) is the global merge order.
+    within their round; (round, rank) is the global merge order. With
+    ``return_words=True`` also returns the ENCODED word table
+    (sentinel-padded symbol string, count) after all merges — i.e. the
+    corpus tokenized under the learned vocab, which ``bpe_encode_stats``
+    reports on (training and application share one pass).
     """
     from pyspark.sql import Window
 
@@ -599,6 +603,8 @@ def bpe_learn_merges_batched(
             )
             .transform(materialize)
         )
+    if return_words:
+        return merges, cur
     return merges
 
 
@@ -697,4 +703,34 @@ def gopher_filters(
             F.sum("f_unique_ratio").alias("fail_unique_ratio"),
             (F.count("*") - F.sum("f_any")).alias("n_pass_all"),
         )
+    )
+
+
+def bpe_encode_stats(
+    docs: DataFrame, n_rounds: int = 2, cand_k: int = 6
+) -> DataFrame:
+    """Tokenizer APPLICATION: encode the corpus under the vocab learned
+    by batched BPE and report compression — distinct words, total word
+    occurrences, total tokens after merging, tokens-per-word, and the
+    merge count. The encoded table falls out of training's final round
+    (no separate apply pass); counting symbols is pure column math over
+    the word table (vocab-sized, not corpus-sized)."""
+    merges, words = bpe_learn_merges_batched(
+        docs, n_rounds=n_rounds, cand_k=cand_k, return_words=True
+    )
+    n_merges = merges.select(F.count("*").alias("n_merges"))
+    syms = "size(filter(split(s, ' '), x -> length(x) > 0))"
+    return (
+        words.select(
+            F.expr(syms).cast("long").alias("n_sym"), "cnt"
+        )
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("cnt").alias("n_occurrences"),
+            F.sum(F.expr("n_sym * cnt")).alias("n_tokens"),
+            F.round(
+                F.sum(F.expr("n_sym * cnt")) / F.sum("cnt").cast("double"), 6
+            ).alias("tokens_per_word"),
+        )
+        .crossJoin(F.broadcast(n_merges))
     )

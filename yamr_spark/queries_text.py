@@ -357,11 +357,13 @@ def q_bpe_learn_merges(spark, sf_dir):
     return T.bpe_learn_merges(table(spark, sf_dir, "documents"))
 
 
-def _bpe_batched_oracle(n_rounds: int = 2, cand_k: int = 6) -> str:
-    """Unrolled BATCHED BPE replay: per round, top-K candidates, the
-    higher-rank-disjoint selection (extended symbol sets {a,b,a||b}),
-    then ONE list_reduce fold applying the batch in rank order —
-    bit-identical to the Spark operator's aggregate() fold."""
+def _bpe_batched_cte(n_rounds: int = 2, cand_k: int = 6) -> str:
+    """WITH-clause body for the unrolled BATCHED BPE replay: per round,
+    top-K candidates, the higher-rank-disjoint selection (extended
+    symbol sets {a,b,a||b}), then ONE list_reduce fold applying the
+    batch in rank order — bit-identical to the Spark operator's
+    aggregate() fold. Exposes w{r} (encoded words) and s{r} (selected
+    merges) per round for the oracles below."""
     head = """
     w0 AS (
       SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s,
@@ -419,12 +421,16 @@ def _bpe_batched_oracle(n_rounds: int = 2, cand_k: int = 6) -> str:
             ' ' || replace(x, chr(1), '') || ' ')) AS s, cnt
       FROM {prev}
     )""")
+    return "WITH " + ",".join([head] + rounds)
+
+
+def _bpe_batched_oracle(n_rounds: int = 2, cand_k: int = 6) -> str:
     selects = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS round, CAST(rank AS BIGINT) AS rank,"
         f" a AS sym_a, b AS sym_b, CAST(freq AS BIGINT) AS freq FROM s{r}"
         for r in range(1, n_rounds + 1)
     )
-    return "WITH " + ",".join([head] + rounds) + "\n" + selects
+    return _bpe_batched_cte(n_rounds, cand_k) + "\n" + selects
 
 
 @register("bpe_learn_merges_batched", oracle=_bpe_batched_oracle())
@@ -513,3 +519,31 @@ def q_gopher_quality_filters(spark, sf_dir):
     the threshold-tuning report before a curation filter pass. One
     explode-free scan of pure Column math, one lang shuffle."""
     return T.gopher_filters(table(spark, sf_dir, "documents"))
+
+
+def _bpe_encode_oracle(n_rounds: int = 2, cand_k: int = 6) -> str:
+    toks = "list_filter(string_split(s, ' '), x -> length(x) > 0)"
+    merge_union = " UNION ALL ".join(
+        f"SELECT a FROM s{r}" for r in range(1, n_rounds + 1)
+    )
+    return (
+        _bpe_batched_cte(n_rounds, cand_k)
+        + f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
+           CAST(SUM(len({toks}) * cnt) AS BIGINT) AS n_tokens,
+           ROUND(SUM(len({toks}) * cnt) / CAST(SUM(cnt) AS DOUBLE), 6)
+             AS tokens_per_word,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ({merge_union})) AS n_merges
+    FROM w{n_rounds}
+    """
+    )
+
+
+@register("bpe_encode_stats", oracle=_bpe_encode_oracle())
+def q_bpe_encode_stats(spark, sf_dir):
+    """Tokenizer application: the corpus encoded under the batched-BPE
+    vocab (2 rounds x up-to-6 merges), reported as compression stats —
+    training and encoding share one pass (the encoded word table IS
+    training's final state). The oracle replays training AND encoding."""
+    return T.bpe_encode_stats(table(spark, sf_dir, "documents"))

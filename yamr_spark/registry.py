@@ -137,6 +137,7 @@ DRIVER_PRIORITY = [
     "dedup_keep_best",
     "temperature_mixture_sample",
     "streaming_lsh_incremental",
+    "bpe_encode_stats",
     # (4) plans/code changed in round 5 (simhash overflow guard,
     # read_csv de-shadow, upsert staging swap):
     "simhash",

@@ -211,3 +211,23 @@ def read_csv_multiline(spark: SparkSession, path: str, schema) -> DataFrame:
         .option("escape", '"')
         .csv(path)
     )
+
+
+def write_sorted_store(
+    df: DataFrame, path: str, col: str, n_files: int = 8
+) -> None:
+    """Range-layout writer: repartitionByRange + in-file sort on
+    ``col``, so every output file covers a DISJOINT value range and
+    parquet's min/max statistics make any ``col`` predicate skip whole
+    files/row groups at read time. This is the data-layout half of
+    data skipping (the read half is free: Spark pushes the predicate,
+    parquet consults the stats) — at 100 TB the difference between a
+    point lookup scanning one row group and scanning the store.
+    Disjointness is pinned by tests/test_sources.py via pyarrow
+    footer statistics."""
+    (
+        df.repartitionByRange(n_files, col)
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
