@@ -401,3 +401,96 @@ def q_sql_view_pipeline(spark, sf_dir):
     return spark.sql(
         "SELECT lang, COUNT(*) AS n_kept FROM sqlp_deduped GROUP BY lang"
     )
+
+
+@register(
+    "schema_evolution_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_quality,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1
+                         THEN CAST(n_chars % 97 AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS quality_sum
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_schema_evolution_stats(spark, sf_dir):
+    """Schema evolution on a long-lived store: generation 1 (even docs)
+    was written WITHOUT the ``quality`` column, generation 2 (odd docs)
+    WITH it. A mergeSchema read reconciles the footers — old rows
+    surface NULL quality — and the rollup proves no row or value is
+    lost across the schema boundary. The 100 TB reality this covers:
+    a corpus store accretes columns over months, and readers must not
+    need a rewrite of old generations (mergeSchema costs footer reads
+    only, so production pins the merged schema once and passes it
+    explicitly thereafter)."""
+    import os
+
+    from yamr_spark.tmpdirs import session_dir, store_complete
+
+    docs = table(spark, sf_dir, "documents")
+    base = session_dir(f"schema_evo:{sf_dir}", "yamr_schema_evo_")
+    store = os.path.join(base, "store")
+    if not store_complete(store):
+        g1 = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+        g1.write.mode("overwrite").parquet(store)
+        g2 = docs.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.col("n_chars") % 97).cast("long").alias("quality"),
+        )
+        g2.write.mode("append").parquet(store)
+    merged = spark.read.option("mergeSchema", "true").parquet(store)
+    return merged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("quality").isNotNull().cast("long")).alias("n_with_quality"),
+        F.sum(F.coalesce(F.col("quality"), F.lit(0))).alias("quality_sum"),
+    )
+
+
+@register(
+    "zorder_store_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM events
+    WHERE user_id % 16 < 4 AND event_id % 16 < 4
+    GROUP BY event_type
+    """,
+)
+def q_zorder_store_stats(spark, sf_dir):
+    """Z-order-clustered store end-to-end: events written clustered on
+    the Morton key of two bucketized dimensions, read back under a
+    rectangle predicate on both — each file covers a bounded rectangle
+    of the plane, so either predicate alone prunes via footer stats
+    (span reduction pinned by unit test); the rollup proves the
+    clustered rewrite lost nothing."""
+    import os
+
+    from yamr_spark.sources import write_zorder_store
+    from yamr_spark.tmpdirs import session_dir, store_complete
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.pmod("user_id", F.lit(16)).cast("long").alias("u4"),
+        F.pmod("event_id", F.lit(16)).cast("long").alias("e4"),
+    )
+    base = session_dir(f"zorder:{sf_dir}", "yamr_zorder_")
+    store = os.path.join(base, "store")
+    if not store_complete(store):
+        write_zorder_store(ev, store, "u4", "e4", n_files=16, bits=4)
+    back = spark.read.parquet(store)
+    return (
+        back.where((F.col("u4") < 4) & (F.col("e4") < 4))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("id_sum"),
+        )
+    )

@@ -138,6 +138,8 @@ DRIVER_PRIORITY = [
     "temperature_mixture_sample",
     "streaming_lsh_incremental",
     "bpe_encode_stats",
+    "schema_evolution_stats",
+    "zorder_store_stats",
     # (4) plans/code changed in round 5 (simhash overflow guard,
     # read_csv de-shadow, upsert staging swap):
     "simhash",

@@ -231,3 +231,44 @@ def write_sorted_store(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_key(c1, c2, bits: int = 16):
+    """Morton/Z-order key: interleave the low ``bits`` bits of two
+    non-negative integer columns. Sorting by this key clusters rows
+    that are close in BOTH dimensions, so parquet min/max statistics
+    prune on either column — the multi-column generalization of
+    ``write_sorted_store`` (which optimizes exactly one column).
+    Pure Column arithmetic (shift/mask fold), fully deterministic."""
+    z = None
+    for i in range(bits):
+        b1 = F.shiftleft(F.shiftright(c1, i).bitwiseAND(F.lit(1)), 2 * i)
+        b2 = F.shiftleft(F.shiftright(c2, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        term = b1 + b2
+        z = term if z is None else z + term
+    return z.cast("long")
+
+
+def write_zorder_store(
+    df: DataFrame, path: str, col1: str, col2: str, n_files: int = 8, bits: int = 16
+) -> None:
+    """Z-order-clustered store: range-partition + sort on the Morton
+    key of (col1, col2), drop the key, write parquet. Each output file
+    covers a bounded rectangle of the (col1, col2) plane, so filters
+    on EITHER column skip most files via footer statistics — the
+    lakehouse OPTIMIZE ZORDER BY recipe on plain parquet. Span
+    reduction is pinned by tests/test_sources.py. Caveat (true of
+    every ZORDER implementation): interleaving only balances
+    dimensions of comparable bit-width — a much wider column's high
+    bits dominate the sort and the narrow column degrades toward
+    unclustered; normalize ranges (bucketize) before z-ordering."""
+    keyed = df.withColumn(
+        "__z", zorder_key(F.col(col1).cast("long"), F.col(col2).cast("long"), bits)
+    )
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
