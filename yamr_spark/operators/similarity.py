@@ -915,3 +915,57 @@ def quantized_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine_q", "rnk")
     )
+
+
+def hard_negative_mining(
+    emb: DataFrame,
+    k: int = 3,
+    num_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the
+    top-``k`` most-similar vectors with a DIFFERENT label — the
+    standard negative-selection pass when building embedding training
+    pairs (hardest negatives carry the gradient signal). Same
+    broadcast-queries × streaming-corpus shape as ``brute_force_topk``
+    with the label-inequality predicate fused into the join; at scale
+    the corpus side would be IVF-pruned exactly like ann_ivf_topk."""
+    from pyspark.sql import Window
+
+    vecs = emb.select(
+        F.col(id_col).alias("qid"),
+        _vec_double(vec_col).alias("va"),
+        F.col(label_col).alias("lbl"),
+    )
+    queries = (
+        vecs.filter(F.col("qid") < num_queries)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("va"),
+            F.col("lbl").alias("query_label"),
+        )
+        .withColumn("na", _norm("va"))
+    )
+    corpus = vecs.select(
+        F.col("qid").alias("negative_id"),
+        F.col("va").alias("vb"),
+        F.col("lbl").alias("negative_label"),
+    ).withColumn("nb", _norm("vb"))
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_label") != F.col("negative_label"))
+        .withColumn(
+            "cosine", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "negative_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "query_label", "negative_id", "negative_label", "cosine", "rnk"
+        )
+    )

@@ -494,3 +494,33 @@ def q_zorder_store_stats(spark, sf_dir):
             F.sum("event_id").alias("id_sum"),
         )
     )
+
+
+@register(
+    "orc_roundtrip_stats",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents GROUP BY lang
+    """,
+)
+def q_orc_roundtrip_stats(spark, sf_dir):
+    """ORC sink → source round-trip fidelity (the third interchange
+    format after JSONL/CSV): the oracle runs on the ORIGINAL parquet,
+    so any row loss or type drift through the ORC hop fails the hash."""
+    import os
+
+    from yamr_spark.sources import read_orc, write_orc
+    from yamr_spark.tmpdirs import session_dir
+
+    docs = table(spark, sf_dir, "documents")
+    out = os.path.join(session_dir(f"orc:{sf_dir}", "yamr_orc_"), "docs")
+    write_orc(docs, out)
+    back = read_orc(spark, out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -562,3 +562,35 @@ def q_ann_quantized_topk(spark, sf_dir):
     (exact, 4x fewer bytes moved) normalized by code norms — the
     memory-bound rerank shape at 100 TB. rnk is BIGINT on both sides."""
     return S.quantized_topk(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH lvecs AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, label AS query_label, v AS va
+      FROM lvecs WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT query_id, query_label,
+             c.vec_id AS negative_id, c.label AS negative_label,
+             {_COS.format(a="va", b="c.v")} AS cosine
+      FROM q CROSS JOIN lvecs c
+      WHERE c.label != query_label
+    )
+    SELECT query_id, query_label, negative_id, negative_label, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, negative_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= 3
+    """,
+)
+def q_hard_negative_mining(spark, sf_dir):
+    """Contrastive hard negatives: per query vector, the top-3 nearest
+    vectors of a DIFFERENT label — the negative-selection pass of
+    embedding-pair construction. Broadcast queries, streamed corpus,
+    label predicate fused into the join."""
+    return S.hard_negative_mining(table(spark, sf_dir, "embeddings"))

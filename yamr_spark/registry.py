@@ -140,6 +140,8 @@ DRIVER_PRIORITY = [
     "bpe_encode_stats",
     "schema_evolution_stats",
     "zorder_store_stats",
+    "orc_roundtrip_stats",
+    "hard_negative_mining",
     # (4) plans/code changed in round 5 (simhash overflow guard,
     # read_csv de-shadow, upsert staging swap):
     "simhash",

@@ -272,3 +272,16 @@ def write_zorder_store(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — the other columnar interchange format (Hive/Trino
+    ecosystems). Same scale properties as parquet: splittable, column
+    pruning, predicate pushdown via stripe statistics."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (schema from file metadata — self-describing like
+    parquet, so no inference pass)."""
+    return spark.read.orc(path)
