@@ -76,3 +76,20 @@ def test_salted_join_matches_plain(spark):
     out = salted_join(big, small, on=["k"], buckets=4)
     assert out.count() == 51
     assert out.where("k = 'b'").collect()[0]["label"] == "B"
+
+
+def test_ewma_pandas_twin_matches_jvm(spark, sf_dir):
+    """The applyInPandas grouped-map EWMA must equal the JVM
+    aggregate() fold exactly (same recurrence, same (ts, event_id)
+    order, same rounding) — the Arrow seam carries no semantic drift."""
+    from yamr_spark.operators.temporal import ewma_user_value, ewma_user_value_pandas
+    from yamr_spark.registry import _ship_package
+    from yamr_spark.tables import table
+
+    _ship_package(spark)
+    ev = table(spark, sf_dir, "events")
+    jvm = {(r.user_id, r.n_events, r.ewma) for r in ewma_user_value(ev).collect()}
+    pd_ = {
+        (r.user_id, r.n_events, r.ewma) for r in ewma_user_value_pandas(ev).collect()
+    }
+    assert jvm == pd_

@@ -101,3 +101,66 @@ def range_join_bucketed(
     return joined.where(
         (rr >= lsec + F.lit(lower_s)) & (rr <= lsec + F.lit(upper_s))
     ).drop("__bucket")
+
+
+def ewma_user_value(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Per-user exponentially-weighted moving average of ``value`` in
+    event-time order (trend smoothing / anomaly baselines): a
+    sequential left fold, which SQL windows can't express — done as
+    ``aggregate()`` over the per-user event list, sorted by
+    (ts, event_id) for tie determinism. acc starts at the first value,
+    then acc = α·x + (1−α)·acc.
+
+    Scale: state is ONE user's events (collect_list bounded by
+    events-per-entity — the same per-key-bounded assumption every
+    sessionizer makes; a user with unbounded history would need
+    windowed chunking). The fold is JVM expression code; the
+    ``ewma_user_value_pandas`` twin runs the identical recurrence as a
+    grouped-map applyInPandas (Arrow-batched) and is test-pinned equal
+    — the template for per-entity sequential logic that outgrows
+    expression lambdas."""
+    arr = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", F.col("value").alias("v")))
+    )
+    a, b = float(alpha), 1.0 - float(alpha)
+    fold = (
+        f"aggregate(__arr, cast(null as double), "
+        f"(acc, x) -> if(acc is null, x.v, {a!r}d * x.v + {b!r}d * acc))"
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(arr.alias("__arr"))
+        .select(
+            "user_id",
+            F.size("__arr").cast("long").alias("n_events"),
+            F.round(F.expr(fold), 6).alias("ewma"),
+        )
+    )
+
+
+def ewma_user_value_pandas(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """The grouped-map (applyInPandas) twin of ``ewma_user_value``:
+    identical recurrence, executed in Python over Arrow record batches
+    — one group = one user's events in worker memory. Exists to pin
+    the Arrow grouped-map seam with an exactly-comparable JVM
+    reference (see tests/test_temporal.py)."""
+    import pandas as pd
+
+    a = float(alpha)
+
+    def _ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        acc = None
+        for v in pdf["value"]:
+            acc = float(v) if acc is None else a * float(v) + (1.0 - a) * acc
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma": [round(acc, 6) if acc is not None else None],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(
+        _ewma, "user_id bigint, n_events bigint, ewma double"
+    )

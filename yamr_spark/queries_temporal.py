@@ -123,3 +123,26 @@ def q_salted_dim_join(spark, sf_dir):
             .alias("value_sum"),
         )
     )
+
+
+@register(
+    "ewma_user_value",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_events,
+           ROUND(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+    FROM ordered
+    """,
+)
+def q_ewma_user_value(spark, sf_dir):
+    """Per-user event-time EWMA (alpha=0.3) — the sequential fold SQL
+    windows can't express, as a JVM aggregate() over the per-user list;
+    the oracle replays the identical recurrence with list_reduce, and
+    the applyInPandas twin is test-pinned equal."""
+    from yamr_spark.operators.temporal import ewma_user_value
+
+    return ewma_user_value(_events(spark, sf_dir))

@@ -142,6 +142,7 @@ DRIVER_PRIORITY = [
     "zorder_store_stats",
     "orc_roundtrip_stats",
     "hard_negative_mining",
+    "ewma_user_value",
     # (4) plans/code changed in round 5 (simhash overflow guard,
     # read_csv de-shadow, upsert staging swap):
     "simhash",
