@@ -319,3 +319,143 @@ def q_cohort_retention(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_custkey) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_v,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT), CAST(COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', CAST(COUNT(*) AS BIGINT), CAST(COUNT(o_orderkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE)
+    FROM orders
+    """,
+)
+def q_table_profile(spark, sf_dir):
+    """Column profiling (the data-quality report every ingestion run
+    emits): row/non-null/distinct counts and min/max per profiled
+    column, one row per column. ONE aggregation pass computes every
+    column's stats simultaneously (count/count(col)/count-distinct/
+    min/max are all partial-aggregable) — then a literal unpivot; no
+    per-column scans. At 100 TB swap count-distinct for
+    approx_count_distinct and keep the single-pass shape."""
+    o = table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_totalprice", "o_orderkey"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            F.count(c).alias(f"{c}__nonnull"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nonnull, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(col, n_rows, n_nonnull, n_distinct, min_v, max_v)"
+    )
+
+
+@register(
+    "constraint_check_report",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST((SELECT COUNT(*) FROM
+                 (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+                  HAVING COUNT(*) > 1)) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+    """,
+)
+def q_constraint_check_report(spark, sf_dir):
+    """Declarative data-quality constraints (the dbt-tests / Deequ
+    shape): primary-key uniqueness, two referential-integrity checks
+    (anti-joins — broadcast when the parent's keys fit, shuffle
+    otherwise), and a range rule — one violation count per named
+    check. Each check is its own aggregate; Spark runs the four small
+    DAGs in one job via the union."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+
+    def one(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("check_name"), F.col("n").alias("n_violations")
+        )
+
+    pk_dupes = (
+        o.groupBy("o_orderkey")
+        .count()
+        .where(F.col("count") > 1)
+        .agg(F.count("*").alias("n"))
+    )
+    fk_cust = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(F.count("*").alias("n"))
+    )
+    fk_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+            F.count("*").alias("n")
+        )
+    )
+    qty_range = li.where(
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+    ).agg(F.count("*").alias("n"))
+    return (
+        one("orders_pk_unique", pk_dupes)
+        .unionAll(one("orders_custkey_fk", fk_cust))
+        .unionAll(one("lineitem_orderkey_fk", fk_order))
+        .unionAll(one("lineitem_qty_range", qty_range))
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, bin
+    """,
+)
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram per event type (bin = floor(value/25)) —
+    one partial-aggregated shuffle; the distribution report behind
+    threshold tuning."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / 25.0).cast("long").alias("bin"),
+        )
+        .agg(F.count("*").alias("n"))
+    )

@@ -143,6 +143,9 @@ DRIVER_PRIORITY = [
     "orc_roundtrip_stats",
     "hard_negative_mining",
     "ewma_user_value",
+    "table_profile",
+    "constraint_check_report",
+    "value_histogram",
     # (4) plans/code changed in round 5 (simhash overflow guard,
     # read_csv de-shadow, upsert staging swap):
     "simhash",
