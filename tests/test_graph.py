@@ -56,3 +56,29 @@ def test_clique_converges_fast(spark):
     }
     assert set(got.values()) == {0}
     assert stats["rounds"] <= 2
+
+
+def test_pagerank_star_and_clique(spark):
+    """PageRank sanity on known topologies: in a star, the hub ranks
+    strictly above every leaf and all leaves tie; in a 3-clique all
+    ranks are equal (symmetry). Ranks stay positive and bounded."""
+    from yamr_spark.operators.graph import pagerank
+
+    star_pairs = [(0, i) for i in range(1, 5)]
+    star = spark.createDataFrame(
+        [(a, b) for a, b in star_pairs] + [(b, a) for a, b in star_pairs],
+        "src long, dst long",
+    )
+    ranks = {r.node: r["rank"] for r in pagerank(star).collect()}
+    hub, leaves = ranks[0], [ranks[i] for i in range(1, 5)]
+    assert all(hub > lv for lv in leaves)
+    assert len(set(leaves)) == 1
+    assert all(0 < v < 1 for v in ranks.values())
+
+    cl_pairs = [(0, 1), (0, 2), (1, 2)]
+    clique = spark.createDataFrame(
+        [(a, b) for a, b in cl_pairs] + [(b, a) for a, b in cl_pairs],
+        "src long, dst long",
+    )
+    cr = {r.node: r["rank"] for r in pagerank(clique).collect()}
+    assert len(set(cr.values())) == 1

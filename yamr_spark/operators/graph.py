@@ -110,3 +110,68 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = max_iter
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank, ``n_rounds`` power iterations of the simplified
+    (no-dangling-redistribution) update
+    ``r(v) ← (1−d)/N + d·Σ_{u→v} r(u)/deg(u)`` — the second iterative
+    fixpoint operator next to ``connected_components``, and the
+    template for any distributed numeric iteration.
+
+    Determinism across engines (the hard part of iterative FLOAT
+    algorithms): per-edge contributions are rounded to 12 dp and
+    summed through DECIMAL(28,14), so the per-node sum is independent
+    of aggregation order; ranks are re-rounded to 10 dp each round.
+    The DuckDB oracle replays the identical rounded recurrence, so a
+    3-round PageRank is content-hash checkable — without the decimal
+    discipline, float sum order would diverge engines at ~1 ulp and
+    amplify through rounds.
+
+    Scale: per round = one edge⋈rank join + one partial-aggregated sum
+    (shuffles keyed on node ids — stable keys, AQE reuses layout) and
+    a lineage-truncating materialize; ranks table = nodes×16 bytes."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = e.join(deg, "src")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count("*").alias("n"))
+    d = float(damping)
+    r = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("node", F.round(F.lit(1.0) / F.col("n"), 10).alias("r"))
+        .transform(materialize)
+    )
+    for _ in range(n_rounds):
+        contrib = ed.join(r.withColumnRenamed("node", "src"), "src").select(
+            "dst",
+            F.round(F.col("r") / F.col("deg"), 12)
+            .cast("decimal(28,14)")
+            .alias("c"),
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("acc"))
+        r = (
+            nodes.join(sums, nodes.node == sums.dst, "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.round(
+                    (F.lit(1.0) - F.lit(d)) / F.col("n")
+                    + F.lit(d)
+                    * F.coalesce(F.col("acc").cast("double"), F.lit(0.0)),
+                    10,
+                ).alias("r"),
+            )
+            .transform(materialize)
+        )
+    return r.select("node", F.col("r").alias("rank"))

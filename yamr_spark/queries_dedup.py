@@ -420,3 +420,68 @@ def q_dedup_keep_best(spark, sf_dir):
             F.min(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("kept_chars"),
         )
     )
+
+
+def _pagerank_oracle(n_rounds: int = 3) -> str:
+    head = f"""
+    WITH {_BANDS_CTE}, {_CAND_PAIRS}, {_JACCARD},
+    dups AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes za ON za.doc_id = c.doc_a
+      JOIN sizes zb ON zb.doc_id = c.doc_b
+      WHERE CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dups
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM dups
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+      SELECT node, ROUND(CAST(1.0 AS DOUBLE) / nn.n, 10) AS r
+      FROM nodes CROSS JOIN nn
+    )"""
+    rounds = []
+    for i in range(1, n_rounds + 1):
+        rounds.append(f""",
+    c{i} AS (
+      SELECT ed.dst, CAST(ROUND(r.r / ed.deg, 12) AS DECIMAL(28,14)) AS c
+      FROM ed JOIN r{i - 1} r ON r.node = ed.src
+    ),
+    s{i} AS (SELECT dst, SUM(c) AS acc FROM c{i} GROUP BY dst),
+    r{i} AS (
+      SELECT n.node,
+             ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                   + CAST(0.85 AS DOUBLE)
+                     * COALESCE(CAST(s.acc AS DOUBLE), CAST(0.0 AS DOUBLE)),
+                   10) AS r
+      FROM nodes n LEFT JOIN s{i} s ON s.dst = n.node CROSS JOIN nn
+    )"""
+        )
+    return head + "".join(rounds) + f"\n    SELECT node, r AS rank FROM r{n_rounds}"
+
+
+@register("pagerank_near_dup", oracle=_pagerank_oracle())
+def q_pagerank_near_dup(spark, sf_dir):
+    """PageRank (3 power iterations) over the MinHash near-dup graph —
+    the authority score of each doc within its duplicate neighborhood,
+    and the engine's second iterative fixpoint (beside connected
+    components). Per-edge contributions round to 12 dp and sum through
+    DECIMAL, so the float iteration is aggregation-order independent
+    and the unrolled oracle replays it bit-for-bit."""
+    from yamr_spark.operators.graph import pagerank
+
+    pairs = D.minhash_near_dup(table(spark, sf_dir, "documents"))
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    return pagerank(edges)

@@ -146,6 +146,7 @@ DRIVER_PRIORITY = [
     "table_profile",
     "constraint_check_report",
     "value_histogram",
+    "pagerank_near_dup",
     # (4) plans/code changed in round 5 (simhash overflow guard,
     # read_csv de-shadow, upsert staging swap):
     "simhash",
