@@ -116,8 +116,10 @@ def test_compat_overhead_bounded(spark, sf_dir):
     """The promised perf stamp: the Arrow-batched compat shim stays
     within 1.5x of the native word_count on the same documents, so the
     streamed-reduce path can't silently regress to a per-row shuffle.
-    Median-of-3 per side (after a warmup each) to damp host-VM
-    variance; both sides run in this same JVM/session."""
+    Min-of-3 per side after a warmup (the same least-noise estimator
+    bench.py uses — host-VM load inflates individual samples 3-10x),
+    with ONE full re-measure before failing: a perf gate that flakes
+    under a busy suite run is worse than none."""
     import time
 
     from yamr_spark.operators.wordcount import word_count
@@ -132,12 +134,18 @@ def test_compat_overhead_bounded(spark, sf_dir):
             t0 = time.monotonic()
             fn()
             samples.append(time.monotonic() - t0)
-        return sorted(samples)[1]
+        return min(samples)
 
-    t_native = timed(lambda: word_count(docs).count())
-    t_shim = timed(
-        lambda: run_job(
-            spark, docs, WordCountMapper(), SumReducer(), text_col="text"
-        ).count()
-    )
+    def measure():
+        t_native = timed(lambda: word_count(docs).count())
+        t_shim = timed(
+            lambda: run_job(
+                spark, docs, WordCountMapper(), SumReducer(), text_col="text"
+            ).count()
+        )
+        return t_native, t_shim
+
+    t_native, t_shim = measure()
+    if t_shim > 1.5 * t_native + 0.5:
+        t_native, t_shim = measure()
     assert t_shim <= 1.5 * t_native + 0.5, (t_shim, t_native)
