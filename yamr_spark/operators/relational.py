@@ -270,3 +270,58 @@ def order_gap_days(orders: DataFrame) -> DataFrame:
             "gap_days"
         ),
     )
+
+
+def scd2_history(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    base_ts: str = "1992-01-01",
+    update_ts: str = "1998-08-01",
+):
+    """Slowly-changing-dimension type 2: merge an updates batch into a
+    dimension, closing the old version of every changed row and opening
+    a new current one. Output: one row per (key, version) with
+    valid_from / valid_to / is_current — the warehouse pattern for
+    auditable dimension history.
+
+    Plan: one full-outer-shaped comparison (here: left join updates →
+    base since updates ⊆ base keys), changed keys found by attribute
+    inequality, then a union of three disjoint row sets (unchanged
+    current, closed old versions, opened new versions) — no windows, no
+    per-key iteration; every branch is a projection over one co-
+    partitioned join, so the merge scales as one shuffle on the key."""
+    from pyspark.sql import functions as F
+
+    b = base.select(key, *attrs)
+    u = updates.select(key, *[F.col(c).alias(f"__u_{c}") for c in attrs])
+    joined = b.join(u, key, "left")
+    has_update = F.col(f"__u_{attrs[0]}").isNotNull()
+    all_equal = None
+    for c in attrs:
+        eq = F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+        all_equal = eq if all_equal is None else (all_equal & eq)
+    changed = joined.where(has_update & ~all_equal)
+    unchanged = joined.where(~has_update | all_equal).select(
+        key,
+        *attrs,
+        F.lit(base_ts).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = changed.select(
+        key,
+        *attrs,
+        F.lit(base_ts).alias("valid_from"),
+        F.lit(update_ts).alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = changed.select(
+        key,
+        *[F.col(f"__u_{c}").alias(c) for c in attrs],
+        F.lit(update_ts).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionAll(closed).unionAll(opened)

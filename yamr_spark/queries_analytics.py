@@ -459,3 +459,48 @@ def q_value_histogram(spark, sf_dir):
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "incremental_agg_refresh",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS value_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_incremental_agg_refresh(spark, sf_dir):
+    """Incremental materialized-view maintenance: the standing aggregate
+    state (count, decimal value-sum) built from yesterday's partition
+    (even event_ids) is REFRESHED by merging the delta partition's
+    state (odd event_ids) — state merge is the same associative
+    aggregate, so the refreshed view must hash-equal the full
+    recompute the oracle runs. Decimal sums make the merge independent
+    of partition order; at 100 TB this is the pattern that turns a
+    daily full-corpus rollup into a delta-sized job."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round("value", 6).cast("decimal(18,6)").alias("v6"),
+    )
+
+    def state(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("cnt"), F.sum("v6").alias("vsum")
+        )
+
+    base = state(ev.where(F.col("event_id") % 2 == 0))
+    delta = state(ev.where(F.col("event_id") % 2 == 1))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("cnt").alias("n_events"), F.sum("vsum").alias("vs"))
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("vs").cast("double"), 6).alias("value_sum"),
+    )

@@ -667,3 +667,42 @@ def q_temperature_mixture_sample(spark, sf_dir):
     sampled_id_sum content-checks WHICH docs were drawn, not just how
     many."""
     return C.temperature_sample(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "export_manifest",
+    oracle="""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h60,
+             doc_id, n_chars
+      FROM documents
+    )
+    SELECT CAST(h60 % 16 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(CAST(SUM(h60) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+    FROM h GROUP BY shard
+    """,
+)
+def q_export_manifest(spark, sf_dir):
+    """Corpus-export integrity manifest: per shard (content-hash
+    assignment, so shard membership is retry/relocation stable), the
+    doc count, byte total, and an order-independent checksum (exact
+    integer sum of the docs' 60-bit ids). The consumer of a 100 TB
+    transfer re-derives this manifest from what arrived and diffs —
+    any lost/duplicated/corrupted shard surfaces as one row. Pure
+    map-side hashing + one partial-aggregated shuffle."""
+    from yamr_spark.functions import hash60
+
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select(
+        hash60(F.col("doc_id").cast("string")).alias("h60"), "n_chars"
+    )
+    return h.groupBy((F.col("h60") % 16).alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        # DECIMAL(38,0), rendered as string: the sum of 60-bit values
+        # overflows int64 beyond ~250 docs (and would at any real
+        # corpus size); decimal sums stay exact to 10^38
+        F.sum(F.col("h60").cast("decimal(38,0)")).cast("string").alias("checksum"),
+    )

@@ -831,3 +831,58 @@ def q_rich_idle_customers(spark, sf_dir):
             .alias("totacctbal"),
         )
     )
+
+
+@register(
+    "scd2_customer_history",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 3
+                  THEN 'SEG' || CAST(c_custkey % 4 AS VARCHAR)
+                  ELSE c_mktsegment END AS new_seg
+      FROM customer WHERE c_custkey % 10 IN (3, 7)
+    ),
+    j AS (
+      SELECT c.c_custkey, c.c_mktsegment, u.new_seg
+      FROM customer c LEFT JOIN upd u USING (c_custkey)
+    )
+    SELECT c_custkey, c_mktsegment, '1992-01-01' AS valid_from,
+           CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+    FROM j WHERE new_seg IS NULL OR new_seg = c_mktsegment
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, '1992-01-01', '1998-08-01', FALSE
+    FROM j WHERE new_seg IS NOT NULL AND new_seg != c_mktsegment
+    UNION ALL
+    SELECT c_custkey, new_seg, '1998-08-01', CAST(NULL AS VARCHAR), TRUE
+    FROM j WHERE new_seg IS NOT NULL AND new_seg != c_mktsegment
+    """,
+)
+def q_scd2_customer_history(spark, sf_dir):
+    """Slowly-changing-dimension type 2 merge: a deterministic updates
+    batch (every custkey%10==3 changes segment, %10==7 is a no-op
+    update) merges into the customer dimension — changed keys close
+    their old version and open a current one, no-op updates and
+    untouched keys pass through. One co-partitioned join, three
+    disjoint projections, no windows (operators/relational.py:
+    scd2_history)."""
+    from yamr_spark.operators.relational import scd2_history
+
+    cust = table(spark, sf_dir, "customer")
+    updates = cust.where((F.col("c_custkey") % 10).isin(3, 7)).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 10 == 3,
+            F.concat(F.lit("SEG"), (F.col("c_custkey") % 4).cast("string")),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    return scd2_history(
+        cust,
+        updates,
+        key="c_custkey",
+        attrs=["c_mktsegment"],
+        base_ts="1992-01-01",
+        update_ts="1998-08-01",
+    )

@@ -147,6 +147,9 @@ DRIVER_PRIORITY = [
     "constraint_check_report",
     "value_histogram",
     "pagerank_near_dup",
+    "scd2_customer_history",
+    "incremental_agg_refresh",
+    "export_manifest",
     # (4) plans/code changed in round 5 (simhash overflow guard,
     # read_csv de-shadow, upsert staging swap):
     "simhash",
