@@ -100,6 +100,16 @@ HEADLINE = [
     "dedup_keep_best",
     "temperature_mixture_sample",
     "bpe_learn_merges_batched",
+    # round 5 (cont.): iterative pagerank, warehouse ops, profiling,
+    # contrastive negatives
+    "pagerank_near_dup",
+    "scd2_customer_history",
+    "incremental_agg_refresh",
+    "export_manifest",
+    "table_profile",
+    "value_histogram",
+    "hard_negative_mining",
+    "ewma_user_value",
 ]
 
 
