@@ -118,6 +118,7 @@ def pagerank(
     dst: str = "dst",
     n_rounds: int = 3,
     damping: float = 0.85,
+    fixpoint_partitions: int | None = None,
 ) -> DataFrame:
     """PageRank, ``n_rounds`` power iterations of the simplified
     (no-dangling-redistribution) update
@@ -137,10 +138,24 @@ def pagerank(
     Scale: per round = one edge⋈rank join + one partial-aggregated sum
     (shuffles keyed on node ids — stable keys, AQE reuses layout) and
     a lineage-truncating materialize; ranks table = nodes×16 bytes."""
+    # Materialize the edge table FIRST: it is consumed by deg/nodes/nn
+    # and by every iteration round — when it comes from an expensive
+    # producer (the LSH near-dup pipeline), an un-truncated lineage
+    # recomputes that producer once per consumer (measured: 6.9 s → the
+    # producer's own 2.6 s + fixpoint work, after this barrier).
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if fixpoint_partitions:
+        # The fixpoint tables are edge-sized (near-dup graphs: edges ≪
+        # corpus). Iterating them across the session's full shuffle
+        # width pays per-round scheduling for mostly-empty partitions —
+        # size the loop's parallelism to the GRAPH, not the corpus
+        # (measured at sf0.1: 6.4 s → ~4 s with 4 partitions on a
+        # ~100-edge graph; at real scale pick ~edges/1e6).
+        e = e.repartition(fixpoint_partitions)
+    e = materialize(e)
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = e.join(deg, "src")
-    nodes = (
+    ed = materialize(e.join(deg, "src"))
+    nodes = materialize(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()

@@ -480,8 +480,14 @@ def q_pagerank_near_dup(spark, sf_dir):
     and the unrolled oracle replays it bit-for-bit."""
     from yamr_spark.operators.graph import pagerank
 
-    pairs = D.minhash_near_dup(table(spark, sf_dir, "documents"))
+    from yamr_spark.materialize import materialize
+
+    # materialize the pair list BEFORE taking both edge directions: the
+    # union reads it twice, and without the barrier each branch re-runs
+    # the whole LSH pipeline inside pagerank's first job (measured
+    # ~2.6 s doubled)
+    pairs = materialize(D.minhash_near_dup(table(spark, sf_dir, "documents")))
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    return pagerank(edges)
+    return pagerank(edges, fixpoint_partitions=4)
