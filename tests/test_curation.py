@@ -207,3 +207,39 @@ def test_chunk_udtf_matches_column_path(spark, sf_dir):
     a = {tuple(r) for r in via_udtf.collect()}
     b = {tuple(r) for r in fast.collect()}
     assert a == b and len(a) > 0
+
+
+def test_pii_redact_patterns_and_counts(spark):
+    """All three PII patterns redact and count; clean text is untouched."""
+    from yamr_spark.operators.curation import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org or 192.168.0.1 call +1-555-0199 ok"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert rows[1].n_emails == 1 and rows[1].n_ips == 1 and rows[1].n_phones == 1
+    assert "<EMAIL>" in rows[1].text and "<IP>" in rows[1].text and "<PHONE>" in rows[1].text
+    assert "@" not in rows[1].text and "192.168" not in rows[1].text
+    assert rows[2].text == "nothing sensitive here"
+    assert rows[2].n_emails == rows[2].n_ips == rows[2].n_phones == 0
+
+
+def test_temperature_sample_quota_properties(spark, sf_dir):
+    """Quotas sum to ~target, each group's draw is min(quota, group
+    size), and the draw is deterministic across invocations."""
+    from yamr_spark.operators.curation import temperature_sample
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = temperature_sample(docs, target_total=100).collect()
+    assert abs(sum(r.quota for r in out) - 100) <= len(out)  # rounding slack
+    for r in out:
+        assert r.n_sampled == min(r.quota, r.n_docs)
+    again = temperature_sample(docs, target_total=100).collect()
+    assert {(r.lang, r.sampled_id_sum) for r in out} == {
+        (r.lang, r.sampled_id_sum) for r in again
+    }
