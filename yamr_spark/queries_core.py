@@ -524,3 +524,38 @@ def q_orc_roundtrip_stats(spark, sf_dir):
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@register(
+    "sorted_store_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM events
+    WHERE user_id BETWEEN 10 AND 20
+    GROUP BY event_type
+    """,
+)
+def q_sorted_store_stats(spark, sf_dir):
+    """Range-layout store end-to-end: events rewritten with
+    write_sorted_store (disjoint per-file user_id ranges — pinned by
+    unit test via pyarrow footer stats), read back under a range
+    predicate that parquet row-group statistics can skip on; the
+    rollup proves the clustered rewrite lost nothing."""
+    import os
+
+    from yamr_spark.sources import write_sorted_store
+    from yamr_spark.tmpdirs import session_dir, store_complete
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    base = session_dir(f"sorted_store:{sf_dir}", "yamr_sorted_")
+    store = os.path.join(base, "store")
+    if not store_complete(store):
+        write_sorted_store(ev, store, "user_id", n_files=8)
+    back = spark.read.parquet(store)
+    return (
+        back.where(F.col("user_id").between(10, 20))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("event_id").alias("id_sum"))
+    )

@@ -547,3 +547,43 @@ def q_bpe_encode_stats(spark, sf_dir):
     training and encoding share one pass (the encoded word table IS
     training's final state). The oracle replays training AND encoding."""
     return T.bpe_encode_stats(table(spark, sf_dir, "documents"))
+
+
+def _lang_eval_oracle() -> str:
+    langs = sorted(LANG_PROFILES)
+    score_cols = ",\n             ".join(
+        f"{_stop_hits(LANG_PROFILES[lg])} AS score_{lg}" for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN score_{lg} = {best} AND {best} > 0 THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return f"""
+    WITH scores AS (
+      SELECT lang, doc_id,
+             {score_cols}
+      FROM documents
+    ),
+    preds AS (SELECT lang AS actual, {case} AS predicted FROM scores)
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM preds GROUP BY actual, predicted
+    """
+
+
+@register("lang_id_eval", oracle=_lang_eval_oracle())
+def q_lang_id_eval(spark, sf_dir):
+    """Classifier evaluation as a first-class pipeline op: the lang-id
+    heuristic's confusion matrix against the corpus's labeled lang
+    column — (actual, predicted, n). One map-side classification pass
+    plus one partial-aggregated shuffle; at 100 TB this is how any
+    model-quality report over the corpus runs (score map-side,
+    aggregate the cells, never collect predictions)."""
+    docs = table(spark, sf_dir, "documents")
+    preds = T.lang_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", F.col("lang").alias("actual"))
+        .join(preds, "doc_id")
+        .groupBy("actual", F.col("pred_lang").alias("predicted"))
+        .agg(F.count("*").alias("n"))
+    )

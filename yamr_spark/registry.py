@@ -150,6 +150,8 @@ DRIVER_PRIORITY = [
     "scd2_customer_history",
     "incremental_agg_refresh",
     "export_manifest",
+    "sorted_store_stats",
+    "lang_id_eval",
     # (4) plans/code changed in round 5 (simhash overflow guard,
     # read_csv de-shadow, upsert staging swap):
     "simhash",
