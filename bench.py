@@ -5,6 +5,11 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
     {"metric": ..., "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ...}
 
+The printed line carries PER-FAMILY subtotals in "queries" (bounded
+size — BENCH_r05.json lost its head to the driver's finite tail-capture
+when the per-query dict grew past it, VERDICT r05 #4); the full
+per-query timing dict is written to bench_full.json alongside.
+
 Execution is forced with the noop sink (full pipeline runs, nothing is
 collected to the driver), so timings measure scan→shuffle→agg work, not
 driver materialization. AQE is on — at sf0.1 it coalesces the 32 shuffle
@@ -20,103 +25,110 @@ import re
 import sys
 import time
 
-HEADLINE = [
-    # reference-parity core (SURVEY §2): scan → explode → hash agg
-    "word_count",
-    "top_words",
-    # the reference's generic mapper/reducer hook (C7/C8), Arrow-batched
-    "compat_word_count",
-    # relational surface (§7.4): TPC-H-ish agg / joins / windows
-    "pricing_summary",
-    "revenue_per_nation",
-    "shipping_priority",
-    "moving_stats_per_user",
-    # 4+-table join shapes (Q7/Q8/Q9 analogues): join-order/broadcast
-    "nation_trade_volume",
-    "market_share",
-    "nation_profit",
-    # temporal joins
-    "asof_click_purchase",
-    "range_click_near_purchase",
+# family → headline queries. Families keep the printed JSON line small
+# and stable-size as the registry grows; per-query numbers land in
+# bench_full.json.
+FAMILIES: dict[str, list[str]] = {
+    # reference-parity core (SURVEY §2): scan → explode → hash agg,
+    # plus the generic mapper/reducer hook (C7/C8, Arrow-batched)
+    "core": ["word_count", "top_words", "compat_word_count"],
+    # relational surface (§7.4): TPC-H-ish agg / joins / windows /
+    # subquery decorrelation / disjunctive pushdown
+    "relational": [
+        "pricing_summary",
+        "revenue_per_nation",
+        "shipping_priority",
+        "moving_stats_per_user",
+        "nation_trade_volume",
+        "market_share",
+        "nation_profit",
+        "cust_order_distribution",
+        "large_volume_customers",
+        "waiting_suppliers",
+        "discounted_brand_revenue",
+    ],
+    # temporal joins + event-time windows
+    "temporal": [
+        "asof_click_purchase",
+        "range_click_near_purchase",
+        "window_tumbling_counts",
+        "ewma_user_value",
+    ],
     # north-star LLM ops (§7.5): dedup family
-    "dedup_exact",
-    "minhash_near_dup",
-    "simhash_near_dup",
-    "ngram_jaccard_pairs",
-    "dedup_groups",
+    "dedup": [
+        "dedup_exact",
+        "minhash_near_dup",
+        "simhash_near_dup",
+        "ngram_jaccard_pairs",
+        "dedup_groups",
+        "dedup_keep_best",
+        "fuzzy_part_pairs",
+        "semdedup",
+        "pagerank_near_dup",
+    ],
     # similarity family
-    "ann_brute_topk",
-    "ivf_assign",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "srp_near_dup",
+    "similarity": [
+        "ann_brute_topk",
+        "ivf_assign",
+        "ann_ivf_topk",
+        "ann_ivf_kmeans_topk",
+        "srp_near_dup",
+        "embedding_near_dup_p2",
+        "ivf_probe_partitioned",
+        "embedding_quantize_stats",
+        "ann_quantized_topk",
+        "hard_negative_mining",
+        "hard_negative_mining_ivf",
+    ],
     # text-analysis family
-    "quality_score",
-    "tfidf_top_terms",
-    # curation family (round 3): decontamination, span dedup, split,
-    # quota sampling, novelty — plus the fused end-to-end pipeline
-    "benchmark_decontaminate",
-    "chunk_dup_stats",
-    "hash_split_counts",
-    "quota_sample_lang",
-    "ngram_novelty",
-    "corpus_curation",
-    "llm_prep_pipeline",
-    "split_store_train_counts",
-    "jsonl_roundtrip_stats",
-    # round 4: sequence packing + target-mixture sampling
-    "pack_sequences",
-    "domain_mix_sample",
-    # round 4: subquery-decorrelation join shapes (Q13/Q18 analogues)
-    "cust_order_distribution",
-    "large_volume_customers",
-    # similarity: multi-probe near-dup + the partitioned-store probe
-    # (store build is cached per process; the timed pass measures the
-    # pruned probe, which is the steady-state cost)
-    "embedding_near_dup_p2",
-    "ivf_probe_partitioned",
-    # event-time windows
-    "window_tumbling_counts",
-    # round 4 (cont.): TPC-H tail double-EXISTS + disjunctive pushdown
-    "waiting_suppliers",
-    "discounted_brand_revenue",
-    # round 4 (cont.): semantic dedup, BM25 retrieval, chunking
-    "semdedup",
-    "bm25_search",
-    "chunk_documents",
-    # round 4 (cont.): complete flagship + blocked fuzzy matching
-    "llm_prep_pipeline_v2",
-    "fuzzy_part_pairs",
-    # round 5: analytics (funnel/cohort), PII scrubbing, vocab/quality
-    # reports, int8-quantized ANN, keep-best collapse, temperature
-    # mixture, batched BPE
-    "funnel_stages",
-    "cohort_retention",
-    "pii_redaction_stats",
-    "vocab_coverage",
-    "gopher_quality_filters",
-    "embedding_quantize_stats",
-    "ann_quantized_topk",
-    "dedup_keep_best",
-    "temperature_mixture_sample",
-    "bpe_learn_merges_batched",
-    # round 5 (cont.): iterative pagerank, warehouse ops, profiling,
-    # contrastive negatives
-    "pagerank_near_dup",
-    "scd2_customer_history",
-    "incremental_agg_refresh",
-    "export_manifest",
-    "table_profile",
-    "value_histogram",
-    "hard_negative_mining",
-    "ewma_user_value",
-]
+    "text": [
+        "quality_score",
+        "tfidf_top_terms",
+        "bm25_search",
+        "vocab_coverage",
+        "gopher_quality_filters",
+        "bpe_learn_merges_batched",
+    ],
+    # curation family: decontamination, span dedup, split, quota
+    # sampling, novelty, packing, mixtures — plus the fused pipelines
+    "curation": [
+        "benchmark_decontaminate",
+        "chunk_dup_stats",
+        "hash_split_counts",
+        "quota_sample_lang",
+        "ngram_novelty",
+        "corpus_curation",
+        "llm_prep_pipeline",
+        "llm_prep_pipeline_v2",
+        "split_store_train_counts",
+        "jsonl_roundtrip_stats",
+        "pack_sequences",
+        "domain_mix_sample",
+        "chunk_documents",
+        "pii_redaction_stats",
+        "temperature_mixture_sample",
+    ],
+    # analytics + warehouse ops: funnel/cohort, SCD2, incremental
+    # refresh, manifests, profiling
+    "analytics": [
+        "funnel_stages",
+        "cohort_retention",
+        "scd2_customer_history",
+        "incremental_agg_refresh",
+        "export_manifest",
+        "table_profile",
+        "value_histogram",
+    ],
+}
+
+HEADLINE = [q for fam in FAMILIES.values() for q in fam]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo)
 
     from yamr_spark.registry import all_queries
     from yamr_spark.session import get_spark
@@ -166,25 +178,24 @@ def main() -> None:
         pass_totals.append(round(pass_total, 3))
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "reps": reps,
-                "estimator": "min_per_query_over_passes",
-                "pass_totals_sec": pass_totals,
-                "variance_note": (
-                    "host-VM single-shot noise is large; value = sum of "
-                    "per-query minima over passes, pass_totals_sec shows "
-                    "the raw per-pass spread"
-                ),
-            }
-        )
-    )
+    family_totals = {
+        fam: round(sum(timings[q] for q in qs), 3) for fam, qs in FAMILIES.items()
+    }
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": family_totals,
+        "n_queries": len(HEADLINE),
+        "sf": sf,
+        "reps": reps,
+        "estimator": "min_per_query_over_passes",
+        "pass_totals_sec": pass_totals,
+        "per_query_file": "bench_full.json",
+    }
+    with open(os.path.join(repo, "bench_full.json"), "w") as fh:
+        json.dump({**summary, "per_query": timings}, fh, indent=1, sort_keys=True)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

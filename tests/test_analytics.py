@@ -9,7 +9,11 @@ from yamr_spark.tables import table
 
 
 def test_approx_aggregates_error_bounds(spark, sf_dir):
-    approx = {
+    """The registered contract (VERDICT r05 #6): in-query error-band
+    booleans — sketch within rtol of the exact twin — plus exact
+    count columns. A sketch drifting out of band flips a boolean and
+    fails both here and the driver hash."""
+    rows = {
         r["event_type"]: r
         for r in all_queries()["approx_aggregates"](spark, sf_dir).collect()
     }
@@ -18,16 +22,18 @@ def test_approx_aggregates_error_bounds(spark, sf_dir):
         for r in table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
+            F.count("*").alias("n"),
             F.countDistinct("user_id").alias("users"),
-            F.expr("percentile(value, 0.5)").alias("p50"),
         )
         .collect()
     }
+    assert rows.keys() == exact.keys()
     for et, ex in exact.items():
-        ap = approx[et]
-        assert abs(ap["approx_users"] - ex["users"]) <= max(1, 0.1 * ex["users"])
-        spread = abs(ex["p50"]) + 1e-9
-        assert abs(ap["approx_p50"] - ex["p50"]) <= 0.05 * spread + 0.05
+        ap = rows[et]
+        assert ap["n_events"] == ex["n"]
+        assert ap["exact_users"] == ex["users"]
+        assert ap["users_within_5pct"] is True
+        assert ap["p50_within_5pct"] is True
 
 
 def test_pivot_counts_sum_to_total(spark, sf_dir):
@@ -45,24 +51,65 @@ def test_pivot_counts_sum_to_total(spark, sf_dir):
 def test_scd2_invariants(spark, sf_dir):
     """SCD2 output invariants: every key has exactly one current row;
     changed keys carry exactly one closed version whose valid_to equals
-    the new version's valid_from; unchanged keys keep one row."""
+    the new version's valid_from; unchanged keys keep one row; NEW keys
+    (absent from base) appear as exactly one current insert opened at
+    the update timestamp."""
     from yamr_spark.registry import all_queries
+    from yamr_spark.tables import table
 
     rows = all_queries()["scd2_customer_history"](spark, sf_dir).collect()
+    base_keys = {
+        r.c_custkey for r in table(spark, sf_dir, "customer").select("c_custkey").collect()
+    }
     by_key = {}
     for r in rows:
         by_key.setdefault(r.c_custkey, []).append(r)
-    n_changed = 0
+    n_changed = n_inserted = 0
     for key, versions in by_key.items():
         current = [v for v in versions if v.is_current]
         assert len(current) == 1, key
-        if len(versions) == 2:
+        if key not in base_keys:
+            n_inserted += 1
+            assert len(versions) == 1
+            assert versions[0].valid_from == "1998-08-01"
+            assert versions[0].c_mktsegment == "SEGNEW"
+        elif len(versions) == 2:
             n_changed += 1
             closed = next(v for v in versions if not v.is_current)
             assert closed.valid_to == current[0].valid_from
         else:
             assert len(versions) == 1
     assert n_changed > 0  # the update batch really changed keys
+    assert n_inserted > 0  # …and really inserted new keys
+
+
+def test_scd2_insert_change_unchanged_one_batch(spark):
+    """scd2_history unit: one batch containing an insert (new key), a
+    change, a no-op update, and an untouched key — each lands in its
+    branch; NULL attribute values do not masquerade as 'row absent'
+    (presence is tracked by marker columns, not attr null-ness)."""
+    from yamr_spark.operators.relational import scd2_history
+
+    base = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C"), (4, None)],
+        "k int, attr string",
+    )
+    updates = spark.createDataFrame(
+        [(2, "B2"), (3, "C"), (5, "NEW"), (4, None)],
+        "k int, attr string",
+    )
+    out = scd2_history(base, updates, key="k", attrs=["attr"],
+                       base_ts="t0", update_ts="t1")
+    rows = {(r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+            for r in out.collect()}
+    assert rows == {
+        (1, "A", "t0", None, True),          # untouched
+        (2, "B", "t0", "t1", False),         # changed: closed old
+        (2, "B2", "t1", None, True),         # changed: opened new
+        (3, "C", "t0", None, True),          # no-op update
+        (4, None, "t0", None, True),         # NULL attr no-op (eqNullSafe)
+        (5, "NEW", "t1", None, True),        # insert
+    }
 
 
 def test_export_manifest_covers_corpus_exactly(spark, sf_dir):

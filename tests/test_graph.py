@@ -82,3 +82,22 @@ def test_pagerank_star_and_clique(spark):
     )
     cr = {r.node: r["rank"] for r in pagerank(clique).collect()}
     assert len(set(cr.values())) == 1
+
+
+def test_triangle_counts_golden(spark):
+    """K4 minus one edge: nodes {1,2,3,4}, edges 1-2,1-3,2-3,2-4,3-4 →
+    triangles (1,2,3) and (2,3,4); nodes 2,3 sit in two each."""
+    from yamr_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_counts_no_triangles(spark):
+    from yamr_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    assert triangle_counts(edges).count() == 0

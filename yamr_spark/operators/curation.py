@@ -668,16 +668,18 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     placeholders) with per-doc match counts — the scrubbing pass every
     public-corpus release runs (cf. RefinedWeb/Dolma pipelines).
 
-    Counts are taken on the ORIGINAL text, then the redactions apply in
-    a fixed order (email → ip → phone) so placeholder text can never be
-    re-matched. Pure Column expressions (regexp_count + chained
-    regexp_replace): map-side only, zero shuffle at any scale."""
-    counts = [
-        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
-        for name, pat, _ in PII_PATTERNS
-    ]
+    Redactions apply in a fixed order (email → ip → phone), and each
+    pattern is COUNTED on the progressively-redacted text — so every
+    count equals the number of placeholders that redaction actually
+    inserted, even when patterns overlap (ADVICE r05: counting on the
+    original text, '1.2.3.4@ex.com' would count one IP that the email
+    redaction had already consumed). Pure Column expressions
+    (regexp_count + chained regexp_replace): map-side only, zero
+    shuffle at any scale."""
+    counts = []
     red = F.col(text_col)
-    for _, pat, repl in PII_PATTERNS:
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(red, F.lit(pat)).cast("long").alias(f"n_{name}"))
         red = F.regexp_replace(red, pat, repl)
     keep = [c for c in docs.columns if c != text_col]
     return docs.select(*keep, *counts, red.alias(text_col))

@@ -282,28 +282,43 @@ def scd2_history(
 ):
     """Slowly-changing-dimension type 2: merge an updates batch into a
     dimension, closing the old version of every changed row and opening
-    a new current one. Output: one row per (key, version) with
-    valid_from / valid_to / is_current — the warehouse pattern for
-    auditable dimension history.
+    a new current one, and opening brand-new keys as inserts. Output:
+    one row per (key, version) with valid_from / valid_to / is_current
+    — the warehouse pattern for auditable dimension history.
 
-    Plan: one full-outer-shaped comparison (here: left join updates →
-    base since updates ⊆ base keys), changed keys found by attribute
-    inequality, then a union of three disjoint row sets (unchanged
-    current, closed old versions, opened new versions) — no windows, no
-    per-key iteration; every branch is a projection over one co-
+    Plan: ONE full-outer join on the key (real dimension feeds contain
+    new keys — the left-join shape VERDICT r05 #7 flagged silently
+    dropped them), presence tracked by explicit marker columns (NOT
+    attr null-ness — a legitimately-NULL attribute must not masquerade
+    as 'row absent'), changed keys found by attribute inequality, then
+    a union of four disjoint row sets (unchanged current, closed old
+    versions, opened new versions, inserted new keys) — no windows, no
+    per-key iteration; every branch is a projection over the same co-
     partitioned join, so the merge scales as one shuffle on the key."""
     from pyspark.sql import functions as F
 
-    b = base.select(key, *attrs)
-    u = updates.select(key, *[F.col(c).alias(f"__u_{c}") for c in attrs])
-    joined = b.join(u, key, "left")
-    has_update = F.col(f"__u_{attrs[0]}").isNotNull()
+    b = base.select(key, *attrs, F.lit(True).alias("__in_b"))
+    u = updates.select(
+        key,
+        *[F.col(c).alias(f"__u_{c}") for c in attrs],
+        F.lit(True).alias("__in_u"),
+    )
+    joined = b.join(u, key, "full_outer")
+    in_base = F.col("__in_b").isNotNull()
+    has_update = F.col("__in_u").isNotNull()
     all_equal = None
     for c in attrs:
         eq = F.col(c).eqNullSafe(F.col(f"__u_{c}"))
         all_equal = eq if all_equal is None else (all_equal & eq)
-    changed = joined.where(has_update & ~all_equal)
-    unchanged = joined.where(~has_update | all_equal).select(
+    changed = joined.where(in_base & has_update & ~all_equal)
+    inserted = joined.where(~in_base).select(
+        key,
+        *[F.col(f"__u_{c}").alias(c) for c in attrs],
+        F.lit(update_ts).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    unchanged = joined.where(in_base & (~has_update | all_equal)).select(
         key,
         *attrs,
         F.lit(base_ts).alias("valid_from"),
@@ -324,4 +339,4 @@ def scd2_history(
         F.lit(None).cast("string").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
-    return unchanged.unionAll(closed).unionAll(opened)
+    return unchanged.unionAll(closed).unionAll(opened).unionAll(inserted)

@@ -969,3 +969,150 @@ def hard_negative_mining(
             "query_id", "query_label", "negative_id", "negative_label", "cosine", "rnk"
         )
     )
+
+
+def hard_negative_mining_ivf(
+    emb: DataFrame,
+    k: int = 3,
+    num_queries: int = 10,
+    c: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-pruned hard-negative mining — the at-scale variant of
+    ``hard_negative_mining`` (VERDICT r05 #2): each anchor query mines
+    negatives ONLY from its ``nprobe`` nearest IVF cells, with the
+    label-inequality fused into the cell join, so the per-query cost is
+    |corpus|·nprobe/c dot products instead of the full-corpus crossJoin.
+    Approximate by construction (a hard negative assigned to an unprobed
+    cell is missed; recall rises with nprobe) — the standard ANN-mining
+    tradeoff.
+
+    Scale: the probe table is broadcast-tiny (queries × nprobe rows);
+    the corpus side joins on centroid_id EQUALITY (BroadcastHashJoin,
+    never BroadcastNestedLoopJoin — plan-test-pinned). At 100 TB the
+    corpus lives partitioned by centroid_id (``write_ivf_store``), so a
+    mining pass with millions of anchors groups its probes by cell and
+    streams each probed cell partition once.
+    """
+    from pyspark.sql import Window
+
+    cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
+    qlbl = emb.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("query_label")
+    ).filter(F.col("query_id") < num_queries)
+    probes = (
+        _query_probes(
+            emb, num_queries=num_queries, c=c, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col, cents=cents,
+        )
+        .join(qlbl, "query_id")
+        .withColumnRenamed("qv", "va")
+        .withColumn("na", _norm("va"))
+    )
+    assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col, cents=cents).select(
+        F.col("vec_id").alias("negative_id"), "centroid_id"
+    )
+    corpus = (
+        emb.select(
+            F.col(id_col).alias("negative_id"),
+            _vec_double(vec_col).alias("vb"),
+            F.col(label_col).alias("negative_label"),
+        )
+        .join(assign, "negative_id")
+        .withColumn("nb", _norm("vb"))
+    )
+    # single-cell corpus assignment ⇒ each (query, negative) pair joins at
+    # most once across the nprobe probes — no dedup stage needed
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "centroid_id")
+        .filter(F.col("query_label") != F.col("negative_label"))
+        .withColumn(
+            "cosine", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "negative_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "query_label", "negative_id", "negative_label", "cosine", "rnk"
+        )
+    )
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    max_dim: int = 16,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed covariance (upper-triangle) of the first ``max_dim``
+    embedding dimensions — the X^T X building block of distributed PCA /
+    whitening: cov_ij = S_ij/n − (S_i/n)(S_j/n) from per-row outer
+    products. Eigen-decomposition of the resulting d×d matrix is a
+    driver-side O(d³) afterthought at any corpus size; the DATA pass is
+    this query.
+
+    Determinism: each product is rounded to 9dp and summed through
+    DECIMAL(28,9), so the sums are exact integers-scaled — independent
+    of partitioning/aggregation order — and the final double math is
+    the same two-operation formula on identical inputs in both engines
+    (the PageRank float-discipline pattern).
+
+    Scale: outer-product terms are generated MAP-SIDE from each row's
+    array (no self-join), partially aggregated before the single d²-key
+    shuffle — the shuffle carries ≤ partitions × d(d+1)/2 rows
+    regardless of corpus size. For d in the hundreds (d² ~ 10⁵), the
+    production variant replaces the explode with an Arrow-batched
+    mapInPandas computing one numpy gemm per batch and emitting each
+    batch's d×d partial — same associative merge, fewer rows; the
+    explode form is kept registered because it is exactly
+    SQL-replayable."""
+    v = _vec_double(vec_col)
+    base = emb.select(v.alias("v"))
+    n = base.agg(F.count("*").alias("n"))
+    sums = (
+        base.select(F.posexplode(F.slice("v", 1, max_dim)).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum(F.expr("cast(round(x, 9) as decimal(28,9))")).alias("s"))
+    )
+    pairs = (
+        base.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, least(size(v), {max_dim}) - 1),"
+                    f" i -> transform(sequence(i, least(size(v), {max_dim}) - 1),"
+                    " j -> struct(i, j,"
+                    " cast(round(v[i] * v[j], 9) as decimal(28,9)) AS p))))"
+                )
+            ).alias("t")
+        )
+        .select("t.i", "t.j", "t.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sp"))
+    )
+    si = sums.select(F.col("i"), F.col("s").alias("si"))
+    sj = sums.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    return (
+        pairs.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            # + 0.0 canonicalizes IEEE -0.0 → +0.0 (DuckDB's round can
+            # emit -0.0; the driver hasher would see two distinct reprs)
+            (
+                F.round(
+                    F.col("sp").cast("double") / F.col("n")
+                    - (F.col("si").cast("double") / F.col("n"))
+                    * (F.col("sj").cast("double") / F.col("n")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )

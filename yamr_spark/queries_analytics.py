@@ -89,18 +89,54 @@ def q_value_percentiles(spark, sf_dir):
     )
 
 
-@register("approx_aggregates")
+@register(
+    "approx_aggregates",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS users_within_5pct,
+           TRUE AS p50_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q_approx_aggregates(spark, sf_dir):
-    """Sketch aggregates: HLL distinct + KLL-style quantile. Rows-only in
-    the gate (approximation is engine-specific by construction); the unit
-    test asserts error bounds against the exact answers instead."""
-    return (
+    """Sketch aggregates: HLL distinct + KLL-style quantile. The sketch
+    VALUES are engine-specific by construction, so the oracle-checkable
+    contract is the ERROR BAND (VERDICT r05 #6): the query computes both
+    sketch and exact in one aggregation pass and returns booleans
+    |approx−exact|/exact ≤ rtol; the oracle derives the same booleans
+    from exact aggregates, where they are identically TRUE — so a sketch
+    drifting out of its advertised band turns the row red. Exact
+    n_events/exact_users ride along as value-checked columns. (At scale
+    you keep ONLY the sketch side — the exact twin here is the
+    certification harness, not the production plan.)"""
+    agg = (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+            F.percentile_approx("value", 0.5, 10000).alias("ap50"),
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.expr("percentile(value, 0.5)").alias("ep50"),
         )
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("au") - F.col("exact_users"))
+            / F.greatest(F.col("exact_users"), F.lit(1))
+            <= 0.05
+        ).alias("users_within_5pct"),
+        (
+            F.abs(F.col("ap50") - F.col("ep50"))
+            / F.greatest(F.abs(F.col("ep50")), F.lit(1e-9))
+            <= 0.05
+        ).alias("p50_within_5pct"),
     )
 
 
@@ -503,4 +539,106 @@ def q_incremental_agg_refresh(spark, sf_dir):
         "event_type",
         "n_events",
         F.round(F.col("vs").cast("double"), 6).alias("value_sum"),
+    )
+
+
+@register(
+    "top_event_paths",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 10
+    """,
+)
+def q_top_event_paths(spark, sf_dir):
+    """User-journey analysis: each user's first-3 event-type path
+    (event-time order, event_id tiebreak), ranked by user count — the
+    onboarding-funnel shape product analytics asks first.
+
+    Plan: one user_id window shuffle (per-user frames), ordered path
+    assembly via array_sort(collect_list(struct(rn, type))) — NOT bare
+    collect_list, whose order is partition-dependent — then a partial-
+    aggregated path count and a TakeOrdered top-10 (per-partition heaps,
+    no global sort). Total order (n_users desc, path) makes the cut
+    deterministic."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+    per_user = first3.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        per_user.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(10)
+    )
+
+
+@register(
+    "event_zscore_anomalies",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             AVG(value) OVER tw AS m,
+             STDDEV_SAMP(value) OVER tw AS s,
+             COUNT(*) OVER tw AS c
+      FROM events
+      WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value, ROUND((value - m) / s, 6) AS z
+    FROM w
+    WHERE c >= 5 AND s > 0 AND abs(ROUND((value - m) / s, 6)) > 3.0
+    """,
+)
+def q_event_zscore_anomalies(spark, sf_dir):
+    """Streaming-shaped anomaly detection on a batch surface: each
+    event scored against its user's TRAILING 10-event mean/std (the
+    current row excluded — no self-leakage), flagged at |z| > 3 with a
+    5-event warm-up. One user_id window shuffle serves all three frame
+    aggregates; the rounded z enters the threshold compare so the
+    boundary decision is identical in both engines."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(tw).alias("m"),
+        F.stddev_samp("value").over(tw).alias("s"),
+        F.count("*").over(tw).alias("c"),
+    )
+    z = F.round((F.col("value") - F.col("m")) / F.col("s"), 6)
+    return (
+        scored.where((F.col("c") >= 5) & (F.col("s") > 0) & (F.abs(z) > 3.0))
+        .select("event_id", "user_id", "value", z.alias("z"))
     )

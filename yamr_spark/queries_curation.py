@@ -578,21 +578,30 @@ _PII_ENRICH_SQL = """
     WITH enriched AS (
       SELECT lang, {_PII_ENRICH_SQL} AS text FROM documents
     ),
-    red AS (
+    r1 AS (
+      -- counts mirror the engine: each pattern counted on the
+      -- PROGRESSIVELY-redacted text, so counts == placeholders inserted
       SELECT lang,
         CAST(len(regexp_extract_all(text,
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
-        CAST(len(regexp_extract_all(text,
-          '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ips,
-        CAST(len(regexp_extract_all(text, '\\+\\d{{1,2}}-\\d{{3}}-\\d{{4}}')) AS BIGINT)
-          AS n_phones,
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(text,
-              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
-            '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
-          '\\+\\d{{1,2}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g') AS text
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t1
       FROM enriched
+    ),
+    r2 AS (
+      SELECT lang, n_emails,
+        CAST(len(regexp_extract_all(t1,
+          '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ips,
+        regexp_replace(t1,
+          '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g') AS t2
+      FROM r1
+    ),
+    red AS (
+      SELECT lang, n_emails, n_ips,
+        CAST(len(regexp_extract_all(t2, '\\+\\d{{1,2}}-\\d{{3}}-\\d{{4}}')) AS BIGINT)
+          AS n_phones,
+        regexp_replace(t2, '\\+\\d{{1,2}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g') AS text
+      FROM r2
     )
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,

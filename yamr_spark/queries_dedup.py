@@ -491,3 +491,38 @@ def q_pagerank_near_dup(spark, sf_dir):
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     return pagerank(edges, fixpoint_partitions=4)
+
+
+@register(
+    "neardup_triangles",
+    oracle=f"""
+    WITH {_BANDS_CTE}, {_CAND_PAIRS}, {_JACCARD},
+    edges AS (
+      SELECT c.doc_a AS a, c.doc_b AS b
+      FROM cand c
+      JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes za ON za.doc_id = c.doc_a
+      JOIN sizes zb ON zb.doc_id = c.doc_b
+      WHERE CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) >= 0.5
+    ),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ) n GROUP BY node
+    """,
+)
+def q_neardup_triangles(spark, sf_dir):
+    """Triangle participation over the verified MinHash near-dup graph:
+    cliquish duplicate families vs borderline chains. Ordered-orientation
+    enumeration (a<b<c), each triangle counted once per member node."""
+    from yamr_spark.operators.graph import triangle_counts
+
+    pairs = D.minhash_near_dup(table(spark, sf_dir, "documents"))
+    return triangle_counts(pairs)

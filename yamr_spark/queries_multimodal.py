@@ -121,23 +121,35 @@ def q_multimodal_decode(spark, sf_dir):
       FROM grid
     )
     SELECT doc_id,
-           unhex(string_agg(lpad(to_hex(v), 2, '0'), '' ORDER BY g)) AS thumb,
+           string_agg(lpad(to_hex(v), 2, '0'), '' ORDER BY g) AS thumb_hex,
+           CAST(COUNT(*) AS INT) AS thumb_len,
            CAST(8 AS INT) AS thumb_w, CAST(8 AS INT) AS thumb_h
     FROM samp GROUP BY doc_id
     """,
 )
 def q_multimodal_thumbnails(spark, sf_dir):
-    """Resize seam: 8×8 nearest-neighbor thumbnails as binary. Sample
-    position j·(dim−1)//7 is exact integer arithmetic, so the oracle
-    rebuilds the identical 64 bytes with string_agg(to_hex)→unhex."""
-    return resize_thumbnail(_payload(spark, sf_dir))
+    """Resize seam: 8×8 nearest-neighbor thumbnails. Sample position
+    j·(dim−1)//7 is exact integer arithmetic, so the oracle rebuilds the
+    identical 64 bytes with string_agg(to_hex). The REGISTERED query
+    projects hex(thumb)+length (the driver's canonicalizer cannot hash
+    raw binary columns — pandas factorize dies on bytearray); the
+    operator itself stays binary-in/binary-out."""
+    return resize_thumbnail(_payload(spark, sf_dir)).select(
+        "doc_id",
+        F.hex("thumb").alias("thumb_hex"),
+        F.octet_length("thumb").cast("int").alias("thumb_len"),
+        "thumb_w",
+        "thumb_h",
+    )
 
 
 @register(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id, CAST(i AS INT) AS frame_idx,
-           encode(substr(text, CAST(i AS INT) * 256 + 1, 256)) AS frame
+           hex(encode(substr(text, CAST(i AS INT) * 256 + 1, 256))) AS frame_hex,
+           CAST(octet_length(encode(substr(text, CAST(i AS INT) * 256 + 1, 256)))
+                AS INT) AS frame_len
     FROM documents,
          (SELECT unnest(range(0, 64, 4)) AS i)
     WHERE i < octet_length(encode(text)) // 256
@@ -146,8 +158,16 @@ def q_multimodal_thumbnails(spark, sf_dir):
 def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling seam: payload → every-4th fixed-size frame (1→N).
     Frames are contiguous byte slices of ASCII text, so the oracle is
-    encode(substr(...)) over the stride-4 frame index range."""
-    return sample_frames(_payload(spark, sf_dir))
+    hex(encode(substr(...))) over the stride-4 frame index range. The
+    REGISTERED query projects hex(frame)+length so the driver can hash
+    it (its canonicalizer cannot sort raw binary); the operator itself
+    stays binary-in/binary-out."""
+    return sample_frames(_payload(spark, sf_dir)).select(
+        "doc_id",
+        "frame_idx",
+        F.hex("frame").alias("frame_hex"),
+        F.octet_length("frame").cast("int").alias("frame_len"),
+    )
 
 
 @register(

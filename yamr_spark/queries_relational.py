@@ -856,16 +856,22 @@ def q_rich_idle_customers(spark, sf_dir):
     UNION ALL
     SELECT c_custkey, new_seg, '1998-08-01', CAST(NULL AS VARCHAR), TRUE
     FROM j WHERE new_seg IS NOT NULL AND new_seg != c_mktsegment
+    UNION ALL
+    SELECT c_custkey + 1000000, 'SEGNEW', '1998-08-01',
+           CAST(NULL AS VARCHAR), TRUE
+    FROM customer WHERE c_custkey % 100 = 5
     """,
 )
 def q_scd2_customer_history(spark, sf_dir):
     """Slowly-changing-dimension type 2 merge: a deterministic updates
     batch (every custkey%10==3 changes segment, %10==7 is a no-op
-    update) merges into the customer dimension — changed keys close
-    their old version and open a current one, no-op updates and
-    untouched keys pass through. One co-partitioned join, three
-    disjoint projections, no windows (operators/relational.py:
-    scd2_history)."""
+    update, and every custkey%100==5 spawns a NEW key at +1000000 —
+    the insert branch real dimension feeds always contain) merges into
+    the customer dimension — changed keys close their old version and
+    open a current one, no-op updates and untouched keys pass through,
+    new keys open as current inserts. One full-outer co-partitioned
+    join, four disjoint projections, no windows (operators/
+    relational.py: scd2_history)."""
     from yamr_spark.operators.relational import scd2_history
 
     cust = table(spark, sf_dir, "customer")
@@ -878,6 +884,11 @@ def q_scd2_customer_history(spark, sf_dir):
         .otherwise(F.col("c_mktsegment"))
         .alias("c_mktsegment"),
     )
+    inserts = cust.where(F.col("c_custkey") % 100 == 5).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("SEGNEW").alias("c_mktsegment"),
+    )
+    updates = updates.unionAll(inserts)
     return scd2_history(
         cust,
         updates,

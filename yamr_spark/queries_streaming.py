@@ -448,9 +448,14 @@ def q_streaming_lsh_incremental(spark, sf_dir):
     flagged against STRICTLY EARLIER state, then its bands join the
     index — so batch 2 can match batch 1's docs, which is the
     incremental property the oracle replays in closed form (batch k
-    matches index0 ∪ batches < k). Checkpointed availableNow: a rerun
-    in the same session replays nothing."""
+    matches index0 ∪ batches < k). Setup (seed index + staged files)
+    is guarded by a completion marker; the stream drain is ALWAYS
+    invoked — availableNow + checkpoint makes it a no-op when fully
+    drained, and resumes the remaining batches if a prior attempt in
+    this session crashed mid-stream (ADVICE r05: a checkpoint-dir
+    existence guard would silently return partial results there)."""
     import os
+    import shutil
 
     from yamr_spark.streaming.lsh import (
         build_band_index,
@@ -466,16 +471,23 @@ def q_streaming_lsh_incremental(spark, sf_dir):
     stream_dir = os.path.join(base, "stream")
     results_dir = os.path.join(base, "results")
     ckpt = os.path.join(base, "ckpt")
-    if not os.path.exists(ckpt):
+    staged_ok = os.path.join(base, "_staged_ok")
+    if not os.path.exists(staged_ok):
+        # partial setup from a crashed prior attempt is not resumable —
+        # rebuild it (and the downstream state it seeded) from scratch
+        for d in (index_dir, stream_dir, results_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
         build_band_index(docs.where(F.col("doc_id") % 2 == 0), index_dir)
         stage_stream_files(
             docs,
             stream_dir,
             [F.col("doc_id") % 4 == 1, F.col("doc_id") % 4 == 3],
         )
-        stream_lsh_into_index(
-            spark, stream_dir, docs.schema, index_dir, results_dir, ckpt
-        )
+        with open(staged_ok, "w"):
+            pass
+    stream_lsh_into_index(
+        spark, stream_dir, docs.schema, index_dir, results_dir, ckpt
+    )
     return read_flagged(spark, results_dir)
 
 

@@ -587,3 +587,148 @@ def q_lang_id_eval(spark, sf_dir):
         .groupBy("actual", F.col("pred_lang").alias("predicted"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "ngram_repetition_profile",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    big AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)), 
+             i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    bigc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM big GROUP BY doc_id, g),
+    top AS (
+      SELECT doc_id, g AS top_bigram, cnt AS top_cnt FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, g) AS rn
+        FROM bigc) t WHERE rn = 1
+    ),
+    m2 AS (SELECT doc_id, SUM(cnt * length(g)) AS m2 FROM bigc GROUP BY doc_id),
+    five AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+             i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS g
+      FROM toks WHERE len(t) >= 5
+    ),
+    fivec AS (SELECT doc_id, g, COUNT(*) AS cnt FROM five GROUP BY doc_id, g),
+    dup AS (
+      SELECT doc_id,
+             SUM(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS dupm,
+             SUM(cnt * length(g)) AS mn
+      FROM fivec GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(top_bigram, '') AS top_bigram,
+           ROUND(COALESCE(top_cnt * length(top_bigram) * 1.0 / m2.m2, 0.0), 6)
+             AS top_bigram_frac,
+           ROUND(COALESCE(dupm * 1.0 / mn, 0.0), 6) AS dup_ngram_frac,
+           (ROUND(COALESCE(top_cnt * length(top_bigram) * 1.0 / m2.m2, 0.0), 6)
+              <= 0.20
+            AND ROUND(COALESCE(dupm * 1.0 / mn, 0.0), 6) <= 0.15)
+             AS pass_repetition
+    FROM documents d
+    LEFT JOIN top USING (doc_id)
+    LEFT JOIN m2 USING (doc_id)
+    LEFT JOIN dup USING (doc_id)
+    """,
+)
+def q_ngram_repetition_profile(spark, sf_dir):
+    """Per-doc n-gram repetition profile (complements repetition_stats'
+    bigram/top-token signals with Gopher's top-2-gram-coverage and
+    duplicate-5-gram-mass rules): most-frequent bigram + its char-mass
+    fraction, duplicated-5-gram char-mass fraction, and the pass flag
+    at the documented thresholds (0.20 / 0.15)."""
+    return T.ngram_repetition_profile(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_percentile_gate",
+    oracle=f"""
+    WITH base AS (
+      SELECT lang, text,
+             greatest(len({_TOKS}), 1) AS n_tok,
+             {_stop_hits(LANG_PROFILES["en"])} AS n_stop,
+             length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+      FROM documents
+    ),
+    q AS (
+      SELECT lang,
+             ROUND(
+               (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)
+               + least(n_stop * 2.0 / n_tok, 0.3)
+               + (CASE WHEN punct * 1.0 / greatest(length(text), 1) <= 0.1
+                       THEN 0.15 ELSE 0.0 END)
+               + (CASE WHEN digits * 1.0 / greatest(length(text), 1) <= 0.2
+                       THEN 0.15 ELSE 0.0 END), 6) AS quality
+      FROM base
+    ),
+    thr AS (SELECT quantile_cont(quality, 0.75) AS thr FROM q)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN quality >= thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           ROUND(MIN(thr), 6) AS quality_p75
+    FROM q CROSS JOIN thr GROUP BY lang
+    """,
+)
+def q_quality_percentile_gate(spark, sf_dir):
+    """Percentile-relative quality gating — keep the top quartile by
+    heuristic quality score, the importance-filtering pass that adapts
+    to corpus drift (an absolute threshold goes stale; a percentile
+    doesn't). The p75 threshold is ONE exact-percentile scalar
+    aggregate broadcast into the gate — no second scan of the corpus
+    and no driver round-trip; per-lang kept/total shows the gate's
+    demographic skew before committing."""
+    from yamr_spark.operators.text import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    q = quality_score(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    thr = q.agg(F.expr("percentile(quality, 0.75)").alias("thr"))
+    return (
+        q.crossJoin(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("quality") >= F.col("thr")).cast("long")).alias("n_kept"),
+            F.round(F.min("thr"), 6).alias("quality_p75"),
+        )
+    )
+
+
+@register(
+    "bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    bgc AS (SELECT g, COUNT(*) AS cbg FROM bg GROUP BY g),
+    ctx AS (
+      SELECT split_part(g, ' ', 1) AS prev, SUM(cbg) AS cctx
+      FROM bgc GROUP BY split_part(g, ' ', 1)
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(t) AS tok FROM toks) u
+    )
+    SELECT doc_id,
+           ROUND(AVG(ln((cbg + 1.0) / (cctx + 1.0 * v))), 6)
+             AS bigram_lm_score,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM bg
+    JOIN bgc USING (g)
+    JOIN ctx ON ctx.prev = split_part(g, ' ', 1)
+    CROSS JOIN vocab
+    GROUP BY doc_id
+    """,
+)
+def q_bigram_lm_score(spark, sf_dir):
+    """Self-trained smoothed bigram LM scoring — the word-order-aware
+    step up from unigram_lm_score (CCNet-style cheap LM filtering)."""
+    return T.bigram_lm_score(table(spark, sf_dir, "documents"))

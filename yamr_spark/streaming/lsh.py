@@ -66,11 +66,25 @@ def stream_lsh_into_index(
     index_dir: str,
     results_dir: str,
     checkpoint_dir: str,
+    compact_every: int = 2,
 ) -> None:
     """Drain the staged document stream: per micro-batch, flag band
     matches against the standing index, append them to ``results_dir``,
-    then append the batch's bands to the index. availableNow +
-    checkpoint = exactly-once at batch level; a restart replays nothing."""
+    then append the batch's bands to the index. Every ``compact_every``
+    batches the index directory is compacted (``compact_store``) — each
+    micro-batch otherwise adds one small parquet file, which is exactly
+    the small-file accretion failure mode the maintenance module exists
+    for; with periodic compaction the steady-state file count is O(1)
+    per target_bytes of index, not O(batches).
+
+    Delivery: availableNow + checkpoint is at-least-once WITH idempotent
+    reads, not exactly-once — a crash between the results/index appends
+    and the checkpoint commit re-appends that batch on replay. Results
+    stay exact because ``read_flagged`` applies distinct(); replayed
+    band rows in the index are duplicates that cannot create new flagged
+    pairs (the flagged join is followed by distinct() too), only
+    wasted bytes — which the periodic compaction keeps bounded and a
+    full rebuild would remove."""
 
     def _ingest(batch_df: DataFrame, _bid: int) -> None:
         sigs = minhash_band_table(minhash_signatures(batch_df))
@@ -101,6 +115,10 @@ def stream_lsh_into_index(
                 flagged = spark.createDataFrame([], flagged_schema)
             flagged.write.mode("append").parquet(results_dir)
             sigs.write.mode("append").parquet(index_dir)
+            if compact_every and _bid % compact_every == compact_every - 1:
+                from yamr_spark.operators.maintenance import compact_store
+
+                compact_store(spark, index_dir)
         finally:
             sigs.unpersist()
 

@@ -49,6 +49,30 @@ def _bucket_of(key_col, n_buckets: int):
     return F.pmod(F.xxhash64(key_col), F.lit(n_buckets))
 
 
+def _sweep_bucket_residue(store_dir: str) -> None:
+    """Store-wide crash-residue sweep, run before every merge AND every
+    read: a bucket stranded as ``_bucket_<b>.old`` by a crash between
+    the two swap renames (committed ``bucket=<b>`` missing) is RESTORED;
+    superseded ``.old`` and partial ``.tmp`` staging dirs are dropped.
+    Sweeping all buckets — not just the ones the current batch touches —
+    closes the ADVICE r05 hole where a direct read after a crash
+    silently under-reported the untouched stranded bucket."""
+    import re
+
+    if not os.path.isdir(store_dir):
+        return
+    for d in sorted(os.listdir(store_dir)):
+        m = re.fullmatch(r"_bucket_(\d+)\.(old|tmp)", d)
+        if not m:
+            continue
+        full = os.path.join(store_dir, d)
+        bucket_dir = os.path.join(store_dir, f"bucket={m.group(1)}")
+        if m.group(2) == "old" and not os.path.exists(bucket_dir):
+            os.rename(full, bucket_dir)
+        else:
+            shutil.rmtree(full)
+
+
 def merge_batch_into_store(
     batch_df: DataFrame,
     store_dir: str,
@@ -68,6 +92,10 @@ def merge_batch_into_store(
     window where a concurrent reader sees the bucket missing is two
     metadata ops, not an rmtree of the old data."""
     spark = batch_df.sparkSession
+    # recover residue of any previously crashed merge STORE-WIDE before
+    # touching anything (a stranded bucket may not be in this batch's
+    # touched set)
+    _sweep_bucket_residue(store_dir)
     batch_df = batch_df.withColumn("__bucket", _bucket_of(F.col(key), n_buckets))
     batch_df.persist()
     try:
@@ -81,17 +109,6 @@ def merge_batch_into_store(
             # so '_bucket=K.tmp' would be partition-discovered.
             tmp = os.path.join(store_dir, f"_bucket_{b}.tmp")
             old_stage = os.path.join(store_dir, f"_bucket_{b}.old")
-            # recover residue from a previous crashed merge of this
-            # bucket: a .old with no committed bucket is the data (the
-            # crash hit between the two renames) — restore it; any
-            # other residue is superseded — drop it.
-            if os.path.exists(old_stage):
-                if os.path.exists(bucket_dir):
-                    shutil.rmtree(old_stage)
-                else:
-                    os.rename(old_stage, bucket_dir)
-            if os.path.exists(tmp):
-                shutil.rmtree(tmp)
             slice_df = batch_df.where(F.col("__bucket") == b).drop("__bucket")
             if os.path.exists(os.path.join(bucket_dir, "_SUCCESS")):
                 old = spark.read.parquet(bucket_dir).select(*slice_df.columns)
@@ -144,11 +161,14 @@ def read_store(spark: SparkSession, store_dir: str) -> DataFrame:
     """Read every committed bucket of the store back as one DataFrame.
 
     Only exact ``bucket=<int>`` dirs with a _SUCCESS marker qualify —
-    staging residue (``_bucket=K.tmp`` / ``_bucket=K.old``) is invisible
+    staging residue (``_bucket_K.tmp`` / ``_bucket_K.old``) is invisible
     by its underscore prefix, and the strict name match additionally
-    excludes any legacy suffixed dir."""
+    excludes any legacy suffixed dir. The store-wide residue sweep runs
+    first, so a bucket stranded mid-swap by a crash is restored (not
+    silently missing) even when no merge has touched it since."""
     import re
 
+    _sweep_bucket_residue(store_dir)
     buckets = [
         os.path.join(store_dir, d)
         for d in sorted(os.listdir(store_dir))
