@@ -46,6 +46,7 @@ FAMILIES: dict[str, list[str]] = {
         "large_volume_customers",
         "waiting_suppliers",
         "discounted_brand_revenue",
+        "incremental_join_view_refresh",
     ],
     # temporal joins + event-time windows
     "temporal": [
@@ -65,6 +66,7 @@ FAMILIES: dict[str, list[str]] = {
         "fuzzy_part_pairs",
         "semdedup",
         "pagerank_near_dup",
+        "neardup_triangles",
     ],
     # similarity family
     "similarity": [
@@ -79,6 +81,7 @@ FAMILIES: dict[str, list[str]] = {
         "ann_quantized_topk",
         "hard_negative_mining",
         "hard_negative_mining_ivf",
+        "embedding_covariance",
     ],
     # text-analysis family
     "text": [
@@ -88,6 +91,10 @@ FAMILIES: dict[str, list[str]] = {
         "vocab_coverage",
         "gopher_quality_filters",
         "bpe_learn_merges_batched",
+        "bigram_lm_score",
+        "ngram_repetition_profile",
+        "phrase_search_table_table",
+        "quality_percentile_gate",
     ],
     # curation family: decontamination, span dedup, split, quota
     # sampling, novelty, packing, mixtures — plus the fused pipelines
@@ -118,6 +125,12 @@ FAMILIES: dict[str, list[str]] = {
         "export_manifest",
         "table_profile",
         "value_histogram",
+        "top_event_paths",
+        "event_zscore_anomalies",
+        "recency_weighted_user_score",
+        "equidepth_histogram",
+        "kmv_set_ops_customers",
+        "key_skew_report",
     ],
 }
 

@@ -9,8 +9,10 @@ fams = defaultdict(list)
 for name, fn in qs.items():
     fams[fn.__module__.replace("yamr_spark.", "")].append(name)
 lines = ["# Coverage inventory (generated from yamr_spark.registry)", "",
-         f"{len(qs)} registered queries; {len(os_)} carry exact DuckDB oracles",
-         "(the rest are rows-only by design). Regenerate: `python scripts/gen_coverage.py`.", ""]
+         f"{len(qs)} registered queries; {len(os_)} carry exact DuckDB oracles"
+         + ("" if len(os_) == len(qs) else " (the rest are rows-only by design)")
+         + ".",
+         "Regenerate: `python scripts/gen_coverage.py`.", ""]
 order = ["queries_core","queries_relational","queries_tpch","queries_analytics",
          "queries_functions","queries_temporal","queries_dedup","queries_similarity",
          "queries_text","queries_curation","queries_multimodal","queries_streaming",

@@ -583,3 +583,33 @@ def test_hard_negative_mining_ivf_recall_vs_brute(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"recall {recall:.2f} ({len(exact & approx)}/{len(exact)})"
+
+
+def test_round6_query_plan_shapes(spark, sf_dir):
+    """Round-6 additions keep the plan shapes their docstrings claim:
+    top_event_paths cuts its top-10 with TakeOrdered (no global sort);
+    equidepth_histogram broadcasts its one-row edge table and keeps the
+    bin count partially aggregated; bigram_lm_score broadcasts its model
+    tables; embedding_covariance has partial aggregation under the
+    d²-key shuffle and no join generating the outer products."""
+    from yamr_spark.plans import plan_text
+
+    qs = all_queries()
+
+    paths = qs["top_event_paths"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan_text(paths)
+
+    eqd = qs["equidepth_histogram"](spark, sf_dir)
+    # the 1-row edge table crossJoin compiles to a broadcast nested loop
+    # (a hash join needs keys); the point pinned is the BROADCAST — the
+    # event stream itself never shuffles for the join
+    assert "BroadcastExchange" in plan_text(eqd), "edge table should broadcast"
+    assert has_partial_aggregate(eqd)
+
+    blm = qs["bigram_lm_score"](spark, sf_dir)
+    assert has_broadcast_join(blm), "model tables should broadcast"
+
+    cov = qs["embedding_covariance"](spark, sf_dir)
+    assert has_partial_aggregate(cov)
+    txt = plan_text(cov)
+    assert "SortMergeJoin" not in txt, "outer products must be map-side"

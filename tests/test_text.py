@@ -183,3 +183,31 @@ def test_ngram_repetition_profile_golden(spark):
     assert rows[2].dup_ngram_frac == 0.0
     assert rows[3].dup_ngram_frac == 0.0
     assert rows[3].top_bigram == "tiny doc"
+
+
+def test_phrase_search_three_word_golden(spark):
+    """Multi-word adjacency: overlapping/non-adjacent word hits must not
+    count; only exact consecutive runs do."""
+    from yamr_spark.operators.text import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),     # two exact runs
+            (2, "a c b a b x c"),   # words present, never consecutive
+            (3, "x a b c y"),       # one run mid-doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_occurrences for r in
+           phrase_search(docs, ["a", "b", "c"]).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_phrase_search_rejects_single_word(spark):
+    import pytest
+
+    from yamr_spark.operators.text import phrase_search
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        phrase_search(docs, ["a"])

@@ -888,3 +888,132 @@ def bigram_lm_score(docs: DataFrame, alpha: float = 1.0) -> DataFrame:
             F.count("*").alias("n_bigrams"),
         )
     )
+
+
+def phrase_search(docs: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact phrase search via POSITIONAL posting lists — the inverted-
+    index primitive (token, doc_id, position) and its adjacency join,
+    not a substring scan: at 100 TB the posting table is the stored
+    artifact (built once, partitioned by token) and a phrase query
+    touches only its words' postings. Returns (doc_id, n_occurrences)
+    for documents containing the words of ``phrase`` consecutively.
+
+    Plan: postings are generated map-side (posexplode) and FILTERED to
+    the phrase's words before anything wide — the stream entering the
+    joins is |postings of phrase words|, not |corpus tokens|; the k−1
+    adjacency joins all key on (doc_id, position offset), co-partitioned
+    after the first exchange. A substring LIKE scan cannot use an index
+    and false-positives across word boundaries; this neither."""
+    if len(phrase) < 2:
+        raise ValueError("phrase_search needs at least 2 words")
+    post = (
+        docs.select(
+            "doc_id", F.posexplode(_tokens_col()).alias("pos", "tok")
+        )
+        .where(F.col("tok").isin(list(phrase)))
+    )
+    cur = (
+        post.where(F.col("tok") == phrase[0])
+        .select("doc_id", F.col("pos").alias("p0"))
+    )
+    for k, w in enumerate(phrase[1:], start=1):
+        nxt = post.where(F.col("tok") == w).select(
+            "doc_id", F.col("pos").alias(f"p{k}")
+        )
+        cur = cur.join(
+            nxt,
+            (cur["doc_id"] == nxt["doc_id"])
+            & (nxt[f"p{k}"] == cur[f"p{k-1}"] + 1),
+        ).select(cur["doc_id"], F.col(f"p{k}"))
+    return cur.groupBy("doc_id").agg(F.count("*").alias("n_occurrences"))
+
+
+def recency_weighted_user_score(
+    events: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """Recency-weighted per-user engagement: Σ value/(1+Δdays) where
+    Δdays = whole days from the event to the corpus's newest event —
+    the harmonic-decay scoring feeds ranking/retention models without
+    a cron re-run (weights shift as t_max advances, the formula
+    doesn't).
+
+    Determinism: harmonic decay is chosen over exp(−λΔ) deliberately —
+    division is IEEE-exact and identical across engines, while libm
+    exp() can differ in the last ulp. Each term is rounded to 9dp and
+    summed through DECIMAL(28,9) (order-independent), so the float
+    reduction is exactly hash-checkable. Plan: one scalar max-ts
+    aggregate broadcast back, then one partial-aggregated user_id
+    shuffle."""
+    tmax = events.agg(F.max("ts").alias("tmax"))
+    term = F.round(
+        F.col(value_col)
+        / (F.lit(1) + F.datediff(F.col("tmax"), F.col("ts"))),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        events.crossJoin(F.broadcast(tmax))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(term).cast("double"), 6).alias("recency_score"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def kmv_set_ops(
+    df_a: DataFrame, df_b: DataFrame, col: str, k: int = 256
+) -> DataFrame:
+    """KMV sketch SET ALGEBRA — the property that makes bottom-k the
+    sketch of choice for distributed set cardinality: two sketches
+    union by taking the bottom-k of their concatenation (associative,
+    mergeable per partition/shard), |A∩B| falls out by
+    inclusion-exclusion, and Jaccard = inter/union. Like
+    ``kmv_distinct``, every number is a DETERMINISTIC function of the
+    data (md5-derived hash60), so the approximate answers sit under the
+    exact content hash.
+
+    Returns one row: (est_a, est_b, est_union, est_intersection,
+    jaccard_est), estimates rounded to 4dp, intersection clamped at 0
+    (inclusion-exclusion of two noisy estimates can dip negative for
+    near-disjoint sets)."""
+    from yamr_spark.functions import hash60
+
+    def sketch(df, label):
+        hashes = df.select(hash60(F.col(col).cast("string")).alias("h")).distinct()
+        return (
+            hashes.orderBy("h")
+            .limit(k)
+            .agg(
+                F.count("*").alias(f"n_{label}"),
+                F.max("h").alias(f"kth_{label}"),
+            )
+        )
+
+    ha = df_a.select(hash60(F.col(col).cast("string")).alias("h")).distinct()
+    hb = df_b.select(hash60(F.col(col).cast("string")).alias("h")).distinct()
+    sk_a = sketch(df_a, "a")
+    sk_b = sketch(df_b, "b")
+    sk_u = (
+        ha.union(hb)
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(F.count("*").alias("n_u"), F.max("h").alias("kth_u"))
+    )
+
+    def est(n, kth):
+        return F.when(F.col(n) < k, F.col(n).cast("double")).otherwise(
+            F.lit(float(k - 1))
+            / (F.col(kth).cast("double") / F.lit(float(1 << 60)))
+        )
+
+    joined = sk_a.crossJoin(sk_b).crossJoin(sk_u)
+    ea, eb, eu = est("n_a", "kth_a"), est("n_b", "kth_b"), est("n_u", "kth_u")
+    inter = F.greatest(ea + eb - eu, F.lit(0.0))
+    return joined.select(
+        F.round(ea, 4).alias("est_a"),
+        F.round(eb, 4).alias("est_b"),
+        F.round(eu, 4).alias("est_union"),
+        F.round(inter, 4).alias("est_intersection"),
+        F.round(inter / eu, 4).alias("jaccard_est"),
+    )

@@ -642,3 +642,183 @@ def q_event_zscore_anomalies(spark, sf_dir):
         scored.where((F.col("c") >= 5) & (F.col("s") > 0) & (F.abs(z) > 3.0))
         .select("event_id", "user_id", "value", z.alias("z"))
     )
+
+
+@register(
+    "recency_weighted_user_score",
+    oracle="""
+    WITH tmax AS (SELECT MAX(ts) AS tmax FROM events)
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(ROUND(
+             value / (1 + date_diff('day', CAST(ts AS DATE),
+                                    CAST(tmax AS DATE))), 9)
+             AS DECIMAL(28,9))) AS DOUBLE), 6) AS recency_score,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events CROSS JOIN tmax
+    GROUP BY user_id
+    """,
+)
+def q_recency_weighted_user_score(spark, sf_dir):
+    """Harmonic recency-decay engagement score per user — division
+    instead of exp() so the decay is IEEE-identical across engines;
+    9dp-rounded terms summed through decimal for order independence."""
+    from yamr_spark.operators.text import recency_weighted_user_score
+
+    return recency_weighted_user_score(table(spark, sf_dir, "events"))
+
+
+@register(
+    "equidepth_histogram",
+    oracle="""
+    WITH e AS (
+      SELECT list_transform(
+               quantile_cont(value, [0.125, 0.25, 0.375, 0.5,
+                                     0.625, 0.75, 0.875]),
+               x -> round(x, 6)) AS e
+      FROM events
+    ),
+    binned AS (
+      SELECT value,
+             1 + len(list_filter(e, x -> value > x)) AS bin
+      FROM events CROSS JOIN e
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(MIN(value), 6) AS vmin,
+           ROUND(MAX(value), 6) AS vmax
+    FROM binned GROUP BY bin
+    """,
+)
+def q_equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH histogram (8 bins of ~equal population) — the
+    selectivity-estimation statistic. Bin edges come from ONE exact
+    interpolated-percentile aggregate broadcast back over the stream
+    (same-count-per-bin via a global NTILE would be a single-partition
+    total sort — the anti-pattern); assignment compares against
+    6dp-rounded edges so the boundary decision is identical in both
+    engines."""
+    ev = table(spark, sf_dir, "events")
+    edges = ev.agg(
+        F.expr(
+            "transform(percentile(value, array(0.125D, 0.25D, 0.375D, 0.5D,"
+            " 0.625D, 0.75D, 0.875D)), x -> round(x, 6))"
+        ).alias("e")
+    )
+    binned = ev.crossJoin(F.broadcast(edges)).select(
+        "value",
+        (
+            F.lit(1)
+            + F.expr(
+                "aggregate(e, 0, (acc, x) ->"
+                " acc + CASE WHEN value > x THEN 1 ELSE 0 END)"
+            )
+        ).alias("bin"),
+    )
+    return binned.groupBy(F.col("bin").cast("long").alias("bin")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+_KMV_H = "('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT"
+
+
+@register(
+    "kmv_set_ops_customers",
+    oracle=f"""
+    WITH ha AS (
+      SELECT DISTINCT {_KMV_H} AS h FROM orders
+      WHERE o_orderdate < DATE '1995-01-01'
+    ),
+    hb AS (
+      SELECT DISTINCT {_KMV_H} AS h FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01'
+    ),
+    sa AS (SELECT COUNT(*) AS n, MAX(h) AS kth
+           FROM (SELECT h FROM ha ORDER BY h LIMIT 256) t),
+    sb AS (SELECT COUNT(*) AS n, MAX(h) AS kth
+           FROM (SELECT h FROM hb ORDER BY h LIMIT 256) t),
+    su AS (SELECT COUNT(*) AS n, MAX(h) AS kth
+           FROM (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb) u
+                 ORDER BY h LIMIT 256) t),
+    e AS (
+      SELECT
+        CASE WHEN sa.n < 256 THEN CAST(sa.n AS DOUBLE)
+             ELSE 255.0 / (CAST(sa.kth AS DOUBLE) / 1152921504606846976.0)
+        END AS ea,
+        CASE WHEN sb.n < 256 THEN CAST(sb.n AS DOUBLE)
+             ELSE 255.0 / (CAST(sb.kth AS DOUBLE) / 1152921504606846976.0)
+        END AS eb,
+        CASE WHEN su.n < 256 THEN CAST(su.n AS DOUBLE)
+             ELSE 255.0 / (CAST(su.kth AS DOUBLE) / 1152921504606846976.0)
+        END AS eu
+      FROM sa, sb, su
+    )
+    SELECT ROUND(ea, 4) AS est_a, ROUND(eb, 4) AS est_b,
+           ROUND(eu, 4) AS est_union,
+           ROUND(greatest(ea + eb - eu, 0.0), 4) AS est_intersection,
+           ROUND(greatest(ea + eb - eu, 0.0) / eu, 4) AS jaccard_est
+    FROM e
+    """,
+)
+def q_kmv_set_ops(spark, sf_dir):
+    """Mergeable-sketch set algebra: distinct customers ordering before
+    vs since 1995 — cardinalities, union, inclusion-exclusion
+    intersection, and Jaccard, all from bottom-256 KMV sketches whose
+    md5 arithmetic both engines replay exactly."""
+    from yamr_spark.operators.text import kmv_set_ops
+
+    orders = table(spark, sf_dir, "orders")
+    return kmv_set_ops(
+        orders.where(F.col("o_orderdate") < "1995-01-01"),
+        orders.where(F.col("o_orderdate") >= "1995-01-01"),
+        "o_custkey",
+    )
+
+
+@register(
+    "key_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_keys, MAX(cnt) AS max_cnt,
+             SUM(cnt) AS total, AVG(cnt) AS avg_cnt
+      FROM counts
+    )
+    SELECT key, cnt,
+           ROUND(cnt * 1.0 / total, 6) AS share,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           ROUND(max_cnt / avg_cnt, 6) AS skew_ratio
+    FROM (SELECT * FROM counts ORDER BY cnt DESC, key LIMIT 5) top
+    CROSS JOIN stats
+    """,
+)
+def q_key_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnostics — the report you read BEFORE
+    choosing salting/AQE mitigations (SCALE.md round-5: a hot key
+    behind one mapper block is unsplittable; know your keys first).
+    Top-5 heaviest keys via TakeOrdered (per-partition heaps), global
+    stats from the same partial-aggregated count table broadcast back;
+    skew_ratio = max/avg key frequency."""
+    counts = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum("cnt").alias("total"),
+        F.avg("cnt").alias("avg_cnt"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "key").limit(5)
+    return top.crossJoin(F.broadcast(stats)).select(
+        "key",
+        "cnt",
+        F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.round(F.col("max_cnt") / F.col("avg_cnt"), 6).alias("skew_ratio"),
+    )

@@ -897,3 +897,62 @@ def q_scd2_customer_history(spark, sf_dir):
         base_ts="1992-01-01",
         update_ts="1998-08-01",
     )
+
+
+@register(
+    "incremental_join_view_refresh",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_incremental_join_view_refresh(spark, sf_dir):
+    """Incremental maintenance of a JOIN view — the delta algebra
+    d(A⋈B) = dA⋈B ∪ A⋈dB ∪ dA⋈dB, merged into the standing aggregate
+    by associative decimal sums. The fixture partitions orders
+    (orderkey%10==7 is the delta batch) and customer (custkey%100==5 is
+    the delta batch); the ORACLE computes the full declarative join over
+    A∪dA and B∪dB, so the gate proves the incremental algebra
+    reproduces the one-shot answer exactly — which is the whole
+    contract of incremental view maintenance.
+
+    Scale: each delta term joins a DELTA-sized side against a standing
+    side (broadcast when the delta is small); the merge is a
+    view-sized aggregate, so refresh cost is O(delta ⋈ standing), never
+    a recompute of A⋈B."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    a = orders.where(F.col("o_orderkey") % 10 != 7)
+    da = orders.where(F.col("o_orderkey") % 10 == 7)
+    b = cust.where(F.col("c_custkey") % 100 != 5)
+    db = cust.where(F.col("c_custkey") % 100 == 5)
+
+    def view_agg(o, c):
+        return (
+            o.select("o_custkey", "o_totalprice")
+            .join(c.select("c_custkey", "c_mktsegment"),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            )
+        )
+
+    v_old = view_agg(a, b)
+    deltas = (
+        view_agg(da, b)
+        .unionByName(view_agg(a, db))
+        .unionByName(view_agg(da, db))
+    )
+    return (
+        v_old.unionByName(deltas)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )

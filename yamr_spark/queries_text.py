@@ -732,3 +732,25 @@ def q_bigram_lm_score(spark, sf_dir):
     """Self-trained smoothed bigram LM scoring — the word-order-aware
     step up from unigram_lm_score (CCNet-style cheap LM filtering)."""
     return T.bigram_lm_score(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "phrase_search_table_table",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    post AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS pos
+      FROM toks
+    )
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM post a
+    JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = 'table' AND b.tok = 'table'
+    GROUP BY a.doc_id
+    """,
+)
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search ('table table') over positional posting
+    lists — the inverted-index adjacency-join primitive; postings are
+    filtered to the phrase's words before any wide operator."""
+    return T.phrase_search(table(spark, sf_dir, "documents"), ["table", "table"])

@@ -102,41 +102,104 @@ def _load_query_modules() -> None:
 _LOADED = False
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries()
-# per round. Rounds 1-3 green-checked every then-registered query at
-# least once; this list front-loads round 4's NEW queries and every query
-# whose PLAN changed this round (hashed-shingle dedup, 60-bit simhash,
-# universal-hash minhash, max_by IVF assignment, streamed compat reduce,
-# multimodal oracles, pluggable materialization), then backfills with one
-# representative per already-green family so regressions in unchanged
-# plans still surface. Everything stays registered; only order changes.
+# per round. Round-6 window policy (per the r05 verdict): (1) every
+# query whose code/oracle CHANGED this round plus every NEW query goes
+# first — these must earn fresh stamps; (2) the remaining ~33 slots
+# backfill the STALEST stamps (the r01–r04-only tail the r05 verdict
+# called out — with a 50-slot window the rotation needs ~2.4 rounds per
+# full refresh, so the least-recently-stamped queries get this round's
+# slots). Everything stays registered; only order changes.
 DRIVER_PRIORITY = [
-    # ---- the 50-slot r05 check window.
-    # (1) the two r04 hash-reds, oracle typing now fixed — these green
-    # rows close the only red entries in the repo:
-    "late_shipment_priority",
-    "compacted_store_counts",
-    # (2) the six queries that have never had a green driver row
-    # (thumbnails/frame_sample got real oracles in r4 but were never
-    # re-checked; the other four are r4 tail additions):
+    # ---- the 50-slot r06 check window.
+    # (1a) the two driver-ERR rows, now hex-projected so the driver's
+    # canonicalizer can hash them (r05 verdict #1):
     "multimodal_thumbnails",
     "multimodal_frame_sample",
+    # (1b) new in round 6:
+    "hard_negative_mining_ivf",
+    "ngram_repetition_profile",
+    "neardup_triangles",
+    "embedding_covariance",
+    "top_event_paths",
+    "quality_percentile_gate",
+    "event_zscore_anomalies",
+    "bigram_lm_score",
+    "phrase_search_table_table",
+    "recency_weighted_user_score",
+    "equidepth_histogram",
+    "kmv_set_ops_customers",
+    "key_skew_report",
+    "incremental_join_view_refresh",
+    # (1c) code/oracle changed in round 6 (error-band contract, SCD2
+    # insert branch, progressive PII counts, TakeOrdered vocab rank,
+    # gopher zero-guard, LSH compaction + drain guard, upsert sweep):
+    "approx_aggregates",
+    "scd2_customer_history",
+    "pii_redaction_stats",
+    "vocab_coverage",
+    "gopher_quality_filters",
+    "streaming_lsh_incremental",
+    "streaming_upsert_latest",
+    # (2) stalest-stamp backfill: green only in r01–r04 windows
+    "important_part_value",
+    "promo_revenue_share",
+    "supplier_attr_counts",
+    "discounted_brand_revenue",
+    "excess_supply_suppliers",
+    "nation_trade_volume",
+    "top_supplier_revenue",
+    "small_qty_part_revenue",
+    "large_volume_customers",
+    "rich_idle_customers",
+    "ann_ivf_topk",
+    "ivf_assign",
+    "embedding_near_dup",
+    "embedding_near_dup_p2",
+    "minhash_signatures",
+    "minhash_band_pairs",
+    "streaming_tumbling_counts",
+    "streaming_parquet_sink",
+    "streaming_dedup_events",
+    "streaming_enrich_dim",
+    "streaming_event_passthrough",
+    "split_store_train_counts",
+    "benchmark_decontaminate",
+    "max_value_per_year",
+    "quota_sample_lang",
+    "domain_mix_sample",
+    "chunk_documents",
+    "chunk_dup_stats",
+    "corpus_curation",
+    # ---- beyond slot 50: next-stalest first (rotate into r07), then
+    # the freshly-stamped r05 window
+    "corpus_version_diff",
+    "llm_prep_pipeline",
+    "quality_score",
+    "unigram_lm_score",
+    "window_session_user",
+    "pivot_user_event_counts",
+    "value_percentiles",
+    "modality_interleave",
+    "date_features",
+    "sql_view_pipeline",
+    "synthetic_source_stats",
+    "observed_gate_metrics",
+    "jsonl_roundtrip_stats",
+    "top_words",
+    "late_shipment_priority",
+    "compacted_store_counts",
     "stats_moments",
     "string_features",
     "try_function_features",
     "bpe_learn_merges",
-    # (3) new in round 5:
     "bpe_learn_merges_batched",
     "minhash_near_dup_parquet_staged",
     "funnel_stages",
     "cohort_retention",
-    "vocab_coverage",
-    "gopher_quality_filters",
-    "pii_redaction_stats",
     "embedding_quantize_stats",
     "ann_quantized_topk",
     "dedup_keep_best",
     "temperature_mixture_sample",
-    "streaming_lsh_incremental",
     "bpe_encode_stats",
     "schema_evolution_stats",
     "zorder_store_stats",
@@ -147,19 +210,13 @@ DRIVER_PRIORITY = [
     "constraint_check_report",
     "value_histogram",
     "pagerank_near_dup",
-    "scd2_customer_history",
     "incremental_agg_refresh",
     "export_manifest",
     "sorted_store_stats",
     "lang_id_eval",
-    # (4) plans/code changed in round 5 (simhash overflow guard,
-    # read_csv de-shadow, upsert staging swap):
     "simhash",
     "simhash_near_dup",
     "csv_roundtrip_stats",
-    "streaming_upsert_latest",
-    # (5) backfill: one representative per already-green family so
-    # regressions in unchanged plans still surface:
     "word_count",
     "compat_word_count",
     "compat_year_max_region",
@@ -197,50 +254,67 @@ DRIVER_PRIORITY = [
     "asof_click_purchase",
     "window_rank_family",
     "salted_dim_join",
-    # ---- beyond slot 50: the remaining green-in-r01-r04 registry
-    "important_part_value",
-    "promo_revenue_share",
-    "supplier_attr_counts",
-    "discounted_brand_revenue",
-    "excess_supply_suppliers",
-    "nation_trade_volume",
-    "top_supplier_revenue",
-    "small_qty_part_revenue",
-    "large_volume_customers",
-    "rich_idle_customers",
-    "ann_ivf_topk",
-    "ivf_assign",
-    "embedding_near_dup",
-    "embedding_near_dup_p2",
-    "minhash_signatures",
-    "minhash_band_pairs",
-    "streaming_tumbling_counts",
-    "streaming_parquet_sink",
-    "streaming_dedup_events",
-    "streaming_enrich_dim",
-    "streaming_event_passthrough",
-    "split_store_train_counts",
-    "benchmark_decontaminate",
-    "max_value_per_year",
-    "quota_sample_lang",
-    "domain_mix_sample",
-    "chunk_documents",
-    "chunk_dup_stats",
-    "corpus_curation",
-    "corpus_version_diff",
-    "llm_prep_pipeline",
-    "quality_score",
-    "unigram_lm_score",
-    "window_session_user",
-    "pivot_user_event_counts",
-    "value_percentiles",
-    "modality_interleave",
-    "date_features",
-    "sql_view_pipeline",
-    "synthetic_source_stats",
-    "observed_gate_metrics",
-    "jsonl_roundtrip_stats",
-    "top_words",
+]
+
+# Queries not listed above keep their registration order AFTER the
+# explicit list (see _prioritized) — they were stamped in the r01–r03
+# registration-order windows. _ROTATION_TAIL makes them explicit so the
+# round-7 window can rotate them in by name rather than rediscovering
+# them; it is appended to DRIVER_PRIORITY below.
+_ROTATION_TAIL = [
+    "active_custkeys_intersect",
+    "click_purchase_full",
+    "combine_per_key",
+    "cube_pricing",
+    "customers_with_orders",
+    "customers_without_orders",
+    "dedup_lineitem_rows",
+    "distinct_parts_per_flag",
+    "doc_fingerprint",
+    "embedding_norms",
+    "forecast_revenue",
+    "grouping_sets_pricing",
+    "hash_split_counts",
+    "inactive_custkeys_except",
+    "json_props_stats",
+    "jsonl_corrupt_handling",
+    "kmeans_centroids",
+    "kv_json_render",
+    "lang_id",
+    "math_price_features",
+    "max_per_key",
+    "multimodal_frame_counts",
+    "multimodal_large_assets",
+    "multimodal_meta",
+    "ngram_novelty",
+    "null_handling_props",
+    "order_gap_days",
+    "order_priority_counts",
+    "order_value_buckets",
+    "orders_above_avg",
+    "orders_per_month",
+    "part_name_search",
+    "pii_scrub_stats",
+    "range_click_near_purchase",
+    "range_frame_revenue",
+    "rank_customers_in_nation",
+    "repetition_stats",
+    "returned_revenue_by_customer",
+    "rollup_pricing",
+    "salted_value_sum",
+    "sql_revenue_by_segment",
+    "streaming_click_purchase_join",
+    "streaming_user_stats",
+    "sum_per_key",
+    "supplier_nation_volume",
+    "token_stats",
+    "top_orders",
+    "union_mapper_outputs",
+    "window_sliding_activity",
+    "window_tumbling_counts",
+]
+DRIVER_PRIORITY = DRIVER_PRIORITY + [
+    n for n in _ROTATION_TAIL if n not in DRIVER_PRIORITY
 ]
 
 
