@@ -82,6 +82,7 @@ FAMILIES: dict[str, list[str]] = {
         "hard_negative_mining",
         "hard_negative_mining_ivf",
         "embedding_covariance",
+        "ann_quantized_ivf_topk",
     ],
     # text-analysis family
     "text": [

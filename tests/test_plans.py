@@ -613,3 +613,43 @@ def test_round6_query_plan_shapes(spark, sf_dir):
     assert has_partial_aggregate(cov)
     txt = plan_text(cov)
     assert "SortMergeJoin" not in txt, "outer products must be map-side"
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime bloom-filter injection (Spark's runtime row filtering) on
+    a selective fact⋈filtered-dim shuffle join: the optimizer builds a
+    bloom filter from the small (filtered) side and applies
+    BloomFilterMightContain on the fact scan side, pruning rows BEFORE
+    the join exchange. At 100 TB this fires by default (the application
+    side exceeds the 10 GB scan threshold); at fixture scale the
+    thresholds are lowered to prove the lever exists and wires into our
+    plans."""
+    from yamr_spark.plans import plan_text
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o = (
+            table(spark, sf_dir, "orders")
+            .where(F.col("o_totalprice") > 400000)
+            .select("o_orderkey")
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        txt = plan_text(j)
+        assert "bloom_filter_agg" in txt, txt[:2000]
+        # the filter is applied on the fact side before the exchange
+        assert "might_contain" in txt or "BloomFilterMightContain" in txt, txt[:2000]
+        assert j.count() > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -250,3 +250,21 @@ def test_quantized_topk_recall(spark, sf_dir):
     stats = quantize_stats(emb).collect()
     assert all(r.mean_cosine >= 0.999 for r in stats)
     assert all(r.mean_rmse <= 0.01 for r in stats)
+
+
+def test_quantized_ivf_topk_recall_vs_quantized_brute(spark, sf_dir):
+    """IVF-SQ8 recall gate: cell pruning over int8 codes must recover a
+    solid fraction of the quantized brute-force top-k (nprobe=2 of 8)."""
+    from yamr_spark.operators import similarity as S
+    from yamr_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    brute = {
+        (r.query_id, r.neighbor_id) for r in S.quantized_topk(emb).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.quantized_ivf_topk(emb).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.6, f"recall {recall:.2f}"

@@ -1116,3 +1116,70 @@ def embedding_covariance(
             ).alias("cov"),
         )
     )
+
+
+def quantized_ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    num_queries: int = 10,
+    c: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF × int8 — the composed production ANN shape (what FAISS calls
+    IVF-SQ8): the coarse probe runs in fp32 over the TINY centroid
+    table, candidate scoring runs on int8 codes inside the ``nprobe``
+    probed cells only. Composes the two scale levers this module builds
+    separately: |corpus|·nprobe/c candidates (``ivf_topk``) AND 4×
+    fewer bytes per candidate through broadcast/shuffle
+    (``quantized_topk``, whose r05 review called the un-pruned form a
+    full-scan baseline). Ranking rule is identical to quantized_topk
+    restricted to probed cells; integer dot products keep the score
+    arithmetic float-order-unambiguous."""
+    from pyspark.sql import Window
+
+    qdot = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> cast(x as bigint) * y), "
+        "cast(0 as bigint), (a, p) -> a + p)"
+    )
+
+    def qnorm(col: str):
+        return F.sqrt(
+            F.expr(
+                f"aggregate(transform({col}, x -> cast(x as double) * x), "
+                "cast(0.0 as double), (a, p) -> a + p)"
+            )
+        )
+
+    cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
+    probes = _query_probes(
+        emb, num_queries=num_queries, c=c, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, cents=cents,
+    ).select("query_id", "centroid_id")
+    q = quantize_int8(emb, id_col=id_col, vec_col=vec_col)
+    qcodes = (
+        q.filter(F.col(id_col) < num_queries)
+        .select(F.col(id_col).alias("query_id"), F.col("qvec").alias("qa"))
+        .withColumn("na", qnorm("qa"))
+    )
+    assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col, cents=cents).select(
+        F.col("vec_id").alias("neighbor_id"), "centroid_id"
+    )
+    corpus = (
+        q.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("qb"))
+        .join(assign, "neighbor_id")
+        .withColumn("nb", qnorm("qb"))
+    )
+    scored = (
+        F.broadcast(probes.join(qcodes, "query_id"))
+        .join(corpus, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_q", F.round(qdot / (F.col("na") * F.col("nb")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_q").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_q", "rnk")
+    )

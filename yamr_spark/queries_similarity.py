@@ -688,3 +688,59 @@ def q_embedding_covariance(spark, sf_dir):
     distributed X^T X with decimal-disciplined order-independent sums;
     the data pass of distributed PCA/whitening."""
     return S.embedding_covariance(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_quantized_ivf_topk",
+    oracle=f"""
+    WITH {_QUANT_CTE},
+    cents AS (
+      SELECT vec_id AS centroid_id, v AS cvec FROM vecs ORDER BY vec_id LIMIT 8
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, qvec AS qa
+          FROM quant WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qa, centroid_id FROM (
+        SELECT q.query_id, q.qa, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_COS.format(a="q.qv", b="c.cvec")} DESC,
+                                           c.centroid_id) AS rn
+        FROM q CROSS JOIN cents c
+      ) t WHERE rn <= 2
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_COS.format(a="v.v", b="c.cvec")} DESC,
+                                           c.centroid_id) AS rn
+        FROM vecs v CROSS JOIN cents c
+      ) t WHERE rn = 1
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(
+               CAST(list_dot_product(CAST(p.qa AS DOUBLE[]),
+                                     CAST(cq.qvec AS DOUBLE[])) AS DOUBLE)
+               / (sqrt(list_dot_product(CAST(p.qa AS DOUBLE[]),
+                                        CAST(p.qa AS DOUBLE[]))) *
+                  sqrt(list_dot_product(CAST(cq.qvec AS DOUBLE[]),
+                                        CAST(cq.qvec AS DOUBLE[])))),
+               6) AS cosine_q
+      FROM probes p
+      JOIN assign a ON a.centroid_id = p.centroid_id
+      JOIN quant cq ON cq.vec_id = a.vec_id
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_q, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_q DESC, neighbor_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= 5
+    """,
+)
+def q_ann_quantized_ivf_topk(spark, sf_dir):
+    """IVF-pruned int8 top-k (nprobe=2 of 8 cells, integer-dot scoring)
+    — composing cell pruning with 4× code compression, the production
+    ANN shape; oracle replays probe/assign/integer-dot exactly."""
+    return S.quantized_ivf_topk(table(spark, sf_dir, "embeddings"))

@@ -130,6 +130,7 @@ DRIVER_PRIORITY = [
     "kmv_set_ops_customers",
     "key_skew_report",
     "incremental_join_view_refresh",
+    "ann_quantized_ivf_topk",
     # (1c) code/oracle changed in round 6 (error-band contract, SCD2
     # insert branch, progressive PII counts, TakeOrdered vocab rank,
     # gopher zero-guard, LSH compaction + drain guard, upsert sweep):
@@ -169,9 +170,9 @@ DRIVER_PRIORITY = [
     "domain_mix_sample",
     "chunk_documents",
     "chunk_dup_stats",
-    "corpus_curation",
     # ---- beyond slot 50: next-stalest first (rotate into r07), then
     # the freshly-stamped r05 window
+    "corpus_curation",
     "corpus_version_diff",
     "llm_prep_pipeline",
     "quality_score",
