@@ -54,6 +54,7 @@ FAMILIES: dict[str, list[str]] = {
         "range_click_near_purchase",
         "window_tumbling_counts",
         "ewma_user_value",
+        "daily_resample_ffill",
     ],
     # north-star LLM ops (§7.5): dedup family
     "dedup": [
@@ -96,6 +97,7 @@ FAMILIES: dict[str, list[str]] = {
         "ngram_repetition_profile",
         "phrase_search_table_table",
         "quality_percentile_gate",
+        "sparse_cosine_pairs",
     ],
     # curation family: decontamination, span dedup, split, quota
     # sampling, novelty, packing, mixtures — plus the fused pipelines
@@ -132,6 +134,7 @@ FAMILIES: dict[str, list[str]] = {
         "equidepth_histogram",
         "kmv_set_ops_customers",
         "key_skew_report",
+        "mad_outlier_report",
     ],
 }
 

@@ -1017,3 +1017,56 @@ def kmv_set_ops(
         F.round(inter, 4).alias("est_intersection"),
         F.round(inter / eu, 4).alias("jaccard_est"),
     )
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame, top_n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """SPARSE-vector document similarity over the inverted index — the
+    lexical complement to dense-embedding ANN: each doc is its
+    top-``top_n`` TF-IDF terms, candidate pairs come from a
+    posting-list join on shared terms (never all-pairs), and cosine is
+    the decimal-disciplined dot of the truncated vectors. Pairs scoring
+    ≥ ``threshold`` on the rounded similarity survive.
+
+    Scale: truncation to top-n terms bounds each doc's postings; the
+    term-keyed join costs Σ_t |posting(t)|² — production additionally
+    drops ultra-high-df terms (stop-term pruning), the same
+    Σ|cell|²-shaped bound as every blocked operator in this engine.
+    Weights are the 6dp-rounded tfidf values (identical in both
+    engines); dot products and norms accumulate 9dp-rounded terms
+    through DECIMAL so no float reduction depends on order."""
+    vec = tfidf_top_terms(docs, top_n=top_n).select(
+        "doc_id", "token", F.col("tfidf").alias("w")
+    )
+    dec = lambda c: F.sum(
+        F.expr(f"cast(round({c}, 9) as decimal(28,9))")
+    )
+    norms = vec.groupBy("doc_id").agg(
+        F.sqrt(dec("w * w").cast("double")).alias("nrm")
+    )
+    a = vec.alias("a").join(norms.withColumnRenamed("doc_id", "a_id"),
+                            F.col("a.doc_id") == F.col("a_id"))
+    b = vec.alias("b").join(
+        norms.withColumnRenamed("doc_id", "b_id").withColumnRenamed("nrm", "nrm_b"),
+        F.col("b.doc_id") == F.col("b_id"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("nrm").alias("na"),
+            F.col("nrm_b").alias("nb"),
+        )
+        .agg(dec("a.w * b.w").alias("dot"))
+    )
+    sim = F.round(F.col("dot").cast("double") / (F.col("na") * F.col("nb")), 6)
+    return (
+        pairs.select("doc_a", "doc_b", sim.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

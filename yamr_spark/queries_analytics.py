@@ -822,3 +822,54 @@ def q_key_skew_report(spark, sf_dir):
         F.col("n_keys").cast("long").alias("n_keys"),
         F.round(F.col("max_cnt") / F.col("avg_cnt"), 6).alias("skew_ratio"),
     )
+
+
+@register(
+    "mad_outlier_report",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, m.med,
+             ROUND(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           m.med, m.mad,
+           CAST(SUM(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type, m.med, m.mad
+    """,
+)
+def q_mad_outlier_report(spark, sf_dir):
+    """Robust outlier detection: median + MAD (median absolute
+    deviation, the estimator a heavy-tailed value column needs — mean/
+    stddev are themselves dragged by the outliers they're meant to
+    find). Events beyond 3·1.4826·MAD (the normal-consistent scale)
+    are counted per type. Two grouped exact-percentile aggregates, the
+    per-group scalars broadcast back over the stream — never a global
+    sort; boundary compares run on 6dp-rounded med/mad so both engines
+    make identical decisions."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    j = ev.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type", "med").agg(
+        F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad")
+    )
+    j2 = ev.join(F.broadcast(mad), "event_type")
+    return j2.groupBy("event_type", "med", "mad").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            (
+                F.abs(F.col("value") - F.col("med"))
+                > 3 * 1.4826 * F.col("mad")
+            ).cast("long")
+        ).alias("n_outliers"),
+    ).select("event_type", "n_events", "med", "mad", "n_outliers")

@@ -146,3 +146,73 @@ def q_ewma_user_value(spark, sf_dir):
     from yamr_spark.operators.temporal import ewma_user_value
 
     return ewma_user_value(_events(spark, sf_dir))
+
+
+@register(
+    "daily_resample_ffill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, day, value AS day_value FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t WHERE rn = 1
+    ),
+    spans AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans
+    )
+    SELECT g.user_id, CAST(g.day AS VARCHAR) AS day,
+           last_value(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           d.day_value IS NULL AS gap_filled
+    FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    """,
+)
+def q_daily_resample_ffill(spark, sf_dir):
+    """Time-series regularization: resample each user's event stream to
+    a DAILY grid (their min..max day) and forward-fill gaps with the
+    day's last observed value — the feed-the-model-a-regular-grid pass
+    every time-series pipeline runs before windowed features.
+
+    Plan: per-(user, day) last value via max_by (partial-aggregated —
+    no sort of the raw events), per-user spans via one more tiny
+    aggregate, the grid generated MAP-SIDE with sequence() (no driver
+    loop, no cross join with a calendar table), and one user-partitioned
+    window for the forward fill. All keyed stages co-partition on
+    user_id."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("day_value")
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            # ISO string: Spark DateType and DuckDB DATE reach pandas as
+            # different dtypes (date objects vs datetime64) — string is
+            # the stable cross-engine representation for the hash
+            F.col("day").cast("string").alias("day"),
+            F.last("day_value", ignorenulls=True).over(w).alias("value"),
+            F.col("day_value").isNull().alias("gap_filled"),
+        )
+    )

@@ -754,3 +754,52 @@ def q_phrase_search(spark, sf_dir):
     lists — the inverted-index adjacency-join primitive; postings are
     filtered to the phrase's words before any wide operator."""
     return T.phrase_search(table(spark, sf_dir, "documents"), ["table", "table"])
+
+
+@register(
+    "sparse_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1), 6) AS w
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    vec AS (
+      SELECT doc_id, token, w FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY w DESC, token) AS rnk
+        FROM scored
+      ) t WHERE rnk <= 3
+    ),
+    norms AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(round(w * w, 9) AS DECIMAL(28,9))) AS DOUBLE))
+               AS nrm
+      FROM vec GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, na.nrm AS na, nb.nrm AS nb,
+             SUM(CAST(round(a.w * b.w, 9) AS DECIMAL(28,9))) AS dot
+      FROM vec a
+      JOIN vec b ON b.token = a.token AND a.doc_id < b.doc_id
+      JOIN norms na ON na.doc_id = a.doc_id
+      JOIN norms nb ON nb.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id, na.nrm, nb.nrm
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(dot AS DOUBLE) / (na * nb), 6) AS cosine
+    FROM pairs
+    WHERE ROUND(CAST(dot AS DOUBLE) / (na * nb), 6) >= 0.6
+    """,
+)
+def q_sparse_cosine_pairs(spark, sf_dir):
+    """Lexical (sparse TF-IDF) document similarity via posting-list
+    join on shared top-3 terms — the inverted-index complement to the
+    dense-embedding ANN family; decimal-disciplined dots/norms."""
+    return T.sparse_cosine_pairs(table(spark, sf_dir, "documents"))

@@ -131,6 +131,9 @@ DRIVER_PRIORITY = [
     "key_skew_report",
     "incremental_join_view_refresh",
     "ann_quantized_ivf_topk",
+    "daily_resample_ffill",
+    "sparse_cosine_pairs",
+    "mad_outlier_report",
     # (1c) code/oracle changed in round 6 (error-band contract, SCD2
     # insert branch, progressive PII counts, TakeOrdered vocab rank,
     # gopher zero-guard, LSH compaction + drain guard, upsert sweep):
@@ -167,11 +170,11 @@ DRIVER_PRIORITY = [
     "benchmark_decontaminate",
     "max_value_per_year",
     "quota_sample_lang",
+    # ---- beyond slot 50: next-stalest first (rotate into r07), then
+    # the freshly-stamped r05 window
     "domain_mix_sample",
     "chunk_documents",
     "chunk_dup_stats",
-    # ---- beyond slot 50: next-stalest first (rotate into r07), then
-    # the freshly-stamped r05 window
     "corpus_curation",
     "corpus_version_diff",
     "llm_prep_pipeline",
