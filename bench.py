@@ -55,6 +55,7 @@ FAMILIES: dict[str, list[str]] = {
         "window_tumbling_counts",
         "ewma_user_value",
         "daily_resample_ffill",
+        "cdc_latest_state",
     ],
     # north-star LLM ops (§7.5): dedup family
     "dedup": [

@@ -458,3 +458,44 @@ def test_read_store_restores_stranded_bucket_directly(spark, tmp_path):
         (r.user_id, r.event_id) for r in read_store(spark, store).collect()
     } == truth
     assert not any(d.endswith(".old") for d in os.listdir(store))
+
+
+def test_cdc_tombstone_delete_survives_late_update(spark, tmp_path):
+    """CDC delete semantics in the bucketed store: the tombstone row is
+    PERSISTED by the merge and filtered at read time — so a
+    late-arriving OLDER update for a deleted key loses the keep-latest
+    window to the tombstone instead of resurrecting the key."""
+    from datetime import datetime
+
+    from yamr_spark.streaming.upsert import merge_batch_into_store, read_store
+
+    schema = ("user_id long, event_id long, value double, ts timestamp,"
+              " deleted boolean")
+    store = str(tmp_path / "cdc_store")
+    b1 = spark.createDataFrame(
+        [
+            (1, 10, 1.0, datetime(2024, 1, 1), False),
+            (2, 11, 2.0, datetime(2024, 1, 1), False),
+        ],
+        schema,
+    )
+    merge_batch_into_store(b1, store, key="user_id", order="ts", tie="event_id")
+    # delete user 1 (newer tombstone)
+    b2 = spark.createDataFrame(
+        [(1, 20, 0.0, datetime(2024, 1, 3), True)], schema
+    )
+    merge_batch_into_store(b2, store, key="user_id", order="ts", tie="event_id")
+    live = {r.user_id for r in
+            read_store(spark, store, tombstone_col="deleted").collect()}
+    assert live == {2}
+    # late replay: an OLDER update for user 1 must NOT resurrect it
+    b3 = spark.createDataFrame(
+        [(1, 15, 9.0, datetime(2024, 1, 2), False)], schema
+    )
+    merge_batch_into_store(b3, store, key="user_id", order="ts", tie="event_id")
+    live = {r.user_id for r in
+            read_store(spark, store, tombstone_col="deleted").collect()}
+    assert live == {2}
+    # the tombstone is still physically in the store (unfiltered read)
+    raw = {(r.user_id, r.deleted) for r in read_store(spark, store).collect()}
+    assert (1, True) in raw

@@ -501,3 +501,36 @@ _ORACLES["streaming_lsh_incremental"] = f"""
     WHERE (s.doc_id % 4 = 1 AND i.doc_id % 2 = 0)
        OR (s.doc_id % 4 = 3 AND (i.doc_id % 2 = 0 OR i.doc_id % 4 = 1))
 """
+
+
+@register(
+    "cdc_latest_state",
+    oracle="""
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1 AND event_type != 'error'
+    """,
+)
+def q_cdc_latest_state(spark, sf_dir):
+    """CDC apply with DELETE tombstones: the event stream is read as a
+    change log (event_type 'error' = delete, anything else = upsert);
+    the final state is one keep-latest window with the tombstone rule —
+    a key whose LATEST change is a delete disappears. Same associative
+    merge rule the bucketed store persists (tombstones retained so late
+    older updates can't resurrect deleted keys — test-pinned in
+    test_cdc_tombstone_delete_survives_late_update)."""
+    from yamr_spark.streaming.upsert import keep_latest
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts",
+        (F.col("event_type") == "error").alias("deleted"),
+    )
+    return keep_latest(
+        ev, key="user_id", order="ts", tie="event_id", tombstone_col="deleted"
+    ).select("user_id", "event_id", "value")

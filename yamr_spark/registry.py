@@ -134,6 +134,7 @@ DRIVER_PRIORITY = [
     "daily_resample_ffill",
     "sparse_cosine_pairs",
     "mad_outlier_report",
+    "cdc_latest_state",
     # (1c) code/oracle changed in round 6 (error-band contract, SCD2
     # insert branch, progressive PII counts, TakeOrdered vocab rank,
     # gopher zero-guard, LSH compaction + drain guard, upsert sweep):
@@ -169,9 +170,9 @@ DRIVER_PRIORITY = [
     "split_store_train_counts",
     "benchmark_decontaminate",
     "max_value_per_year",
-    "quota_sample_lang",
     # ---- beyond slot 50: next-stalest first (rotate into r07), then
     # the freshly-stamped r05 window
+    "quota_sample_lang",
     "domain_mix_sample",
     "chunk_documents",
     "chunk_dup_stats",

@@ -35,14 +35,30 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def keep_latest(df: DataFrame, key: str, order: str, tie: str) -> DataFrame:
-    """One row per ``key``: the max-(order, tie) row — the merge rule."""
+def keep_latest(
+    df: DataFrame,
+    key: str,
+    order: str,
+    tie: str,
+    tombstone_col: str | None = None,
+) -> DataFrame:
+    """One row per ``key``: the max-(order, tie) row — the merge rule.
+
+    With ``tombstone_col`` (CDC delete support): the latest row still
+    wins, but if that winner is a tombstone (boolean true) the key is
+    REMOVED from the output — upsert/delete streams apply with the same
+    single window, and the rule stays associative (the latest change
+    dominates any prefix merge, so incremental per-batch application
+    equals the one-shot result, deletes included)."""
     w = Window.partitionBy(key).orderBy(F.col(order).desc(), F.col(tie).desc())
-    return (
+    latest = (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if tombstone_col is not None:
+        latest = latest.where(~F.col(tombstone_col))
+    return latest
 
 
 def _bucket_of(key_col, n_buckets: int):
@@ -157,8 +173,15 @@ def stream_upsert_to_store(
     restore_ns_conf(sdf.sparkSession)
 
 
-def read_store(spark: SparkSession, store_dir: str) -> DataFrame:
+def read_store(
+    spark: SparkSession, store_dir: str, tombstone_col: str | None = None
+) -> DataFrame:
     """Read every committed bucket of the store back as one DataFrame.
+
+    CDC deletes: tombstone rows are PERSISTED by the merge (so a
+    late-replayed older update loses the keep-latest window to the
+    tombstone instead of resurrecting the key) and filtered HERE —
+    pass ``tombstone_col`` to hide deleted keys from readers.
 
     Only exact ``bucket=<int>`` dirs with a _SUCCESS marker qualify —
     staging residue (``_bucket_K.tmp`` / ``_bucket_K.old``) is invisible
@@ -175,7 +198,10 @@ def read_store(spark: SparkSession, store_dir: str) -> DataFrame:
         if re.fullmatch(r"bucket=\d+", d)
         and os.path.exists(os.path.join(store_dir, d, "_SUCCESS"))
     ]
-    return spark.read.parquet(*buckets)
+    out = spark.read.parquet(*buckets)
+    if tombstone_col is not None:
+        out = out.where(~F.col(tombstone_col))
+    return out
 
 
 def merge_batch_into_store_dpo(
