@@ -47,6 +47,7 @@ FAMILIES: dict[str, list[str]] = {
         "waiting_suppliers",
         "discounted_brand_revenue",
         "incremental_join_view_refresh",
+        "pareto_skyline_parts",
     ],
     # temporal joins + event-time windows
     "temporal": [
@@ -126,6 +127,7 @@ FAMILIES: dict[str, list[str]] = {
         "cohort_retention",
         "scd2_customer_history",
         "incremental_agg_refresh",
+        "revenue_mom_growth",
         "export_manifest",
         "table_profile",
         "value_histogram",

@@ -124,3 +124,25 @@ def test_export_manifest_covers_corpus_exactly(spark, sf_dir):
     assert sum(r.n_docs for r in out) == n_docs
     assert len({r.shard for r in out}) == len(out)
     assert all(int(r.checksum) > 0 for r in out)
+
+
+def test_skyline_2d_golden(spark):
+    """Skyline dominance rules on a crafted set: equal pairs both
+    survive; equal-price-bigger kills; cheaper-same-size kills;
+    cross-band and in-band domination both apply."""
+    from yamr_spark.operators.relational import skyline_2d
+
+    rows = [
+        # (key, price, size)
+        (1, 10.0, 5),    # frontier
+        (2, 10.0, 5),    # duplicate pair — both survive (no strict)
+        (3, 10.0, 4),    # equal price, smaller → dominated by 1
+        (4, 20.0, 5),    # pricier, same size → dominated by 1
+        (5, 20.0, 8),    # frontier
+        (6, 250.0, 9),   # frontier (different band)
+        (7, 260.0, 8),   # dominated cross-band by 5 (cheaper, same size)
+        (8, 5.0, 1),     # frontier (cheapest)
+    ]
+    df = spark.createDataFrame(rows, "k long, price double, size int")
+    got = {r.k for r in skyline_2d(df, "price", "size", keys=["k"]).collect()}
+    assert got == {1, 2, 5, 6, 8}

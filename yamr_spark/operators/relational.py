@@ -340,3 +340,64 @@ def scd2_history(
         F.lit(True).alias("is_current"),
     )
     return unchanged.unionAll(closed).unionAll(opened).unionAll(inserted)
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    keys: list[str] | None = None,
+    band_width: float = 100.0,
+) -> DataFrame:
+    """2-D skyline / Pareto frontier: rows not DOMINATED by any other —
+    q dominates p iff q.min ≤ p.min AND q.max ≥ p.max with at least one
+    strict. The classic preference-query operator (cheapest-and-biggest
+    frontier) the reference has no analogue for.
+
+    Distributed decomposition (the textbook two-phase skyline, made
+    declarative): band rows by ``minimize`` into fixed-width bands;
+    (1) CROSS-band domination needs only each band's max(``maximize``)
+    — a band-count-sized table, windowed over BANDS (tiny) and
+    broadcast back: any row at or below the running max of strictly
+    cheaper bands is dominated and dies map-side; (2) the survivors'
+    IN-band check is a window PARTITIONED BY band (bounded state, no
+    global sort): a row is dominated by a strictly-cheaper in-band row
+    via a RANGE frame to 1-cent preceding on the integer cent value,
+    or by an equal-priced row with strictly larger ``maximize``.
+    No self-join, no single-partition window; the only all-row shuffle
+    is the band-partitioned window exchange."""
+    from pyspark.sql import Window
+
+    keys = keys or [c for c in df.columns if c not in (minimize, maximize)]
+    base = df.select(
+        *keys,
+        F.col(minimize).alias("mn"),
+        F.col(maximize).alias("mx"),
+        F.round(F.col(minimize) * 100).cast("long").alias("cents"),
+        F.floor(F.col(minimize) / band_width).cast("long").alias("band"),
+    )
+    band_max = base.groupBy("band").agg(F.max("mx").alias("band_max"))
+    wb = (
+        Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    )  # over the BAND table only — band-count rows, not data rows
+    cheaper_max = band_max.select(
+        "band", F.max("band_max").over(wb).alias("cheaper_band_max")
+    )
+    pruned = base.join(F.broadcast(cheaper_max), "band").where(
+        F.col("cheaper_band_max").isNull()
+        | (F.col("cheaper_band_max") < F.col("mx"))
+    )
+    win = Window.partitionBy("band").orderBy("cents")
+    cm_strict = F.max("mx").over(
+        win.rangeBetween(Window.unboundedPreceding, -1)
+    )
+    same_price_max = F.max("mx").over(Window.partitionBy("band", "cents"))
+    return (
+        pruned.withColumn("cm", cm_strict)
+        .withColumn("spm", same_price_max)
+        .where(
+            (F.col("cm").isNull() | (F.col("cm") < F.col("mx")))
+            & (F.col("spm") <= F.col("mx"))
+        )
+        .select(*keys, F.col("mn").alias(minimize), F.col("mx").alias(maximize))
+    )

@@ -873,3 +873,48 @@ def q_mad_outlier_report(spark, sf_dir):
             ).cast("long")
         ).alias("n_outliers"),
     ).select("event_type", "n_events", "med", "mad", "n_outliers")
+
+
+@register(
+    "revenue_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month), 6) AS mom_growth
+    FROM monthly
+    """,
+)
+def q_revenue_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth — the reporting staple. The
+    global-ordered LAG window runs over the MONTHLY aggregate (≤ a few
+    hundred rows at any horizon), never the fact table: one partial-
+    aggregated shuffle builds the month table, the single-partition
+    window is month-cardinality-bounded by construction. Decimal sums
+    make each month's revenue order-independent; growth is the same
+    two-op double formula on identical inputs in both engines."""
+    from pyspark.sql import Window
+
+    monthly = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(
+            (F.col("revenue") - F.lag("revenue").over(w))
+            / F.lag("revenue").over(w),
+            6,
+        ).alias("mom_growth"),
+    )

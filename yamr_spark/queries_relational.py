@@ -956,3 +956,30 @@ def q_incremental_join_view_refresh(spark, sf_dir):
             F.sum("rev").cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "pareto_skyline_parts",
+    oracle="""
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def q_pareto_skyline_parts(spark, sf_dir):
+    """Skyline / Pareto frontier of parts (cheapest AND biggest): no
+    other part is at-most-as-expensive and at-least-as-big with one
+    strict. Two-phase distributed skyline — band-max pruning broadcast
+    back, in-band windows — vs the oracle's declarative NOT EXISTS."""
+    from yamr_spark.operators.relational import skyline_2d
+
+    return skyline_2d(
+        table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size"),
+        minimize="p_retailprice",
+        maximize="p_size",
+        keys=["p_partkey"],
+    )

@@ -534,3 +534,41 @@ def q_cdc_latest_state(spark, sf_dir):
     return keep_latest(
         ev, key="user_id", order="ts", tie="event_id", tombstone_col="deleted"
     ).select("user_id", "event_id", "value")
+
+
+@register(
+    "streaming_windowed_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS event_cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, event_cnt, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                                        ORDER BY event_cnt DESC, event_type)
+                     AS BIGINT) AS rnk
+      FROM counts
+    ) t WHERE rnk <= 2
+    """,
+)
+def q_streaming_windowed_topk(spark, sf_dir):
+    """Trending-now: top-2 event types per hourly window, SERVED off
+    the streaming aggregate — the stream (watermarked windowed counts,
+    availableNow) drains into the memory sink, and the rank runs as a
+    batch window over that window-cardinality-sized serving table (the
+    stream→serve split: ranking inside the stream would need complete
+    mode and unbounded state; ranking the sink costs one bounded
+    window). Same oracle as the closed-form batch computation."""
+    from pyspark.sql import Window
+
+    sdf = streaming_tumbling_counts(spark, sf_dir, width="1 hour", delay="2 hours")
+    drained = run_stream_to_memory(spark, sdf, "streaming_windowed_topk_src")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("event_cnt").desc(), "event_type"
+    )
+    return (
+        drained.select("window_start", "event_type", "event_cnt")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 2)
+    )

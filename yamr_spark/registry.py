@@ -135,6 +135,9 @@ DRIVER_PRIORITY = [
     "sparse_cosine_pairs",
     "mad_outlier_report",
     "cdc_latest_state",
+    "pareto_skyline_parts",
+    "revenue_mom_growth",
+    "streaming_windowed_topk",
     # (1c) code/oracle changed in round 6 (error-band contract, SCD2
     # insert branch, progressive PII counts, TakeOrdered vocab rank,
     # gopher zero-guard, LSH compaction + drain guard, upsert sweep):
@@ -166,12 +169,12 @@ DRIVER_PRIORITY = [
     "streaming_parquet_sink",
     "streaming_dedup_events",
     "streaming_enrich_dim",
+    # ---- beyond slot 50: next-stalest first (rotate into r07), then
+    # the freshly-stamped r05 window
     "streaming_event_passthrough",
     "split_store_train_counts",
     "benchmark_decontaminate",
     "max_value_per_year",
-    # ---- beyond slot 50: next-stalest first (rotate into r07), then
-    # the freshly-stamped r05 window
     "quota_sample_lang",
     "domain_mix_sample",
     "chunk_documents",
