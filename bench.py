@@ -112,6 +112,7 @@ FAMILIES: dict[str, list[str]] = {
         "corpus_curation",
         "llm_prep_pipeline",
         "llm_prep_pipeline_v2",
+        "llm_prep_pipeline_v3",
         "split_store_train_counts",
         "jsonl_roundtrip_stats",
         "pack_sequences",

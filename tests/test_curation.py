@@ -243,3 +243,22 @@ def test_temperature_sample_quota_properties(spark, sf_dir):
     assert {(r.lang, r.sampled_id_sum) for r in out} == {
         (r.lang, r.sampled_id_sum) for r in again
     }
+
+
+def test_pipeline_v3_funnel_monotone(spark, sf_dir):
+    """The v3 funnel is a funnel: per-lang survivor counts are
+    non-increasing across the seven cumulative stages, and no stage
+    annihilates the corpus (every stage keeps >0 docs overall)."""
+    from yamr_spark.registry import all_queries
+
+    rows = all_queries()["llm_prep_pipeline_v3"](spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.stage] = r.n_docs
+    stages = sorted({r.stage for r in rows})
+    assert stages[0] == "1_raw" and stages[-1] == "7_quality_p75"
+    for lang, d in by_lang.items():
+        seq = [d.get(s, 0) for s in stages]
+        assert all(a >= b for a, b in zip(seq, seq[1:])), (lang, seq)
+    totals = [sum(d.get(s, 0) for d in by_lang.values()) for s in stages]
+    assert all(t > 0 for t in totals), totals

@@ -735,3 +735,74 @@ def temperature_sample(
             F.sum("doc_id").alias("sampled_id_sum"),
         )
     )
+
+
+def llm_prep_pipeline_v3(docs: DataFrame, bench_mod: int = 97) -> DataFrame:
+    """The RefinedWeb/Dolma-shaped curation FUNNEL — every round-5/6
+    quality stage fused into one DAG, reported as per-(stage, lang)
+    survivor counts (the number an operator actually watches: where do
+    documents die?). Stages, cumulative:
+
+      1_raw          — corpus
+      2_bench_carve  — benchmark docs (doc_id % bench_mod == 0) removed
+      3_gopher       — Gopher rule gate (map-side Column, no join)
+      4_repetition   — n-gram repetition gate (top-2-gram / dup-5-gram)
+      5_exact_dedup  — canonical min-id per sha256
+      6_decontam     — ≥3 shared 5-grams with the bench set → dropped
+      7_quality_p75  — heuristic quality ≥ the p75 of stage-6 survivors
+
+    Scale: stages 2-3 are pure map-side predicates; 4 inherits the
+    repetition profile's (doc, gram) partial-agg shuffles; 5 shuffles
+    32-byte digests; 6 is the broadcast-shingle anti-join; 7's
+    threshold is ONE percentile scalar over survivors broadcast back.
+    Survivor id-sets are materialized where two stages consume them, so
+    nothing upstream recomputes per stage count."""
+    from yamr_spark.materialize import materialize
+    from yamr_spark.operators.text import (
+        gopher_pass_col,
+        ngram_repetition_profile,
+        quality_score,
+    )
+
+    ids = docs.select("doc_id", "lang")
+
+    s2 = docs.where(F.col("doc_id") % bench_mod != 0)
+    s3 = s2.where(gopher_pass_col()).select("doc_id", "lang")
+    rep = ngram_repetition_profile(docs).where(F.col("pass_repetition")).select(
+        "doc_id"
+    )
+    s4 = s3.join(rep, "doc_id", "left_semi").transform(materialize)
+    canon = (
+        docs.join(s4.select("doc_id"), "doc_id", "left_semi")
+        .groupBy(F.sha2(F.col("text").cast("binary"), 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s5 = s4.join(canon, "doc_id", "left_semi")
+    flagged = benchmark_decontaminate(docs, bench_mod=bench_mod).select("doc_id")
+    s6 = s5.join(flagged, "doc_id", "left_anti").transform(materialize)
+    q = quality_score(docs).select("doc_id", "quality").join(
+        s6.select("doc_id"), "doc_id", "left_semi"
+    )
+    thr = q.agg(F.expr("percentile(quality, 0.75)").alias("thr"))
+    s7 = (
+        q.crossJoin(F.broadcast(thr))
+        .where(F.col("quality") >= F.col("thr"))
+        .select("doc_id")
+        .join(ids, "doc_id")
+    )
+
+    def stage(df, name):
+        return df.groupBy("lang").agg(F.count("*").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "lang", "n_docs"
+        )
+
+    return (
+        stage(ids, "1_raw")
+        .unionByName(stage(s2.select("doc_id", "lang"), "2_bench_carve"))
+        .unionByName(stage(s3, "3_gopher"))
+        .unionByName(stage(s4, "4_repetition"))
+        .unionByName(stage(s5, "5_exact_dedup"))
+        .unionByName(stage(s6, "6_decontam"))
+        .unionByName(stage(s7.select("doc_id", "lang"), "7_quality_p75"))
+    )

@@ -653,6 +653,40 @@ def vocab_coverage(docs: DataFrame, caps: list[int] = (10, 100, 1000)) -> DataFr
 GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
 
 
+def gopher_pass_col(
+    min_words: int = 30,
+    max_words: int = 50_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    min_stop_ratio: float = 0.02,
+    min_unique_ratio: float = 0.3,
+) -> Column:
+    """Per-document boolean: passes ALL the Gopher rules gopher_filters
+    aggregates — exposed as a reusable pure Column so fused pipelines
+    (llm_prep_pipeline_v3) apply the gate map-side without a join.
+    Denominators floor at 1 (a zero-token doc FAILS deterministically
+    rather than yielding NULL)."""
+    toks = _tokens_col()
+    stoplist = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    n = F.size(toks)
+    nd = F.greatest(n, F.lit(1))
+    mean_wlen = F.expr(
+        "aggregate(filter(split(lower(text), '[^\\\\p{L}\\\\p{N}_]+'),"
+        " x -> length(x) > 0), 0L, (acc, x) -> acc + length(x))"
+    ) / nd
+    stop_ratio = F.expr(
+        "size(filter(filter(split(lower(text), '[^\\\\p{L}\\\\p{N}_]+'),"
+        f" x -> length(x) > 0), x -> x IN ({stoplist})))"
+    ) / nd
+    uniq_ratio = F.size(F.array_distinct(toks)) / nd
+    return (
+        n.between(min_words, max_words)
+        & mean_wlen.between(min_mean_wlen, max_mean_wlen)
+        & (stop_ratio >= min_stop_ratio)
+        & (uniq_ratio >= min_unique_ratio)
+    )
+
+
 def gopher_filters(
     docs: DataFrame,
     min_words: int = 30,

@@ -715,3 +715,125 @@ def q_export_manifest(spark, sf_dir):
         # corpus size); decimal sums stay exact to 10^38
         F.sum(F.col("h60").cast("decimal(38,0)")).cast("string").alias("checksum"),
     )
+
+
+def _pipeline_v3_oracle() -> str:
+    from yamr_spark.operators.text import GOPHER_STOPWORDS, LANG_PROFILES
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    qstops = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    return f"""
+    WITH dt AS (
+      SELECT doc_id, lang, text,
+             list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
+                         x -> length(x) > 0) AS t
+      FROM documents
+    ),
+    s2 AS (SELECT * FROM dt WHERE doc_id % 97 <> 0),
+    s3 AS (
+      SELECT * FROM s2
+      WHERE len(t) BETWEEN 30 AND 50000
+        AND (CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+             / greatest(len(t), 1)) BETWEEN 3.0 AND 10.0
+        AND (CAST(len(list_filter(t, x -> x IN ({stops}))) AS DOUBLE)
+             / greatest(len(t), 1)) >= 0.02
+        AND (CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1)) >= 0.3
+    ),
+    rbig AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+      FROM dt WHERE len(t) >= 2
+    ),
+    rbigc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM rbig GROUP BY doc_id, g),
+    rtop AS (
+      SELECT doc_id, g AS top_g, cnt AS top_cnt FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, g) AS rn
+        FROM rbigc) t WHERE rn = 1
+    ),
+    rm2 AS (SELECT doc_id, SUM(cnt * length(g)) AS m2 FROM rbigc GROUP BY doc_id),
+    rfive AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+             i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS g
+      FROM dt WHERE len(t) >= 5
+    ),
+    rfivec AS (SELECT doc_id, g, COUNT(*) AS cnt FROM rfive GROUP BY doc_id, g),
+    rdup AS (
+      SELECT doc_id,
+             SUM(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS dupm,
+             SUM(cnt * length(g)) AS mn
+      FROM rfivec GROUP BY doc_id
+    ),
+    reppass AS (
+      SELECT d.doc_id
+      FROM dt d
+      LEFT JOIN rtop USING (doc_id)
+      LEFT JOIN rm2 USING (doc_id)
+      LEFT JOIN rdup USING (doc_id)
+      WHERE ROUND(COALESCE(top_cnt * length(top_g) * 1.0 / m2, 0.0), 6) <= 0.20
+        AND ROUND(COALESCE(dupm * 1.0 / mn, 0.0), 6) <= 0.15
+    ),
+    s4 AS (SELECT s3.* FROM s3 JOIN reppass USING (doc_id)),
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM s4 GROUP BY sha256(text)),
+    s5 AS (SELECT s4.* FROM s4 JOIN canon USING (doc_id)),
+    dpos AS (
+      SELECT doc_id, t, unnest(range(len(t) - 4)) AS i
+      FROM dt WHERE len(t) >= 5
+    ),
+    dsh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+5], ' ') AS shingle
+      FROM dpos
+    ),
+    dbench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 97 = 0),
+    dflag AS (
+      SELECT doc_id FROM (SELECT * FROM dsh WHERE doc_id % 97 <> 0) c
+      JOIN dbench USING (shingle)
+      GROUP BY doc_id HAVING COUNT(*) >= 3
+    ),
+    s6 AS (SELECT * FROM s5 WHERE doc_id NOT IN (SELECT doc_id FROM dflag)),
+    qual AS (
+      SELECT doc_id, lang,
+             ROUND(
+               (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)
+               + least(len(list_filter(t, x -> x IN ({qstops}))) * 2.0
+                       / greatest(len(t), 1), 0.3)
+               + (CASE WHEN (length(text) - length(regexp_replace(text,
+                              '[.,;:!?]', '', 'g'))) * 1.0
+                            / greatest(length(text), 1) <= 0.1
+                       THEN 0.15 ELSE 0.0 END)
+               + (CASE WHEN (length(text) - length(regexp_replace(text,
+                              '[0-9]', '', 'g'))) * 1.0
+                            / greatest(length(text), 1) <= 0.2
+                       THEN 0.15 ELSE 0.0 END), 6) AS quality
+      FROM s6
+    ),
+    thr AS (SELECT quantile_cont(quality, 0.75) AS thr FROM qual),
+    s7 AS (SELECT q.doc_id, q.lang FROM qual q CROSS JOIN thr
+           WHERE quality >= thr)
+    SELECT stage, lang, CAST(n_docs AS BIGINT) AS n_docs FROM (
+      SELECT '1_raw' AS stage, lang, COUNT(*) AS n_docs FROM dt GROUP BY lang
+      UNION ALL
+      SELECT '2_bench_carve', lang, COUNT(*) FROM s2 GROUP BY lang
+      UNION ALL
+      SELECT '3_gopher', lang, COUNT(*) FROM s3 GROUP BY lang
+      UNION ALL
+      SELECT '4_repetition', lang, COUNT(*) FROM s4 GROUP BY lang
+      UNION ALL
+      SELECT '5_exact_dedup', lang, COUNT(*) FROM s5 GROUP BY lang
+      UNION ALL
+      SELECT '6_decontam', lang, COUNT(*) FROM s6 GROUP BY lang
+      UNION ALL
+      SELECT '7_quality_p75', lang, COUNT(*) FROM s7 GROUP BY lang
+    ) u
+    """
+
+
+@register("llm_prep_pipeline_v3", oracle=_pipeline_v3_oracle())
+def q_llm_prep_pipeline_v3(spark, sf_dir):
+    """The full curation FUNNEL (RefinedWeb/Dolma shape): bench
+    carve-out → Gopher rules → n-gram repetition → exact dedup →
+    decontamination → p75 quality gate, reported as per-(stage, lang)
+    survivor counts in one DAG. The oracle replays all seven stages —
+    including the percentile threshold over stage-6 survivors — in a
+    single SQL statement."""
+    return C.llm_prep_pipeline_v3(table(spark, sf_dir, "documents"))
