@@ -121,6 +121,12 @@ FAMILIES: dict[str, list[str]] = {
         "pii_redaction_stats",
         "temperature_mixture_sample",
     ],
+    # multimodal decode seams (Arrow mapInPandas)
+    "multimodal": [
+        "multimodal_decode_stats",
+        "multimodal_thumbnails",
+        "audio_frame_energy",
+    ],
     # analytics + warehouse ops: funnel/cohort, SCD2, incremental
     # refresh, manifests, profiling
     "analytics": [

@@ -234,3 +234,48 @@ def modality_interleave(
             ).alias("complete"),
         )
     )
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_frame_energy(df: DataFrame, frame: int = 64) -> DataFrame:
+    """Audio feature-extraction seam: payload → fixed-width sample
+    frames → per-frame RMS energy (the VAD/silence-trim primitive).
+    DECODER SEAM — a real deployment replaces the fake with
+    soundfile/libav PCM decode; the fake reads the raw bytes as uint8
+    PCM, so the Spark-side plumbing (Arrow batching, 1→N frame
+    fan-out, schema) is real and the numbers are closed-form
+    SQL-checkable (sums of ≤frame integer squares are exact in double,
+    so numpy and SQL agree bit-for-bit before the final round).
+
+    mapInPandas: narrow, zero shuffle; executor memory holds O(batch)
+    decoded frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                x = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64)
+                for i in range(len(x) // frame):
+                    seg = x[i * frame : (i + 1) * frame]
+                    rows.append(
+                        (
+                            doc_id,
+                            i,
+                            frame,
+                            round(float(np.sqrt((seg * seg).sum() / frame)), 6),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "n_samples", "rms"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, AUDIO_SCHEMA)

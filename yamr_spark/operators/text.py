@@ -1054,22 +1054,29 @@ def kmv_set_ops(
 
 
 def sparse_cosine_pairs(
-    docs: DataFrame, top_n: int = 3, threshold: float = 0.6
+    docs: DataFrame,
+    top_n: int = 3,
+    threshold: float = 0.6,
+    num_queries: int | None = 50,
 ) -> DataFrame:
     """SPARSE-vector document similarity over the inverted index — the
     lexical complement to dense-embedding ANN: each doc is its
-    top-``top_n`` TF-IDF terms, candidate pairs come from a
-    posting-list join on shared terms (never all-pairs), and cosine is
-    the decimal-disciplined dot of the truncated vectors. Pairs scoring
-    ≥ ``threshold`` on the rounded similarity survive.
+    top-``top_n`` TF-IDF terms, candidates come from a posting-list
+    join on shared terms (never all-pairs over raw docs), and cosine
+    is the decimal-disciplined dot of the truncated vectors. Pairs
+    scoring ≥ ``threshold`` on the rounded similarity survive.
 
-    Scale: truncation to top-n terms bounds each doc's postings; the
-    term-keyed join costs Σ_t |posting(t)|² — production additionally
-    drops ultra-high-df terms (stop-term pruning), the same
-    Σ|cell|²-shaped bound as every blocked operator in this engine.
-    Weights are the 6dp-rounded tfidf values (identical in both
-    engines); dot products and norms accumulate 9dp-rounded terms
-    through DECIMAL so no float reduction depends on order."""
+    ``num_queries`` restricts the LEFT side to doc_id < num_queries —
+    the sparse-RETRIEVAL shape (queries probe the corpus through the
+    index; cost |query postings| × posting length). ``None`` is the
+    all-pairs LINKAGE shape, whose cost is Σ_t |posting(t)|² — measured
+    12 s at sf0.1 on this fixture because a 31-word vocabulary makes
+    every posting list hot; real corpora bound it with stop-term
+    pruning (drop df > cap terms), the same Σ|cell|² discipline as
+    every blocked operator here. Weights are the 6dp-rounded tfidf
+    values (identical in both engines); dots and norms accumulate
+    9dp-rounded terms through DECIMAL so no float reduction depends on
+    order."""
     vec = tfidf_top_terms(docs, top_n=top_n).select(
         "doc_id", "token", F.col("tfidf").alias("w")
     )
@@ -1079,18 +1086,22 @@ def sparse_cosine_pairs(
     norms = vec.groupBy("doc_id").agg(
         F.sqrt(dec("w * w").cast("double")).alias("nrm")
     )
-    a = vec.alias("a").join(norms.withColumnRenamed("doc_id", "a_id"),
-                            F.col("a.doc_id") == F.col("a_id"))
+    qvec = vec if num_queries is None else vec.where(
+        F.col("doc_id") < num_queries
+    )
+    a = qvec.alias("a").join(norms.withColumnRenamed("doc_id", "a_id"),
+                             F.col("a.doc_id") == F.col("a_id"))
     b = vec.alias("b").join(
         norms.withColumnRenamed("doc_id", "b_id").withColumnRenamed("nrm", "nrm_b"),
         F.col("b.doc_id") == F.col("b_id"),
     )
+    pair_pred = (
+        (F.col("a.doc_id") < F.col("b.doc_id"))
+        if num_queries is None
+        else (F.col("a.doc_id") != F.col("b.doc_id"))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, (F.col("a.token") == F.col("b.token")) & pair_pred)
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

@@ -226,3 +226,33 @@ def q_modality_interleave(spark, sf_dir):
     from yamr_spark.operators.multimodal import modality_interleave
 
     return modality_interleave(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "audio_frame_energy",
+    oracle="""
+    WITH dim AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS L FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, text, unnest(range(L // 64)) AS i
+      FROM dim WHERE L >= 64
+    ),
+    samp AS (
+      SELECT doc_id, i,
+             ascii(substr(text, CAST(i * 64 AS INT) + CAST(s AS INT) + 1, 1)) AS v
+      FROM fr, (SELECT unnest(range(64)) AS s)
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(64 AS INT) AS n_samples,
+           ROUND(sqrt(SUM(CAST(v AS DOUBLE) * v) / 64), 6) AS rms
+    FROM samp GROUP BY doc_id, i
+    """,
+)
+def q_audio_frame_energy(spark, sf_dir):
+    """Audio seam: payload as uint8 PCM → 64-sample frames → per-frame
+    RMS energy via mapInPandas; the oracle replays the byte arithmetic
+    (ASCII text ⇒ ascii(char) = sample) — sums of ≤64 integer squares
+    are exact in double, so numpy and SQL agree before the round."""
+    from yamr_spark.operators.multimodal import audio_frame_energy
+
+    return audio_frame_energy(_payload(spark, sf_dir))

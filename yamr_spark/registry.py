@@ -139,6 +139,7 @@ DRIVER_PRIORITY = [
     "revenue_mom_growth",
     "streaming_windowed_topk",
     "llm_prep_pipeline_v3",
+    "audio_frame_energy",
     # (1c) code/oracle changed in round 6 (error-band contract, SCD2
     # insert branch, progressive PII counts, TakeOrdered vocab rank,
     # gopher zero-guard, LSH compaction + drain guard, upsert sweep):
@@ -168,9 +169,9 @@ DRIVER_PRIORITY = [
     "minhash_band_pairs",
     "streaming_tumbling_counts",
     "streaming_parquet_sink",
-    "streaming_dedup_events",
     # ---- beyond slot 50: next-stalest first (rotate into r07), then
     # the freshly-stamped r05 window
+    "streaming_dedup_events",
     "streaming_enrich_dim",
     "streaming_event_passthrough",
     "split_store_train_counts",
