@@ -142,6 +142,8 @@ FAMILIES: dict[str, list[str]] = {
         "event_zscore_anomalies",
         "recency_weighted_user_score",
         "equidepth_histogram",
+        "basket_type_lift",
+        "quality_drift_psi",
         "kmv_set_ops_customers",
         "key_skew_report",
         "mad_outlier_report",

@@ -918,3 +918,150 @@ def q_revenue_mom_growth(spark, sf_dir):
             6,
         ).alias("mom_growth"),
     )
+
+
+@register(
+    "basket_type_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS okey,
+             split_part(p.p_type, ' ', 1) AS cat
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items),
+    freq AS (SELECT cat, COUNT(*) AS cnt FROM items GROUP BY cat),
+    pairs AS (
+      SELECT a.cat AS cat_a, b.cat AS cat_b, COUNT(*) AS pair_cnt
+      FROM items a JOIN items b ON a.okey = b.okey AND a.cat < b.cat
+      GROUP BY a.cat, b.cat
+    )
+    SELECT cat_a, cat_b, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+           ROUND(pair_cnt * 1.0 * n_orders / (fa.cnt * fb.cnt), 6) AS lift
+    FROM pairs
+    JOIN freq fa ON fa.cat = cat_a
+    JOIN freq fb ON fb.cat = cat_b
+    CROSS JOIN n
+    WHERE pair_cnt >= 5
+    """,
+)
+def q_basket_type_lift(spark, sf_dir):
+    """Market-basket association over part-type categories: lift =
+    P(a,b) / (P(a)·P(b)) for category pairs co-ordered ≥5 times. The
+    item table is (order, category)-distinct BEFORE the self-join, so
+    a 100-lineitem order contributes each pair once; the self-join
+    keys on orderkey (co-partitioned — cost Σ|basket|², bounded by
+    basket width, never corpus²); category frequencies are a
+    broadcast-tiny table joined back."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "part").select(
+                    "p_partkey",
+                    F.substring_index("p_type", " ", 1).alias("cat"),
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("okey"), "cat")
+        .distinct()
+    )
+    n = items.select(F.countDistinct("okey").alias("n_orders"))
+    freq = items.groupBy("cat").agg(F.count("*").alias("cnt"))
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.cat") < F.col("b.cat")),
+        )
+        .groupBy(F.col("a.cat").alias("cat_a"), F.col("b.cat").alias("cat_b"))
+        .agg(F.count("*").alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= 5)
+    )
+    fa = freq.select(F.col("cat").alias("cat_a"), F.col("cnt").alias("fa"))
+    fb = freq.select(F.col("cat").alias("cat_b"), F.col("cnt").alias("fb"))
+    return (
+        pairs.join(F.broadcast(fa), "cat_a")
+        .join(F.broadcast(fb), "cat_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "cat_a",
+            "cat_b",
+            "pair_cnt",
+            F.round(
+                F.col("pair_cnt") * F.col("n_orders") / (F.col("fa") * F.col("fb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "quality_drift_psi",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(length(text) // 40 AS BIGINT) AS bin,
+             doc_id % 2 = 0 AS is_ref
+      FROM documents
+    ),
+    binned AS (
+      SELECT LEAST(bin, 7) AS bin,
+             SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_cnt,
+             SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cur_cnt
+      FROM q GROUP BY LEAST(bin, 7)
+    ),
+    tot AS (
+      SELECT SUM(ref_cnt) AS ref_n, SUM(cur_cnt) AS cur_n FROM binned
+    ),
+    props AS (
+      SELECT bin,
+             ROUND(greatest(ref_cnt * 1.0 / ref_n, 0.0005), 6) AS p,
+             ROUND(greatest(cur_cnt * 1.0 / cur_n, 0.0005), 6) AS c
+      FROM binned CROSS JOIN tot
+    )
+    SELECT bin, p AS ref_prop, c AS cur_prop,
+           ROUND((c - p) * ln(c / p), 6) AS psi_term
+    FROM props
+    """,
+)
+def q_quality_drift_psi(spark, sf_dir):
+    """Distribution-drift monitoring: per-bin PSI terms (population
+    stability index) between a reference and current corpus slice
+    (deterministic doc_id parity split; bins = clamped length//40).
+    The production read: Σ psi_term > 0.2 means the distribution
+    moved and downstream thresholds need re-tuning. Proportions are
+    floored (0.0005) and 6dp-rounded BEFORE the ln() so the boundary
+    arithmetic is identical in both engines; one partial-aggregated
+    bin shuffle, totals broadcast back."""
+    q = table(spark, sf_dir, "documents").select(
+        F.least(
+            (F.length("text") / F.lit(40)).cast("long"), F.lit(7)
+        ).alias("bin"),
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+    )
+    binned = q.groupBy("bin").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("ref_cnt"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("cur_cnt"),
+    )
+    tot = binned.agg(
+        F.sum("ref_cnt").alias("ref_n"), F.sum("cur_cnt").alias("cur_n")
+    )
+    props = binned.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.round(
+            F.greatest(F.col("ref_cnt") / F.col("ref_n"), F.lit(0.0005)), 6
+        ).alias("p"),
+        F.round(
+            F.greatest(F.col("cur_cnt") / F.col("cur_n"), F.lit(0.0005)), 6
+        ).alias("c"),
+    )
+    return props.select(
+        "bin",
+        F.col("p").alias("ref_prop"),
+        F.col("c").alias("cur_prop"),
+        F.round((F.col("c") - F.col("p")) * F.log(F.col("c") / F.col("p")), 6)
+        .alias("psi_term"),
+    )
