@@ -70,6 +70,7 @@ FAMILIES: dict[str, list[str]] = {
         "semdedup",
         "pagerank_near_dup",
         "neardup_triangles",
+        "containment_pairs",
     ],
     # similarity family
     "similarity": [
@@ -144,6 +145,7 @@ FAMILIES: dict[str, list[str]] = {
         "equidepth_histogram",
         "basket_type_lift",
         "quality_drift_psi",
+        "repeat_purchase_interval",
         "kmv_set_ops_customers",
         "key_skew_report",
         "mad_outlier_report",

@@ -817,3 +817,69 @@ def fuzzy_match_pairs(
         .where(F.col("edit_dist") >= 1)
         .select("id_a", "id_b", F.col("edit_dist").cast("long").alias("edit_dist"))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric near-CONTAINMENT detection: c(a→b) = |A∩B| / |A| —
+    the measure that catches what Jaccard structurally misses: a short
+    document fully quoted inside a long one has containment ~1.0 but
+    Jaccard ~|A|/|B| (arbitrarily low). The boilerplate-wrapper and
+    quote-extraction cases every near-dup pass leaks.
+
+    Output is DIRECTED: (src, dst, containment) where src's shingle
+    set is ≥ ``threshold`` contained in dst — each unordered candidate
+    can emit 0, 1 (the subset direction), or 2 (near-identical) rows.
+
+    Scale: candidates come from the same MinHash band join as
+    ``minhash_near_dup`` (bucketed, never all-pairs), intersections
+    from the hashed-shingle pair join restricted to candidate docs.
+    Honest recall note: MinHash bands block on JACCARD, so a
+    containment-high/Jaccard-low pair (tiny doc in huge doc) may not
+    collide in any band — the production fix is size-stratified
+    banding or a one-sided (src-set) signature; at this fixture's
+    near-dup rates the band candidates carry the containment signal."""
+    from yamr_spark.materialize import materialize
+
+    sigs = minhash_signatures(docs, n=n, text_col=text_col, id_col=id_col).transform(
+        materialize
+    )
+    cands = minhash_band_pairs(sigs).transform(materialize)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .union(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    docs_c = docs.join(cand_ids, id_col, "left_semi")
+    sh = word_shingle_hashes(
+        docs_c, n=n, text_col=text_col, id_col=id_col
+    ).withColumnRenamed("sh", "shingle")
+    inter = (
+        cands.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    za = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    scored = inter.join(za, "doc_a").join(zb, "doc_b")
+    ab = scored.select(
+        F.col("doc_a").alias("src"),
+        F.col("doc_b").alias("dst"),
+        F.round(F.col("i") / F.col("sz_a"), 6).alias("containment"),
+    )
+    ba = scored.select(
+        F.col("doc_b").alias("src"),
+        F.col("doc_a").alias("dst"),
+        F.round(F.col("i") / F.col("sz_b"), 6).alias("containment"),
+    )
+    return ab.unionByName(ba).where(F.col("containment") >= threshold)

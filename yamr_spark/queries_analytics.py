@@ -1065,3 +1065,51 @@ def q_quality_drift_psi(spark, sf_dir):
         F.round((F.col("c") - F.col("p")) * F.log(F.col("c") / F.col("p")), 6)
         .alias("psi_term"),
     )
+
+
+@register(
+    "repeat_purchase_interval",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM p
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           ROUND(AVG(gap_us) / 3600000000.0, 6) AS avg_gap_hours,
+           ROUND(MIN(gap_us) / 3600000000.0, 6) AS min_gap_hours
+    FROM g GROUP BY user_id
+    """,
+)
+def q_repeat_purchase_interval(spark, sf_dir):
+    """Repeat-purchase cadence per user: consecutive purchase gaps via
+    one user-partitioned LAG (event-time order, event_id tiebreak),
+    aggregated to count/mean/min in hours — the retention-model
+    feature. Gaps are exact integer microseconds, so the averages are
+    sums of exact ints over a constant: engine-order-independent
+    without decimal discipline."""
+    from pyspark.sql import Window
+
+    p = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ off the parquet rebuild; cast through TIMESTAMP
+    # for unix_micros (session tz is UTC, so the cast is wall-clock-exact)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    g = p.select("user_id", (us - prev_us).alias("gap_us"))
+    return g.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.avg("gap_us") / 3.6e9, 6).alias("avg_gap_hours"),
+        F.round(F.min("gap_us") / 3.6e9, 6).alias("min_gap_hours"),
+    )

@@ -526,3 +526,29 @@ def q_neardup_triangles(spark, sf_dir):
 
     pairs = D.minhash_near_dup(table(spark, sf_dir, "documents"))
     return triangle_counts(pairs)
+
+
+@register(
+    "containment_pairs",
+    oracle=f"""
+    WITH {_BANDS_CTE}, {_CAND_PAIRS}, {_JACCARD}
+    SELECT src, dst, containment FROM (
+      SELECT c.doc_a AS src, c.doc_b AS dst,
+             ROUND(CAST(i.i AS DOUBLE) / za.sz, 6) AS containment
+      FROM cand c
+      JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes za ON za.doc_id = c.doc_a
+      UNION ALL
+      SELECT c.doc_b, c.doc_a,
+             ROUND(CAST(i.i AS DOUBLE) / zb.sz, 6)
+      FROM cand c
+      JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes zb ON zb.doc_id = c.doc_b
+    ) t WHERE containment >= 0.7
+    """,
+)
+def q_containment_pairs(spark, sf_dir):
+    """Directed near-containment over MinHash band candidates:
+    c(src→dst) = |src∩dst|/|src| ≥ 0.7 — catches quote/boilerplate
+    subsets whose Jaccard is arbitrarily low."""
+    return D.containment_pairs(table(spark, sf_dir, "documents"))

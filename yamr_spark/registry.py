@@ -142,6 +142,8 @@ DRIVER_PRIORITY = [
     "audio_frame_energy",
     "basket_type_lift",
     "quality_drift_psi",
+    "containment_pairs",
+    "repeat_purchase_interval",
     # (1c) code/oracle changed in round 6 (error-band contract, SCD2
     # insert branch, progressive PII counts, TakeOrdered vocab rank,
     # gopher zero-guard, LSH compaction + drain guard, upsert sweep):
@@ -167,10 +169,10 @@ DRIVER_PRIORITY = [
     "ivf_assign",
     "embedding_near_dup",
     "embedding_near_dup_p2",
-    "minhash_signatures",
-    "minhash_band_pairs",
     # ---- beyond slot 50: next-stalest first (rotate into r07), then
     # the freshly-stamped r05 window
+    "minhash_signatures",
+    "minhash_band_pairs",
     "streaming_tumbling_counts",
     "streaming_parquet_sink",
     "streaming_dedup_events",
