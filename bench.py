@@ -48,6 +48,7 @@ FAMILIES: dict[str, list[str]] = {
         "discounted_brand_revenue",
         "incremental_join_view_refresh",
         "pareto_skyline_parts",
+        "supplier_ship_latency",
     ],
     # temporal joins + event-time windows
     "temporal": [
@@ -146,6 +147,7 @@ FAMILIES: dict[str, list[str]] = {
         "basket_type_lift",
         "quality_drift_psi",
         "repeat_purchase_interval",
+        "daily_value_median_trend",
         "kmv_set_ops_customers",
         "key_skew_report",
         "mad_outlier_report",

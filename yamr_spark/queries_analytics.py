@@ -1113,3 +1113,43 @@ def q_repeat_purchase_interval(spark, sf_dir):
         F.round(F.avg("gap_us") / 3.6e9, 6).alias("avg_gap_hours"),
         F.round(F.min("gap_us") / 3.6e9, 6).alias("min_gap_hours"),
     )
+
+
+@register(
+    "daily_value_median_trend",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             ROUND(quantile_cont(value, 0.5), 6) AS p50,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT day, p50, n_events,
+           ROUND(p50 - LAG(p50) OVER (ORDER BY day), 6) AS p50_delta
+    FROM d
+    """,
+)
+def q_daily_value_median_trend(spark, sf_dir):
+    """Metric-drift monitoring: exact daily median of event value with
+    day-over-day delta — the dashboard query behind every 'did the
+    distribution move today' alert. Grouped exact percentiles (one
+    partial-aggregated day shuffle); the LAG window runs over the
+    DAY-cardinality aggregate, never the event stream; day is an ISO
+    string for the stable cross-engine hash."""
+    from pyspark.sql import Window
+
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("dday"))
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    w = Window.orderBy("dday")
+    return d.select(
+        F.col("dday").cast("string").alias("day"),
+        "p50",
+        "n_events",
+        F.round(F.col("p50") - F.lag("p50").over(w), 6).alias("p50_delta"),
+    )

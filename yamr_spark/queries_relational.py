@@ -983,3 +983,38 @@ def q_pareto_skyline_parts(spark, sf_dir):
         maximize="p_size",
         keys=["p_partkey"],
     )
+
+
+@register(
+    "supplier_ship_latency",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(AVG(date_diff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE))), 6) AS avg_ship_days,
+           CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE))) AS BIGINT) AS max_ship_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_suppkey
+    """,
+)
+def q_supplier_ship_latency(spark, sf_dir):
+    """Supplier fulfillment latency: order-to-ship days per supplier —
+    the operational SLA rollup. One fact-fact join shuffled on the
+    orderkey (AQE skew-split applies), day differences are exact
+    integers so the average needs no decimal discipline; the supplier
+    aggregate is partial-aggregated."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    gap = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.avg(gap), 6).alias("avg_ship_days"),
+            F.max(gap).cast("long").alias("max_ship_days"),
+        )
+    )

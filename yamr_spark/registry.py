@@ -144,6 +144,8 @@ DRIVER_PRIORITY = [
     "quality_drift_psi",
     "containment_pairs",
     "repeat_purchase_interval",
+    "daily_value_median_trend",
+    "supplier_ship_latency",
     # (1c) code/oracle changed in round 6 (error-band contract, SCD2
     # insert branch, progressive PII counts, TakeOrdered vocab rank,
     # gopher zero-guard, LSH compaction + drain guard, upsert sweep):
@@ -167,10 +169,10 @@ DRIVER_PRIORITY = [
     "rich_idle_customers",
     "ann_ivf_topk",
     "ivf_assign",
-    "embedding_near_dup",
-    "embedding_near_dup_p2",
     # ---- beyond slot 50: next-stalest first (rotate into r07), then
     # the freshly-stamped r05 window
+    "embedding_near_dup",
+    "embedding_near_dup_p2",
     "minhash_signatures",
     "minhash_band_pairs",
     "streaming_tumbling_counts",
