@@ -1,0 +1,121 @@
+"""Golden + invariant tests for the round-6 latecomer queries
+(containment dedup, PSI drift, purchase cadence, median trend,
+ship latency, basket lift). Each is oracle-gated in the registry;
+these pin the SEMANTICS with hand-checkable cases and structural
+invariants so a plan refactor that silently changes meaning fails
+here before it reaches the driver."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from yamr_spark.registry import all_queries
+from yamr_spark.tables import table
+
+
+def test_containment_directed_golden(spark):
+    """A is a strict prefix of B: every A-shingle appears in B, so
+    containment(A→B) = 1.0 while containment(B→A) = |A|/|B| < 1 —
+    the asymmetry Jaccard can't express. C shares nothing → no rows."""
+    from yamr_spark.operators.dedup import containment_pairs
+
+    a_text = "the quick brown fox jumps over the lazy dog today"
+    b_text = a_text + " extra"
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, "completely unrelated words here now")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.src, r.dst): r.containment
+        for r in containment_pairs(docs, threshold=0.5, n=3).collect()
+    }
+    assert rows[(1, 2)] == 1.0
+    # B has 9 shingles (11 words, n=3), A's 8 are all contained.
+    assert 0.5 < rows[(2, 1)] < 1.0
+    assert not any(3 in k for k in rows)
+
+
+def test_containment_threshold_filters_direction(spark):
+    """With a threshold above |A|/|B| only the subset direction
+    survives — the directed output contract."""
+    from yamr_spark.operators.dedup import containment_pairs
+
+    a_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b_text = a_text + " lambda mu"
+    docs = spark.createDataFrame([(1, a_text), (2, b_text)], ["doc_id", "text"])
+    rows = {
+        (r.src, r.dst): r.containment
+        for r in containment_pairs(docs, threshold=0.95, n=3).collect()
+    }
+    assert (1, 2) in rows and rows[(1, 2)] == 1.0
+    assert (2, 1) not in rows
+
+
+def test_psi_terms_nonnegative(spark, sf_dir):
+    """(c-p)·ln(c/p) has matching signs in both factors, so every PSI
+    term is ≥ 0; proportions are valid probabilities; bins clamped."""
+    rows = all_queries()["quality_drift_psi"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.bin <= 7
+        assert 0 < r.ref_prop <= 1 and 0 < r.cur_prop <= 1
+        assert r.psi_term >= 0
+
+
+def test_repeat_purchase_gap_invariants(spark, sf_dir):
+    """n_gaps is exactly n_purchases − 1 per user (LAG over a single
+    partition-ordered pass), and min ≤ avg when gaps exist."""
+    rows = all_queries()["repeat_purchase_interval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps == r.n_purchases - 1
+        if r.n_gaps:
+            assert r.min_gap_hours <= r.avg_gap_hours
+            assert r.min_gap_hours >= 0
+        else:
+            assert r.avg_gap_hours is None
+
+
+def test_daily_median_trend_delta_chain(spark, sf_dir):
+    """Day-over-day deltas recompose: delta_d = p50_d − p50_{d−1} with
+    the first day NULL; n_events partitions the events table."""
+    rows = sorted(
+        all_queries()["daily_value_median_trend"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert sum(r.n_events for r in rows) == table(spark, sf_dir, "events").count()
+    assert rows[0].p50_delta is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert abs(cur.p50_delta - round(cur.p50 - prev.p50, 6)) < 1e-6
+
+
+def test_supplier_ship_latency_partitions_lineitem(spark, sf_dir):
+    """Every lineitem has an order (FK), so n_items sums to |lineitem|;
+    the max gap bounds the average."""
+    rows = all_queries()["supplier_ship_latency"](spark, sf_dir).collect()
+    assert sum(r.n_items for r in rows) == table(spark, sf_dir, "lineitem").count()
+    for r in rows:
+        assert r.avg_ship_days <= r.max_ship_days
+
+
+def test_basket_lift_support_and_symmetry_bounds(spark, sf_dir):
+    """Pairs are canonical (cat_a < cat_b), supported (≥5 co-orders),
+    and lift is positive with pair support bounded by either margin."""
+    out = all_queries()["basket_type_lift"](spark, sf_dir)
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            table(spark, sf_dir, "part"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "l_orderkey", F.substring_index("p_type", " ", 1).alias("cat")
+        )
+        .distinct()
+    )
+    freq = {r.cat: r.n for r in items.groupBy("cat").agg(F.count("*").alias("n")).collect()}
+    for r in out.collect():
+        assert r.cat_a < r.cat_b
+        assert r.pair_cnt >= 5
+        assert r.lift > 0
+        assert r.pair_cnt <= min(freq[r.cat_a], freq[r.cat_b])
