@@ -1,0 +1,121 @@
+"""Measured scaling curve for the dedup family.
+
+"Would this survive 100×?" answered with data instead of assertion:
+replicate the sf0.1 documents corpus k× (k = 1, 4, 16) and time the
+four core dedup operators at each size on the same local[32] session.
+
+Replication is VOCABULARY-SALTED: every word in replica r gets an
+``_r`` suffix, so replicas share zero shingles and the scaled corpus
+behaves like r independent corpora of identical density — the honest
+linear-scaling setup. (Naive byte-identical replication is the
+opposite: every doc gains r exact copies, LSH buckets hold r-sized
+identical groups, and candidate pairs grow as r² by construction —
+that measures the skew path, not throughput.)
+
+Each (operator, k) cell is min-of-2 on a warmed session. Output: one
+JSON line per cell plus a final summary table, pasteable into
+SCALE.md.
+
+Usage: python scripts/scale_curve.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+FACTORS = [1, 4, 16]
+REPS = 2
+
+
+def build_scaled(spark, sf_dir: str, out_dir: str) -> dict[int, str]:
+    """Write salted k-replica corpora to parquet so every run starts
+    from a comparable columnar scan (not a cached in-memory union)."""
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = base.count()
+    paths = {}
+    for k in FACTORS:
+        path = os.path.join(out_dir, f"documents_x{k}.parquet")
+        if not os.path.exists(path):
+            parts = []
+            for r in range(k):
+                rep = base.select(
+                    (F.col("doc_id") + F.lit(r * n)).alias("doc_id"),
+                    (
+                        F.col("text")
+                        if r == 0
+                        else F.regexp_replace("text", r"(\w+)", rf"$1_{r}")
+                    ).alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+                parts.append(rep)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.repartition(max(4, 2 * k)).write.mode("overwrite").parquet(path)
+        paths[k] = path
+    return paths
+
+
+def operators():
+    from yamr_spark.operators import dedup as D
+
+    return {
+        "dedup_exact": lambda df: D.exact_dedup(df),
+        "minhash_near_dup": lambda df: D.minhash_near_dup(df),
+        "simhash_near_dup": lambda df: D.simhash_near_dup(df),
+        "ngram_jaccard_pairs": lambda df: D.ngram_jaccard_pairs(df),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_curve"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .appName("scale-curve")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    paths = build_scaled(spark, sf_dir, out_dir)
+    ops = operators()
+    results: dict[str, dict[int, float]] = {name: {} for name in ops}
+    for k in FACTORS:
+        docs = spark.read.parquet(paths[k])
+        docs.count()  # warm the scan
+        for name, fn in ops.items():
+            best = None
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                fn(docs).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results[name][k] = round(best, 2)
+            print(json.dumps({"op": name, "factor": k, "sec": results[name][k]}))
+
+    print("\n| operator | " + " | ".join(f"{k}x" for k in FACTORS) + " | t(16x)/t(1x) |")
+    print("|---|" + "---|" * (len(FACTORS) + 1))
+    for name, row in results.items():
+        ratio = round(row[FACTORS[-1]] / row[FACTORS[0]], 1)
+        cells = " | ".join(f"{row[k]:.2f}" for k in FACTORS)
+        print(f"| {name} | {cells} | {ratio}x |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
