@@ -66,6 +66,56 @@ def build_scaled(spark, sf_dir: str, out_dir: str) -> dict[int, str]:
     return paths
 
 
+def build_scaled_emb(spark, sf_dir: str, out_dir: str) -> dict[int, str]:
+    """k-replica embeddings with a deterministic per-replica
+    perturbation (hash-derived per-component offset), so replicas are
+    distinct vectors with distinct neighborhoods — byte-identical
+    copies would hand every query k tied exact twins and measure tie
+    handling, not scan cost."""
+    base = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = base.count()
+    paths = {}
+    for k in FACTORS:
+        path = os.path.join(out_dir, f"embeddings_x{k}.parquet")
+        if not os.path.exists(path):
+            parts = []
+            for r in range(k):
+                jitter = (
+                    f"transform(embedding, (x, i) -> "
+                    f"CAST(x + (pmod(vec_id * 31 + i * 7 + {r}, 17) - 8) * "
+                    f"{0.0 if r == 0 else 0.01} AS FLOAT))"
+                )
+                parts.append(
+                    base.select(
+                        (F.col("vec_id") + F.lit(r * n)).alias("vec_id"),
+                        F.expr(jitter).alias("embedding"),
+                        "label",
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.repartition(max(4, 2 * k)).write.mode("overwrite").parquet(path)
+        paths[k] = path
+    return paths
+
+
+def ann_operators(n_vecs: int):
+    import math
+
+    from yamr_spark.operators import similarity as S
+
+    c = max(8, math.isqrt(n_vecs))
+    return {
+        "ann_brute_topk(q=50)": lambda df: S.brute_force_topk(
+            df, k=5, num_queries=50
+        ),
+        f"ann_ivf_topk(q=50,c={c})": lambda df: S.ivf_topk(
+            df, k=5, num_queries=50, c=c, nprobe=2
+        ),
+    }
+
+
 def operators():
     from yamr_spark.operators import dedup as D
 
@@ -107,6 +157,39 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             results[name][k] = round(best, 2)
             print(json.dumps({"op": name, "factor": k, "sec": results[name][k]}))
+
+    emb_paths = build_scaled_emb(spark, sf_dir, out_dir)
+    for k in FACTORS:
+        import math
+
+        from yamr_spark.operators import similarity as S
+
+        emb = spark.read.parquet(emb_paths[k])
+        n_vecs = emb.count()  # warm the scan + size the cell count
+        c = max(8, math.isqrt(n_vecs))
+        # Amortized query path: the IVF store (assignment materialized,
+        # partitioned by cell) is built OUTSIDE the timer — production
+        # builds it once per corpus version, then serves every query
+        # batch from it. The timed probe is the steady-state cost.
+        store = os.path.join(out_dir, f"ivf_store_x{k}")
+        if not os.path.exists(store):
+            S.write_ivf_store(emb, store, c=c)
+        ops_k = dict(ann_operators(n_vecs))
+        ops_k[f"ann_ivf_store_topk(q=50,c={c})"] = (
+            lambda df, s=store, cc=c: S.ivf_store_topk(
+                spark, s, df, k=5, num_queries=50, c=cc, nprobe=2
+            )
+        )
+        for name, fn in ops_k.items():
+            base_name = name.split("(")[0]
+            best = None
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                fn(emb).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(base_name, {})[k] = round(best, 2)
+            print(json.dumps({"op": name, "factor": k, "sec": round(best, 2)}))
 
     print("\n| operator | " + " | ".join(f"{k}x" for k in FACTORS) + " | t(16x)/t(1x) |")
     print("|---|" + "---|" * (len(FACTORS) + 1))
