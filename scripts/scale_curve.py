@@ -127,11 +127,66 @@ def operators():
     }
 
 
+def build_identical(spark, sf_dir: str, out_dir: str, k: int) -> str:
+    """The ADVERSARIAL corpus: k byte-identical copies of every doc
+    (ids distinct). Every LSH bucket holds a k-sized identical group,
+    so candidate pairs grow as k² — the duplicate-heavy crawl shape."""
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = base.count()
+    path = os.path.join(out_dir, f"documents_ident_x{k}.parquet")
+    if not os.path.exists(path):
+        parts = [
+            base.select(
+                (F.col("doc_id") + F.lit(r * n)).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+            )
+            for r in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(2 * k).write.mode("overwrite").parquet(path)
+    return path
+
+
+def skew_experiment(spark, sf_dir: str, out_dir: str) -> None:
+    """Duplicate-heavy corpora break naive LSH (k² candidates); the
+    production mitigation is ordering: exact dedup FIRST, LSH on the
+    survivors. Measure both on the same 16x byte-identical corpus."""
+    from yamr_spark.operators import dedup as D
+
+    k = FACTORS[-1]
+    docs = spark.read.parquet(build_identical(spark, sf_dir, out_dir, k))
+    docs.count()
+
+    def naive():
+        return D.minhash_near_dup(docs)
+
+    def dedup_first():
+        keep = D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+        survivors = docs.join(keep, "doc_id", "left_semi")
+        return D.minhash_near_dup(survivors)
+
+    for name, fn in [("lsh_on_identical_x16", naive),
+                     ("exact_dedup_then_lsh_x16", dedup_first)]:
+        best = None
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        print(json.dumps({"op": name, "factor": k, "sec": round(best, 2)}))
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = pos[0] if pos else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_curve"
+    out_dir = pos[1] if len(pos) > 1 else "/tmp/scale_curve"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -142,6 +197,10 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if "--skew" in sys.argv:
+        skew_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
     paths = build_scaled(spark, sf_dir, out_dir)
     ops = operators()
     results: dict[str, dict[int, float]] = {name: {} for name in ops}
