@@ -119,3 +119,37 @@ def test_basket_lift_support_and_symmetry_bounds(spark, sf_dir):
         assert r.pair_cnt >= 5
         assert r.lift > 0
         assert r.pair_cnt <= min(freq[r.cat_a], freq[r.cat_b])
+
+
+# ---- differential property: containment values recomputed in Python
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    import re
+
+    toks = [t for t in re.split(r"[^\w]+", text.lower()) if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_containment_values_match_python_recompute(spark):
+    """Differential check: every (src, dst, containment) row the
+    operator emits must equal |S(src) ∩ S(dst)| / |S(src)| computed
+    from first principles. Candidate RECALL is the LSH band policy's
+    business (documented in the operator); the VALUES must be exact."""
+    from yamr_spark.operators.dedup import containment_pairs
+
+    texts = {
+        1: "one two three four five six seven eight nine ten",
+        2: "one two three four five six seven eight nine ten eleven twelve",
+        3: "zero one two three four five six seven eight nine ten extra",
+        4: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        5: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    out = containment_pairs(docs, threshold=0.1, n=3).collect()
+    assert out, "expected at least the duplicate pair 4<->5"
+    for r in out:
+        s_src, s_dst = _shingles(texts[r.src]), _shingles(texts[r.dst])
+        expect = round(len(s_src & s_dst) / len(s_src), 6)
+        assert abs(r.containment - expect) < 1e-9, (r.src, r.dst)
+    pairs = {(r.src, r.dst) for r in out}
+    assert (4, 5) in pairs and (5, 4) in pairs
