@@ -653,3 +653,42 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_round6_late_query_plan_shapes(spark, sf_dir):
+    """Plan pins for the last round-6 additions: purchase-cadence's
+    event_type filter reaches the parquet scan; ship-latency reads only
+    the 3+2 columns it needs and partial-aggregates; basket-lift and
+    PSI never degenerate to a non-broadcast nested loop; containment's
+    candidate generation stays an equi-join (no cartesian)."""
+    from yamr_spark.plans import plan_text
+
+    qs = all_queries()
+
+    cadence = qs["repeat_purchase_interval"](spark, sf_dir)
+    assert "purchase" in pushed_filters(cadence)
+
+    lat = qs["supplier_ship_latency"](spark, sf_dir)
+    assert has_partial_aggregate(lat)
+    rs = read_schema(lat)
+    assert "l_comment" not in rs and "o_totalprice" not in rs
+
+    lift = qs["basket_type_lift"](spark, sf_dir)
+    t = plan_text(lift)
+    assert "CartesianProduct" not in t
+    assert has_partial_aggregate(lift)
+
+    psi = qs["quality_drift_psi"](spark, sf_dir)
+    t = plan_text(psi)
+    assert "CartesianProduct" not in t
+    assert has_partial_aggregate(psi)
+    assert "BroadcastExchange" in t, "totals row should broadcast"
+
+    trend = qs["daily_value_median_trend"](spark, sf_dir)
+    assert has_partial_aggregate(trend)
+
+    from yamr_spark.operators.dedup import containment_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    t = plan_text(containment_pairs(docs))
+    assert "CartesianProduct" not in t
