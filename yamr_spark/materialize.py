@@ -7,10 +7,19 @@ times (or iterate on it), so it must be computed ONCE and the lineage
 truncated — otherwise the logical plan grows O(rounds) and every
 consumer recomputes the subplan. Three strategies, selected per-session:
 
-- ``local`` (default on local[n]): ``localCheckpoint(eager=True)`` —
+- ``local`` (default on local[n]): ``localCheckpoint(eager=False)`` —
   executor-memory/local-disk blocks, zero serialization to external
   storage. Fastest, but blocks vanish on executor loss; the right
-  default for the single-JVM test/bench harness only.
+  default for the single-JVM test/bench harness only. LAZY, and that
+  is safe AND faster: Spark truncates the LOGICAL plan immediately
+  (the returned frame is a LogicalRDD even before computation — so
+  iterative loops stay plan-bounded exactly as with eager), while
+  the actual computation fuses into the first consuming job instead
+  of launching a separate blocking job per intermediate. Measured on
+  the dedup headline family: 31.5 s eager → 29.6 s lazy (min-of-2,
+  sf0.1), every query moving the same direction. Multiple consumers
+  still compute it once — localCheckpoint caches MEMORY_AND_DISK on
+  first touch.
 - ``disk``: reliable ``checkpoint(eager=True)`` into the Spark
   checkpoint dir (YAMR_SPARK_CHECKPOINT_DIR on a cluster — a DFS path —
   else a per-process temp dir). Truncates lineage like ``local`` but
@@ -65,7 +74,7 @@ def materialize(df: DataFrame) -> DataFrame:
     the materialized result (see module docstring for the strategies)."""
     mode = current_mode()
     if mode == "local":
-        return df.localCheckpoint()
+        return df.localCheckpoint(eager=False)
     if mode == "disk":
         sc = df.sparkSession.sparkContext
         if sc._jsc.sc().getCheckpointDir().isEmpty():
