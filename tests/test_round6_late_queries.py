@@ -153,3 +153,31 @@ def test_containment_values_match_python_recompute(spark):
         assert abs(r.containment - expect) < 1e-9, (r.src, r.dst)
     pairs = {(r.src, r.dst) for r in out}
     assert (4, 5) in pairs and (5, 4) in pairs
+
+
+def test_dedup_operators_tolerate_sub_shingle_docs(spark):
+    """Crawl corpora contain empty and sub-shingle-width documents;
+    every near-dup operator must exclude them without NULL-poisoning
+    or crashing, while still finding the real duplicate pair."""
+    from yamr_spark.operators.dedup import (
+        containment_pairs,
+        minhash_near_dup,
+        ngram_jaccard_pairs,
+        simhash_near_dup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hi"),
+            (2, "two words"),
+            (3, ""),
+            (4, "the quick brown fox jumps over the lazy dog"),
+            (5, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    assert sorted((r[0], r[1]) for r in minhash_near_dup(docs).collect()) == [(4, 5)]
+    assert sorted((r[0], r[1]) for r in ngram_jaccard_pairs(docs).collect()) == [(4, 5)]
+    assert sorted((r[0], r[1]) for r in simhash_near_dup(docs).collect()) == [(4, 5)]
+    got = sorted((r.src, r.dst) for r in containment_pairs(docs).collect())
+    assert got == [(4, 5), (5, 4)]
