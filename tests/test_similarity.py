@@ -268,3 +268,41 @@ def test_quantized_ivf_topk_recall_vs_quantized_brute(spark, sf_dir):
     }
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.6, f"recall {recall:.2f}"
+
+
+def test_zero_norm_vectors_never_crash_or_outrank(spark):
+    """Any real embedding corpus contains dead (all-zero) vectors; a
+    cosine against one is NULL (try_divide), never DIVIDE_BY_ZERO —
+    under ANSI mode a bare division would kill the whole job. Zero
+    vectors must not crash any scorer, must be absent from thresholded
+    pairs, and must never outrank a real neighbor in top-k."""
+    from yamr_spark.operators.similarity import (
+        brute_force_topk,
+        embedding_near_dup,
+        ivf_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 0.0, 0.0], 1),
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.9, 0.1], 1),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    brute = brute_force_topk(emb, k=2, num_queries=5).collect()
+    real = [r for r in brute if r.cosine is not None]
+    # every real query finds its true nearest real neighbor first
+    top1 = {r.query_id: r.neighbor_id for r in real if r.rnk == 1}
+    assert top1[0] == 1 and top1[1] == 0 and top1[3] == 4 and top1[4] == 3
+    # the zero vector never appears as a ranked-above-real neighbor
+    for r in brute:
+        if r.neighbor_id == 2:
+            assert r.cosine is None
+
+    ivf = ivf_topk(emb, k=2, num_queries=5, c=2, nprobe=2).collect()
+    assert all(r.cosine is None for r in ivf if r.neighbor_id == 2)
+
+    pairs = embedding_near_dup(emb, threshold=0.5).collect()
+    assert pairs and not any(2 in (r.vec_a, r.vec_b) for r in pairs)

@@ -44,9 +44,17 @@ def _norm(col: str):
 
 
 def with_cosine(df: DataFrame, a: str = "va", b: str = "vb") -> DataFrame:
-    """Add ``cosine`` (rounded to 6 dp) between two double-array columns."""
+    """Add ``cosine`` (rounded to 6 dp) between two double-array columns.
+
+    Zero-norm vectors (dead/padded embeddings — present in any real
+    corpus) have no direction: their cosine is NULL via ``try_divide``,
+    so they drop out of thresholded pair filters and sort after every
+    real neighbor in top-k windows (desc puts NULLs last). Under
+    Spark's ANSI mode a bare ``/`` would instead raise DIVIDE_BY_ZERO
+    and kill the whole job — one poison row failing a 100 TB pass.
+    Every cosine site in this module shares this contract."""
     return df.withColumn(
-        "cosine", F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+        "cosine", F.round(F.try_divide(_dot(a, b), _norm(a) * _norm(b)), 6)
     )
 
 
@@ -77,7 +85,7 @@ def _attach_and_score(
             "vec_b",
         )
         .withColumn(
-            "cosine", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+            "cosine", F.round(F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")), 6)
         )
     )
     return paired.filter(F.col("cosine") >= threshold).select(
@@ -114,7 +122,7 @@ def brute_force_topk(
         .crossJoin(corpus)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+            "cosine", F.round(F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")), 6)
         )
     )
     from pyspark.sql import Window
@@ -174,7 +182,7 @@ def _scored_against_centroids(
     return (
         vecs.crossJoin(F.broadcast(cn))
         .withColumn(
-            "cosine", F.round(_dot("va", "cvec") / (F.col("na") * F.col("nb")), 6)
+            "cosine", F.round(F.try_divide(_dot("va", "cvec"), F.col("na") * F.col("nb")), 6)
         )
         .select("vec_id", "centroid_id", "cosine")
     )
@@ -601,7 +609,7 @@ def embedding_near_dup(
     )
     return (
         paired.withColumn(
-            "cosine", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+            "cosine", F.round(F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")), 6)
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
@@ -771,7 +779,7 @@ def semdedup(
             F.col("b.nv").alias("nb"),
         )
         .withColumn(
-            "cosine", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+            "cosine", F.round(F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")), 6)
         )
         .filter(F.col("cosine") >= eps)
         .select(F.col("vec_b").alias("vec_id"))
@@ -904,7 +912,7 @@ def quantized_topk(
         .crossJoin(corpus)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine_q", F.round(qdot / (F.col("na") * F.col("nb")), 6)
+            "cosine_q", F.round(F.try_divide(qdot, F.col("na") * F.col("nb")), 6)
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -958,7 +966,7 @@ def hard_negative_mining(
         .crossJoin(corpus)
         .filter(F.col("query_label") != F.col("negative_label"))
         .withColumn(
-            "cosine", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+            "cosine", F.round(F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")), 6)
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "negative_id")
@@ -1031,7 +1039,7 @@ def hard_negative_mining_ivf(
         .join(corpus, "centroid_id")
         .filter(F.col("query_label") != F.col("negative_label"))
         .withColumn(
-            "cosine", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+            "cosine", F.round(F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")), 6)
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "negative_id")
@@ -1175,7 +1183,7 @@ def quantized_ivf_topk(
         F.broadcast(probes.join(qcodes, "query_id"))
         .join(corpus, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_q", F.round(qdot / (F.col("na") * F.col("nb")), 6))
+        .withColumn("cosine_q", F.round(F.try_divide(qdot, F.col("na") * F.col("nb")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_q").desc(), "neighbor_id")
     return (
