@@ -366,7 +366,11 @@ def domain_mix_sample(
         F.floor(
             F.least(
                 F.lit(1.0),
-                share * F.lit(float(budget_tokens)) / F.col("lang_tokens"),
+                share
+                * F.lit(float(budget_tokens))
+                # a language whose docs are all empty has lang_tokens=0;
+                # under ANSI a bare / would kill the job (oracle mirrors)
+                / F.greatest(F.col("lang_tokens"), F.lit(1)),
             )
             * F.lit(1000000.0)
         )

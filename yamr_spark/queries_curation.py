@@ -317,7 +317,7 @@ def q_pack_sequences(spark, sf_dir):
     rates AS (
       SELECT lang, lang_docs, lang_tokens,
              CAST(FLOOR(least(CAST(1.0 AS DOUBLE),
-                              {_MIX_CASE} * 25000.0 / lang_tokens)
+                              {_MIX_CASE} * 25000.0 / greatest(lang_tokens, 1))
                         * 1000000.0) AS BIGINT) AS rate_ppm
       FROM totals
     ),
