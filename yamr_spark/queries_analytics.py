@@ -637,7 +637,10 @@ def q_event_zscore_anomalies(spark, sf_dir):
         F.stddev_samp("value").over(tw).alias("s"),
         F.count("*").over(tw).alias("c"),
     )
-    z = F.round((F.col("value") - F.col("m")) / F.col("s"), 6)
+    # try_divide, not a bare /: the s > 0 conjunct below does NOT
+    # guarantee evaluation order under Catalyst, so an all-constant
+    # trailing window (s = 0) could still hit the division under ANSI
+    z = F.round(F.try_divide(F.col("value") - F.col("m"), F.col("s")), 6)
     return (
         scored.where((F.col("c") >= 5) & (F.col("s") > 0) & (F.abs(z) > 3.0))
         .select("event_id", "user_id", "value", z.alias("z"))
