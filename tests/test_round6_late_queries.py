@@ -181,3 +181,53 @@ def test_dedup_operators_tolerate_sub_shingle_docs(spark):
     assert sorted((r[0], r[1]) for r in simhash_near_dup(docs).collect()) == [(4, 5)]
     got = sorted((r.src, r.dst) for r in containment_pairs(docs).collect())
     assert got == [(4, 5), (5, 4)]
+
+
+def test_null_text_and_null_embeddings_are_safe(spark):
+    """Crawl corpora contain NULL text and NULL embeddings. Pinned
+    behavior: exact_dedup collapses all NULL-text docs into ONE group
+    (SQL NULL-equality grouping — documented in the operator); the
+    fuzzy dedup operators exclude NULL docs entirely; ANN scorers give
+    NULL vectors NULL cosines so they never outrank a real neighbor
+    and never appear in thresholded pairs."""
+    from pyspark.sql import types as T
+
+    from yamr_spark.operators.dedup import exact_dedup, minhash_near_dup
+    from yamr_spark.operators.similarity import brute_force_topk, embedding_near_dup
+
+    dschema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, None),
+        ],
+        dschema,
+    )
+    groups = {r.keep_id: r.dup_cnt for r in exact_dedup(docs).collect()}
+    assert groups == {1: 2, 2: 2}
+    assert [(r.doc_a, r.doc_b) for r in minhash_near_dup(docs).collect()] == [(2, 3)]
+
+    eschema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.9, 0.1, 0.0], 0),
+            (2, None, 1),
+            (3, [0.0, 1.0, 0.0], 1),
+        ],
+        eschema,
+    )
+    brute = brute_force_topk(emb, k=2, num_queries=4).collect()
+    assert all(r.cosine is None for r in brute if 2 in (r.query_id, r.neighbor_id))
+    pairs = embedding_near_dup(emb, threshold=0.1).collect()
+    assert not any(2 in (r.vec_a, r.vec_b) for r in pairs)

@@ -41,6 +41,11 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Exact duplicate groups: one row per distinct text with the kept
     (minimum) id and the duplicate count. Groups on the sha2-256 digest:
     at scale the shuffle key is 64 hex chars regardless of document size.
+
+    NULL-text documents form ONE group (sha2(NULL) is NULL and groupBy
+    treats NULLs as equal) — deliberate: a crawl's millions of empty
+    fetches collapse to a single kept row instead of surviving dedup
+    individually. Filter NULLs upstream if they must be preserved.
     """
     return (
         docs.select(
