@@ -231,3 +231,25 @@ def test_null_text_and_null_embeddings_are_safe(spark):
     assert all(r.cosine is None for r in brute if 2 in (r.query_id, r.neighbor_id))
     pairs = embedding_near_dup(emb, threshold=0.1).collect()
     assert not any(2 in (r.vec_a, r.vec_b) for r in pairs)
+
+
+def test_unicode_text_dedups_correctly(spark):
+    """CJK, Arabic, emoji and control characters through the
+    tokenizer-driven operators: the \\p{L}\\p{N} word-break class keeps
+    non-Latin scripts tokenizable, so identical CJK docs and identical
+    emoji-bearing docs are still found as duplicates."""
+    from yamr_spark.operators.dedup import minhash_near_dup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "这是一个测试文档 它包含中文字符"),
+            (2, "这是一个测试文档 它包含中文字符"),
+            (3, "مرحبا بالعالم هذا نص عربي تجريبي"),
+            (4, "emoji test 🎉🎊 mixed with ascii words"),
+            (5, "emoji test 🎉🎊 mixed with ascii words"),
+            (6, "ASCII control \x00\x01 chars inside text here"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = sorted((r.doc_a, r.doc_b) for r in minhash_near_dup(docs, n=2).collect())
+    assert pairs == [(1, 2), (4, 5)]
