@@ -1,41 +1,41 @@
 """Driver-harness contract guards: the production driver canonicalizes
 results via pandas (sort_values + per-column factorize), which crashes
-on BinaryType output (`TypeError: unhashable type: 'bytearray'` —
-CORRECTNESS_r05's multimodal ERRs). These tests pin the contract so a
-future query can't reintroduce the class: every registered query's
-SCHEMA must be free of binary / map / nested-binary columns (hex or
-digest instead), and every oracle key must have a query."""
+on any column whose values are unhashable Python objects — bytearrays
+(BinaryType — CORRECTNESS_r05's multimodal ERRs), but equally lists /
+ndarrays (ArrayType), dicts (MapType), and Rows (StructType). These
+tests pin the contract so a future query can't reintroduce the class:
+every registered query must emit only scalar columns (hex/digest for
+bytes, array_join/to_json for collections), and every oracle key must
+have a query."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import types as T
 
 from yamr_spark.registry import all_oracles, all_queries
 
-_SF = "/root/testdata/sf0.001"
+
+def _driver_hashable(dt: T.DataType) -> bool:
+    """Only scalar types survive pandas factorize; arrays become lists
+    (unhashable), maps become dicts, structs become Rows, binary
+    becomes bytearray."""
+    return not isinstance(
+        dt, (T.BinaryType, T.MapType, T.ArrayType, T.StructType)
+    )
 
 
-def _hashable(dt: T.DataType) -> bool:
-    if isinstance(dt, (T.BinaryType, T.MapType)):
-        return False
-    if isinstance(dt, T.ArrayType):
-        return _hashable(dt.elementType)
-    if isinstance(dt, T.StructType):
-        return all(_hashable(f.dataType) for f in dt.fields)
-    return True
-
-
-def test_no_registered_query_emits_binary_or_map(spark):
+def test_no_registered_query_emits_unhashable_columns(spark, sf_dir):
     bad = {}
     for name, fn in all_queries().items():
-        schema = fn(spark, _SF).schema
-        offenders = [f.name for f in schema.fields if not _hashable(f.dataType)]
+        schema = fn(spark, sf_dir).schema
+        offenders = [
+            f.name for f in schema.fields if not _driver_hashable(f.dataType)
+        ]
         if offenders:
             bad[name] = offenders
     assert not bad, (
         "driver canonicalizer cannot hash these columns — project hex/"
-        f"digest instead: {bad}"
+        f"digest/array_join/to_json instead: {bad}"
     )
 
 

@@ -69,6 +69,21 @@ def current_mode() -> str:
     return env if env in _MODES else "local"
 
 
+def materialize_eager(df: DataFrame) -> DataFrame:
+    """``materialize()`` plus a computation BARRIER: the result is fully
+    computed before this returns, in EVERY mode. Required when the
+    consumer will OVERWRITE a path the input plan reads — upsert's
+    dynamic-partition-overwrite merge reads the store and then replaces
+    its partitions; under the default lazy ``local`` mode the overwrite
+    job itself would be the first action, reading store files while the
+    committer deletes them. ``disk`` (eager reliable checkpoint) and
+    ``parquet`` (synchronous write) already barrier; only ``local``
+    needs the eager flag."""
+    if current_mode() == "local":
+        return df.localCheckpoint(eager=True)
+    return materialize(df)
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Compute ``df`` once and return a DataFrame whose plan starts from
     the materialized result (see module docstring for the strategies)."""

@@ -851,10 +851,10 @@ def quantize_stats(
             f"aggregate(zip_with({recon}, v, (r, x) -> (r - x) * (r - x)), "
             "cast(0.0 as double), (a, e) -> a + e)"
         )
-        / F.size("v")
+        / F.greatest(F.size("v"), F.lit(1))
     )
     scored = j.withColumn("r", F.expr(recon)).withColumn(
-        "cos_vr", F.round(_dot("v", "r") / (_norm("v") * _norm("r")), 6)
+        "cos_vr", F.round(F.try_divide(_dot("v", "r"), _norm("v") * _norm("r")), 6)
     ).withColumn("rmse6", F.round(rmse, 6))
     return (
         scored.groupBy("label")

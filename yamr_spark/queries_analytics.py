@@ -1021,8 +1021,8 @@ def q_basket_type_lift(spark, sf_dir):
     ),
     props AS (
       SELECT bin,
-             ROUND(greatest(ref_cnt * 1.0 / ref_n, 0.0005), 6) AS p,
-             ROUND(greatest(cur_cnt * 1.0 / cur_n, 0.0005), 6) AS c
+             ROUND(greatest(ref_cnt * 1.0 / greatest(ref_n, 1), 0.0005), 6) AS p,
+             ROUND(greatest(cur_cnt * 1.0 / greatest(cur_n, 1), 0.0005), 6) AS c
       FROM binned CROSS JOIN tot
     )
     SELECT bin, p AS ref_prop, c AS cur_prop,
@@ -1052,13 +1052,25 @@ def q_quality_drift_psi(spark, sf_dir):
     tot = binned.agg(
         F.sum("ref_cnt").alias("ref_n"), F.sum("cur_cnt").alias("cur_n")
     )
+    # greatest() guards the QUOTIENT; the denominator needs its own
+    # guard (an all-odd-doc_id slice has ref_n = 0 → ANSI kills the
+    # bare division before greatest ever sees it). greatest(n, 1) is
+    # exact parity for any nonempty side and mirrored in the oracle.
     props = binned.crossJoin(F.broadcast(tot)).select(
         "bin",
         F.round(
-            F.greatest(F.col("ref_cnt") / F.col("ref_n"), F.lit(0.0005)), 6
+            F.greatest(
+                F.col("ref_cnt") / F.greatest(F.col("ref_n"), F.lit(1)),
+                F.lit(0.0005),
+            ),
+            6,
         ).alias("p"),
         F.round(
-            F.greatest(F.col("cur_cnt") / F.col("cur_n"), F.lit(0.0005)), 6
+            F.greatest(
+                F.col("cur_cnt") / F.greatest(F.col("cur_n"), F.lit(1)),
+                F.lit(0.0005),
+            ),
+            6,
         ).alias("c"),
     )
     return props.select(

@@ -220,13 +220,14 @@ def merge_batch_into_store_dpo(
     per-bucket loop (test-pinned equal); right when a batch touches
     hundreds+ of buckets and the sequential per-bucket jobs dominate.
 
-    The merged frame is materialized before the write because Spark
-    (correctly) refuses to overwrite a path an active plan is reading;
-    the barrier bounds that staging cost to touched-bucket data, not
-    the store."""
+    The merged frame is materialized EAGERLY before the write because
+    the write overwrites the very partitions the plan reads; the
+    barrier (``materialize_eager`` — the default local materialize is
+    lazy and would defer computation into the overwrite job itself)
+    bounds that staging cost to touched-bucket data, not the store."""
     import os
 
-    from yamr_spark.materialize import materialize
+    from yamr_spark.materialize import materialize_eager
 
     spark = batch_df.sparkSession
     batch = batch_df.withColumn("bucket", _bucket_of(F.col(key), n_buckets))
@@ -244,7 +245,7 @@ def merge_batch_into_store_dpo(
             merged = keep_latest(old.unionByName(batch), key, order, tie)
         else:
             merged = keep_latest(batch, key, order, tie)
-        merged = materialize(merged)
+        merged = materialize_eager(merged)
         prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
