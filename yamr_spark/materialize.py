@@ -37,7 +37,9 @@ consumer recomputes the subplan. Three strategies, selected per-session:
 
 Mode is chosen by ``set_mode()`` or the YAMR_SPARK_MATERIALIZE env var
 (``local`` | ``disk`` | ``parquet``), read once per call so tests can
-flip modes at runtime.
+flip modes at runtime. All three modes are certified by running the
+FULL test suite with YAMR_SPARK_MATERIALIZE set (last done after the
+lazy-local change: local/disk/parquet all green).
 """
 
 from __future__ import annotations
