@@ -156,7 +156,26 @@ DRIVER_PRIORITY = [
     "gopher_quality_filters",
     "streaming_lsh_incremental",
     "streaming_upsert_latest",
-    # (2) stalest-stamp backfill: green only in r01–r04 windows
+    # (2) changed late in round 6 (the ANSI try_divide sweep rewrote
+    # every cosine expression in operators/similarity.py, and
+    # domain_mix/quantize_stats gained denominator guards) — changed
+    # plans outrank stale-but-unchanged stamps for the last slots.
+    # One representative per changed code path, twins rotate to r07.
+    "ann_brute_topk",
+    "ann_quantized_topk",
+    "embedding_near_dup",
+    "semdedup",
+    "srp_near_dup",
+    "hard_negative_mining",
+    "embedding_quantize_stats",
+    "kmeans_centroids",
+    "domain_mix_sample",
+    "ann_ivf_topk",
+    "ivf_assign",
+    # ---- beyond slot 50: the changed-path twins and the displaced
+    # r01–r04 stale backfill rotate into r07, then the rest
+    "ann_ivf_kmeans_topk",
+    "embedding_near_dup_p2",
     "important_part_value",
     "promo_revenue_share",
     "supplier_attr_counts",
@@ -167,12 +186,6 @@ DRIVER_PRIORITY = [
     "small_qty_part_revenue",
     "large_volume_customers",
     "rich_idle_customers",
-    "ann_ivf_topk",
-    "ivf_assign",
-    # ---- beyond slot 50: next-stalest first (rotate into r07), then
-    # the freshly-stamped r05 window
-    "embedding_near_dup",
-    "embedding_near_dup_p2",
     "minhash_signatures",
     "minhash_band_pairs",
     "streaming_tumbling_counts",
