@@ -306,3 +306,44 @@ def test_zero_norm_vectors_never_crash_or_outrank(spark):
 
     pairs = embedding_near_dup(emb, threshold=0.5).collect()
     assert pairs and not any(2 in (r.vec_a, r.vec_b) for r in pairs)
+
+
+def test_nan_embeddings_never_outrank_or_pair(spark):
+    """Spark orders NaN as the GREATEST double, so an unguarded NaN
+    cosine passes every threshold and takes rank 1 everywhere — one
+    corrupt embedding poisons every ranking and dedup component it
+    touches. Pinned contract: NaN collapses to NULL (nanvl), excluded
+    exactly like zero-norm vectors."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from yamr_spark.operators.similarity import brute_force_topk, embedding_near_dup
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.9, 0.1, 0.0], 0),
+            (2, [float("nan"), 1.0, 0.0], 1),
+            (3, [0.0, 1.0, 0.0], 1),
+        ],
+        schema,
+    )
+    out = brute_force_topk(emb, k=2, num_queries=4).collect()
+    for r in out:
+        if 2 in (r.query_id, r.neighbor_id):
+            assert r.cosine is None or math.isnan(r.cosine) is False
+        if r.neighbor_id == 2:
+            assert r.cosine is None
+    # query 3's true top neighbor is NOT the NaN vector
+    top1 = {r.query_id: r.neighbor_id for r in out if r.rnk == 1 and r.cosine is not None}
+    assert top1[3] != 2
+    pairs = embedding_near_dup(emb, threshold=0.5).collect()
+    assert not any(2 in (r.vec_a, r.vec_b) for r in pairs)

@@ -52,9 +52,15 @@ def with_cosine(df: DataFrame, a: str = "va", b: str = "vb") -> DataFrame:
     real neighbor in top-k windows (desc puts NULLs last). Under
     Spark's ANSI mode a bare ``/`` would instead raise DIVIDE_BY_ZERO
     and kill the whole job — one poison row failing a 100 TB pass.
-    Every cosine site in this module shares this contract."""
+    NaN COMPONENTS are worse than zero norms: Spark orders NaN as the
+    GREATEST double, so a NaN cosine would pass every ``>= τ`` filter
+    and take rank 1 in every top-k it touches — one corrupt embedding
+    becomes a "near-duplicate" of everything it meets and its dedup
+    component swallows unrelated documents. ``nanvl(…, NULL)``
+    collapses NaN to the same excluded-NULL contract. Every cosine
+    site in this module shares this contract."""
     return df.withColumn(
-        "cosine", F.round(F.try_divide(_dot(a, b), _norm(a) * _norm(b)), 6)
+        "cosine", F.round(F.nanvl(F.try_divide(_dot(a, b), _norm(a) * _norm(b)), F.lit(None).cast("double")), 6)
     )
 
 
@@ -85,7 +91,7 @@ def _attach_and_score(
             "vec_b",
         )
         .withColumn(
-            "cosine", F.round(F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")), 6)
+            "cosine", F.round(F.nanvl(F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")), F.lit(None).cast("double")), 6)
         )
     )
     return paired.filter(F.col("cosine") >= threshold).select(
@@ -122,7 +128,7 @@ def brute_force_topk(
         .crossJoin(corpus)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine", F.round(F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")), 6)
+            "cosine", F.round(F.nanvl(F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")), F.lit(None).cast("double")), 6)
         )
     )
     from pyspark.sql import Window
@@ -182,7 +188,7 @@ def _scored_against_centroids(
     return (
         vecs.crossJoin(F.broadcast(cn))
         .withColumn(
-            "cosine", F.round(F.try_divide(_dot("va", "cvec"), F.col("na") * F.col("nb")), 6)
+            "cosine", F.round(F.nanvl(F.try_divide(_dot("va", "cvec"), F.col("na") * F.col("nb")), F.lit(None).cast("double")), 6)
         )
         .select("vec_id", "centroid_id", "cosine")
     )
@@ -609,7 +615,7 @@ def embedding_near_dup(
     )
     return (
         paired.withColumn(
-            "cosine", F.round(F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")), 6)
+            "cosine", F.round(F.nanvl(F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")), F.lit(None).cast("double")), 6)
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
@@ -779,7 +785,7 @@ def semdedup(
             F.col("b.nv").alias("nb"),
         )
         .withColumn(
-            "cosine", F.round(F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")), 6)
+            "cosine", F.round(F.nanvl(F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")), F.lit(None).cast("double")), 6)
         )
         .filter(F.col("cosine") >= eps)
         .select(F.col("vec_b").alias("vec_id"))
@@ -854,7 +860,7 @@ def quantize_stats(
         / F.greatest(F.size("v"), F.lit(1))
     )
     scored = j.withColumn("r", F.expr(recon)).withColumn(
-        "cos_vr", F.round(F.try_divide(_dot("v", "r"), _norm("v") * _norm("r")), 6)
+        "cos_vr", F.round(F.nanvl(F.try_divide(_dot("v", "r"), _norm("v") * _norm("r")), F.lit(None).cast("double")), 6)
     ).withColumn("rmse6", F.round(rmse, 6))
     return (
         scored.groupBy("label")
@@ -912,7 +918,7 @@ def quantized_topk(
         .crossJoin(corpus)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine_q", F.round(F.try_divide(qdot, F.col("na") * F.col("nb")), 6)
+            "cosine_q", F.round(F.nanvl(F.try_divide(qdot, F.col("na") * F.col("nb")), F.lit(None).cast("double")), 6)
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -966,7 +972,7 @@ def hard_negative_mining(
         .crossJoin(corpus)
         .filter(F.col("query_label") != F.col("negative_label"))
         .withColumn(
-            "cosine", F.round(F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")), 6)
+            "cosine", F.round(F.nanvl(F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")), F.lit(None).cast("double")), 6)
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "negative_id")
@@ -1039,7 +1045,7 @@ def hard_negative_mining_ivf(
         .join(corpus, "centroid_id")
         .filter(F.col("query_label") != F.col("negative_label"))
         .withColumn(
-            "cosine", F.round(F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")), 6)
+            "cosine", F.round(F.nanvl(F.try_divide(_dot("va", "vb"), F.col("na") * F.col("nb")), F.lit(None).cast("double")), 6)
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "negative_id")
@@ -1183,7 +1189,7 @@ def quantized_ivf_topk(
         F.broadcast(probes.join(qcodes, "query_id"))
         .join(corpus, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_q", F.round(F.try_divide(qdot, F.col("na") * F.col("nb")), 6))
+        .withColumn("cosine_q", F.round(F.nanvl(F.try_divide(qdot, F.col("na") * F.col("nb")), F.lit(None).cast("double")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_q").desc(), "neighbor_id")
     return (
