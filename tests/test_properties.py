@@ -233,3 +233,40 @@ def test_global_shuffle_is_permutation(spark, ids):
         )
         assert r.shuffle_key == expect
         assert r.shard == expect % 8
+
+
+_vec = st.lists(
+    st.one_of(
+        st.floats(-10, 10, allow_nan=False),
+        st.just(0.0),
+        st.just(float("nan")),
+    ),
+    min_size=3,
+    max_size=3,
+)
+_emb_rows = st.lists(_vec, min_size=2, max_size=8)
+
+
+@given(rows=_emb_rows)
+@_SETTINGS
+def test_cosine_contract_null_or_bounded(spark, rows):
+    """The module-wide cosine contract under ANY input, including zero
+    and NaN components: every emitted cosine is either NULL (excluded
+    degenerate) or a real number in [-1, 1] (6dp rounding can push
+    |cos| to at most 1.0000005; assert with that slack). No input may
+    crash the scorer (ANSI divide) or emit NaN (rank inversion)."""
+    import math
+
+    from yamr_spark.operators.similarity import with_cosine
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rows)],
+        "vec_id long, embedding array<double>",
+    )
+    a = df.selectExpr("vec_id as ia", "embedding as va")
+    b = df.selectExpr("vec_id as ib", "embedding as vb")
+    out = with_cosine(a.crossJoin(b)).select("cosine").collect()
+    for r in out:
+        if r.cosine is not None:
+            assert not math.isnan(r.cosine)
+            assert -1.0000005 <= r.cosine <= 1.0000005
