@@ -419,16 +419,54 @@ def test_bm25_topk_and_partial_agg(spark, sf_dir):
     assert "BroadcastHashJoin" in txt or "BroadcastNestedLoopJoin" in txt
 
 
-def test_unigram_lm_model_join_broadcasts(spark, sf_dir):
-    """unigram_lm_score: the frequency-table join and the corpus-scalar
-    join must both be broadcasts — the token stream is never shuffled
-    for scoring (its only shuffle is the per-doc mean)."""
-    from yamr_spark.plans import plan_text
+def test_unigram_lm_model_join_not_force_broadcast(spark, sf_dir):
+    """unigram_lm_score (VERDICT r06 #1): the corpus-derived frequency
+    table must NOT be force-broadcast — on a noisy web corpus the vocab
+    is 10⁸–10⁹ rows and the hint OOMs executors regardless of AQE. The
+    only forced hint allowed in the plan is the 1-row corpus-scalar
+    join; the model join is a plain equi-join AQE may turn into a
+    runtime broadcast when the observed table is actually small."""
+    from yamr_spark.plans import forced_broadcast_hint_count
 
     df = all_queries()["unigram_lm_score"](spark, sf_dir)
-    txt = plan_text(df, "simple")
-    assert "BroadcastHashJoin" in txt, txt[:1500]
-    assert "SortMergeJoin" not in txt, txt[:1500]
+    assert forced_broadcast_hint_count(df) == 1, (
+        "expected exactly the 1-row corpus-scalar hint; a forced "
+        "broadcast of the unigram model table is a 100 TB OOM"
+    )
+
+
+def test_lm_model_cap_bounds_model_tables(spark, sf_dir):
+    """max_model_rows: the production cap keeps the LM model tables
+    top-N (TakeOrdered — per-partition heaps, no global sort) and the
+    scoring left joins smooth capped-out grams into the OOV bucket.
+    Scores must be finite and ≤ the uncapped score only where tokens
+    actually fell out of the model."""
+    from yamr_spark.operators.text import bigram_lm_score, unigram_lm_score
+    from yamr_spark.plans import plan_text
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(50)
+    capped = unigram_lm_score(docs, max_model_rows=5)
+    assert "TakeOrdered" in plan_text(capped, "simple")
+    rows = capped.collect()
+    assert rows and all(r.lm_score is not None for r in rows)
+
+    rows_full = {r.doc_id: r for r in unigram_lm_score(docs).collect()}
+    for r in rows:
+        # unigram OOV smoothing can only LOWER a doc's mean log-prob
+        # (denominator is the fixed full-corpus scalar, numerator drops)
+        assert r.lm_score <= rows_full[r.doc_id].lm_score + 1e-9
+
+    bcapped = bigram_lm_score(docs, max_model_rows=5)
+    brows = {r.doc_id: r for r in bcapped.collect()}
+    bfull = {r.doc_id: r for r in bigram_lm_score(docs).collect()}
+    # same doc set, same bigram counts, finite log-probs ≤ 0 (p ≤ 1 is
+    # guaranteed by the cctx-floors-at-cbg denominator even when a kept
+    # bigram's context row fell out of the capped model)
+    assert set(brows) == set(bfull)
+    for did, r in brows.items():
+        assert r.n_bigrams == bfull[did].n_bigrams
+        assert r.bigram_lm_score is not None and r.bigram_lm_score <= 0.0
 
 
 def test_aqe_skew_split_fact_fact_sf01(spark):
@@ -589,8 +627,8 @@ def test_round6_query_plan_shapes(spark, sf_dir):
     """Round-6 additions keep the plan shapes their docstrings claim:
     top_event_paths cuts its top-10 with TakeOrdered (no global sort);
     equidepth_histogram broadcasts its one-row edge table and keeps the
-    bin count partially aggregated; bigram_lm_score broadcasts its model
-    tables; embedding_covariance has partial aggregation under the
+    bin count partially aggregated; bigram_lm_score forces no broadcast
+    of its model tables; embedding_covariance has partial aggregation under the
     d²-key shuffle and no join generating the outer products."""
     from yamr_spark.plans import plan_text
 
@@ -606,8 +644,15 @@ def test_round6_query_plan_shapes(spark, sf_dir):
     assert "BroadcastExchange" in plan_text(eqd), "edge table should broadcast"
     assert has_partial_aggregate(eqd)
 
+    # VERDICT r06 #1: the only forced hint is the 1-row vocab scalar —
+    # the bigram/context model tables join as plain equi-joins (AQE may
+    # still broadcast them at runtime from observed sizes)
+    from yamr_spark.plans import forced_broadcast_hint_count
+
     blm = qs["bigram_lm_score"](spark, sf_dir)
-    assert has_broadcast_join(blm), "model tables should broadcast"
+    assert forced_broadcast_hint_count(blm) == 1, (
+        "model tables must not be force-broadcast (100 TB OOM)"
+    )
 
     cov = qs["embedding_covariance"](spark, sf_dir)
     assert has_partial_aggregate(cov)

@@ -301,7 +301,9 @@ def bm25_search(
     )
 
 
-def unigram_lm_score(docs: DataFrame, alpha: float = 1.0) -> DataFrame:
+def unigram_lm_score(
+    docs: DataFrame, alpha: float = 1.0, max_model_rows: int | None = None
+) -> DataFrame:
     """CCNet-style language-model quality score: per-document mean
     token log-probability under the corpus's own add-``alpha`` smoothed
     unigram model. Well-formed prose scores near the corpus mode;
@@ -310,29 +312,43 @@ def unigram_lm_score(docs: DataFrame, alpha: float = 1.0) -> DataFrame:
 
     p(t) = (count(t) + alpha) / (total + alpha * vocab);
     score(doc) = mean over its tokens of ln p(t), rounded 6 dp.
+    Tokens absent from the model table (only possible under
+    ``max_model_rows``) smooth to count 0 — the standard OOV bucket,
+    p = alpha / (total + alpha·vocab), with total/vocab always the
+    FULL-corpus scalars so capping never inflates probabilities.
 
     Scale plan: the unigram table is ONE partial-aggregated shuffle of
     (token, count) — the same shape as word_count — and the corpus
     scalars (total, vocab) are a 1-row aggregate cross-broadcast back.
-    Scoring re-joins tokens to the (broadcast-sized at any realistic
-    vocab) frequency table, then one per-doc mean. The model and the
-    scoring share the single tokenized scan via materialize."""
+    The scoring join is a PLAIN shuffle join co-partitioned on token —
+    never a forced broadcast: on a noisy web corpus the vocabulary is
+    10⁸–10⁹ rows and a broadcast hint OOMs executors regardless of AQE
+    (the same table vocab_coverage's TakeOrdered fix was for); when the
+    model IS small, AQE converts the join to a broadcast at runtime
+    from observed sizes. ``max_model_rows`` is the production cap —
+    keep the top-N tokens by frequency (TakeOrdered, no global sort)
+    and smooth the tail into the OOV bucket — bounding the model table
+    no matter how noisy the corpus."""
     from yamr_spark.materialize import materialize
 
     toks = docs.select("doc_id", F.explode(_tokens_col()).alias("token")).transform(
         materialize
     )
     uni = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    # full-corpus scalars BEFORE any cap: the smoothing denominator is
+    # a property of the corpus, not of the truncated model
     corpus = uni.agg(
         F.sum("cnt").alias("total"), F.count("*").alias("vocab")
     )
+    if max_model_rows is not None:
+        uni = uni.orderBy(F.col("cnt").desc(), "token").limit(max_model_rows)
     return (
-        toks.join(F.broadcast(uni), "token")
+        toks.join(uni, "token", "left")
         .join(F.broadcast(corpus))
         .withColumn(
             "logp",
             F.log(
-                (F.col("cnt") + F.lit(alpha))
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
                 / (F.col("total") + F.lit(alpha) * F.col("vocab"))
             ),
         )
@@ -861,7 +877,9 @@ def ngram_repetition_profile(
     )
 
 
-def bigram_lm_score(docs: DataFrame, alpha: float = 1.0) -> DataFrame:
+def bigram_lm_score(
+    docs: DataFrame, alpha: float = 1.0, max_model_rows: int | None = None
+) -> DataFrame:
     """Bigram language-model quality score: per-document mean bigram
     log-probability under the corpus's own add-``alpha`` smoothed
     bigram model — one order up from ``unigram_lm_score``, sensitive to
@@ -871,13 +889,23 @@ def bigram_lm_score(docs: DataFrame, alpha: float = 1.0) -> DataFrame:
     p(cur|prev) = (c(prev,cur) + alpha) / (c(prev) + alpha·V), V = the
     unigram vocabulary size; score(doc) = mean ln p over the doc's
     bigrams (docs with < 2 tokens have no bigrams and are excluded).
+    Under ``max_model_rows`` (top-N bigrams and top-N contexts by
+    count, TakeOrdered), grams/contexts outside the model smooth to
+    count 0 — the OOV bucket, worst case p = 1/V.
 
     Scale plan: bigrams are generated MAP-SIDE from each doc's token
     array; the bigram table is one word_count-shaped partial-aggregated
     shuffle, context counts collapse that table again by its first
     token (bigram-table-sized, not corpus-sized), V is a 1-row
-    aggregate; scoring re-joins the bigram stream to the two broadcast
-    model tables and reduces per doc."""
+    aggregate. The two model tables are pre-joined with each other
+    (model-table-sized shuffle on the context key), then the gram
+    stream joins the fused model ONCE — a plain shuffle join
+    co-partitioned on the gram key, never a forced broadcast: on a
+    noisy web corpus the bigram table is an order larger than an
+    already-10⁸-row vocabulary, and a broadcast hint OOMs executors
+    regardless of AQE. When the model IS small, AQE converts the join
+    to a runtime broadcast from observed sizes; ``max_model_rows`` is
+    the production bound for everything else."""
     from yamr_spark.materialize import materialize
 
     toks = docs.select("doc_id", _tokens_col().alias("t"))
@@ -895,25 +923,41 @@ def bigram_lm_score(docs: DataFrame, alpha: float = 1.0) -> DataFrame:
         .transform(materialize)
     )
     bgc = bg.groupBy("g").agg(F.count("*").alias("cbg"))
+    # context counts from the FULL bigram table (true denominators),
+    # independent of any cap on the stored model rows
     ctx = bgc.groupBy(
         F.substring_index("g", " ", 1).alias("prev")
     ).agg(F.sum("cbg").alias("cctx"))
+    if max_model_rows is not None:
+        bgc = bgc.orderBy(F.col("cbg").desc(), "g").limit(max_model_rows)
+        ctx = ctx.orderBy(F.col("cctx").desc(), "prev").limit(max_model_rows)
+    # fuse the two model tables first (model-sized join on the context
+    # key), so the corpus gram stream is shuffled exactly once — on g
+    model = bgc.withColumn("prev", F.substring_index("g", " ", 1)).join(
+        ctx, "prev", "left"
+    )
     vocab = (
         toks.select(F.explode("t").alias("tok"))
         .agg(F.countDistinct("tok").alias("v"))
     )
     return (
-        bg.join(F.broadcast(bgc), "g")
-        .join(
-            F.broadcast(ctx),
-            F.substring_index("g", " ", 1) == F.col("prev"),
-        )
+        bg.join(model, "g", "left")
         .join(F.broadcast(vocab))
         .withColumn(
             "logp",
+            # cctx floors at cbg: uncapped it already is (a context's
+            # count sums its bigrams' counts), and under max_model_rows
+            # a kept bigram whose context was dropped must not score
+            # p > 1 against the zero-smoothed denominator
             F.log(
-                (F.col("cbg") + F.lit(alpha))
-                / (F.col("cctx") + F.lit(alpha) * F.col("v"))
+                (F.coalesce(F.col("cbg"), F.lit(0)) + F.lit(alpha))
+                / (
+                    F.greatest(
+                        F.coalesce(F.col("cctx"), F.lit(0)),
+                        F.coalesce(F.col("cbg"), F.lit(0)),
+                    )
+                    + F.lit(alpha) * F.col("v")
+                )
             ),
         )
         .groupBy("doc_id")

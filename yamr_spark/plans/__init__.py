@@ -76,6 +76,18 @@ def codegen_stage_count(df: DataFrame) -> int:
     return 0
 
 
+def forced_broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit broadcast HINTS (``F.broadcast(...)`` /
+    ``/*+ BROADCAST */``) in the ANALYZED logical plan — the forced
+    kind, as opposed to broadcasts Catalyst/AQE chooses from observed
+    sizes. A forced hint on an unbounded (corpus-derived) table is an
+    executor/driver OOM at 100 TB no matter what AQE does, so tests pin
+    the exact hint count of plans that must only ever force provably
+    tiny (1-row scalar) sides."""
+    txt = df._jdf.queryExecution().analyzed().toString()
+    return txt.count("ResolvedHint")
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of Exchange operators (AQE may still coalesce at runtime,
     but every Exchange is a potential full-data network pass at scale)."""
