@@ -146,3 +146,45 @@ def test_skyline_2d_golden(spark):
     df = spark.createDataFrame(rows, "k long, price double, size int")
     got = {r.k for r in skyline_2d(df, "price", "size", keys=["k"]).collect()}
     assert got == {1, 2, 5, 6, 8}
+
+
+def test_skyline_2d_quantization_contract(spark):
+    """ADVICE r06: in-band dominance keys on the minimize value
+    quantized to quantize_dp decimals. A decimal column finer than the
+    quantum is rejected loudly; raising quantize_dp makes sub-cent
+    domination exact again."""
+    import pytest
+
+    from yamr_spark.operators.relational import skyline_2d
+
+    rows = [(1, 10.001, 5), (2, 10.004, 5)]  # 2 strictly dominated by 1
+    df = spark.createDataFrame(rows, "k long, price double, size int")
+    # default 2dp quantum merges 10.001 and 10.004 → both survive (the
+    # documented approximation for float columns)
+    got2 = {r.k for r in skyline_2d(df, "price", "size", keys=["k"]).collect()}
+    assert got2 == {1, 2}
+    # 3dp quantum resolves them → the dominated row dies
+    got3 = {
+        r.k
+        for r in skyline_2d(df, "price", "size", keys=["k"], quantize_dp=3).collect()
+    }
+    assert got3 == {1}
+
+    dec = df.select("k", F.col("price").cast("decimal(10,3)").alias("price"), "size")
+    with pytest.raises(ValueError, match="scale 3 > quantize_dp=2"):
+        skyline_2d(dec, "price", "size", keys=["k"])
+    assert {
+        r.k
+        for r in skyline_2d(dec, "price", "size", keys=["k"], quantize_dp=3).collect()
+    } == {1}
+
+
+def test_kmv_set_ops_empty_inputs_defined(spark):
+    """ADVICE r06: Jaccard of two EMPTY inputs is a defined 0.0, not
+    NULL/NaN from 0/0 inclusion-exclusion."""
+    from yamr_spark.operators.text import kmv_set_ops
+
+    empty = spark.createDataFrame([], "v string")
+    row = kmv_set_ops(empty, empty, "v").collect()[0]
+    assert row.est_union == 0.0
+    assert row.jaccard_est == 0.0

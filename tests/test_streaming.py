@@ -142,6 +142,25 @@ def test_streaming_dedup_suppresses_duplicates(spark, tmp_path):
     assert rows == [(1, "click"), (2, "view")]
 
 
+def test_keep_latest_null_tombstone_means_kept(spark):
+    """ADVICE r06: a winning row with a NULL tombstone value is NOT a
+    delete — keys whose latest record never set the flag must survive
+    the tombstone filter (a bare ~col would null them out)."""
+    from yamr_spark.streaming.upsert import keep_latest
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, None),   # latest for key 1: NULL flag → keep
+            (2, 1, True),   # latest for key 2: delete → drop
+            (3, 2, False),  # latest for key 3: explicit keep
+            (3, 1, True),   # older delete loses the window
+        ],
+        "k long, ts long, deleted boolean",
+    )
+    got = {r.k for r in keep_latest(df, "k", "ts", "ts", tombstone_col="deleted").collect()}
+    assert got == {1, 3}
+
+
 def test_upsert_incremental_merge_equals_one_shot(spark, tmp_path):
     """Two sequential batch merges must equal one keep_latest over the
     union (associativity — what makes foreachBatch upsert correct), and

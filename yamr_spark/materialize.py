@@ -86,9 +86,31 @@ def materialize_eager(df: DataFrame) -> DataFrame:
     return materialize(df)
 
 
+def overwrite_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """The SAFE overwrite sink: full computation barrier, THEN
+    ``mode("overwrite")``. Any read-store-then-overwrite consumer must
+    come through here (or call ``materialize_eager`` itself) — under
+    the default lazy ``local`` materialize mode, a plain
+    ``materialize(df).write.mode("overwrite")`` defers computation into
+    the overwrite job itself, which reads the store's files while the
+    committer deletes them (ADVICE r06; merge_batch_into_store_dpo was
+    the first site, this helper is the reusable guard)."""
+    out = materialize_eager(df)
+    w = out.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Compute ``df`` once and return a DataFrame whose plan starts from
-    the materialized result (see module docstring for the strategies)."""
+    the materialized result (see module docstring for the strategies).
+
+    WARNING: LAZY in the default ``local`` mode — never feed the result
+    into an overwrite of a path the plan READS; use
+    ``materialize_eager`` or ``overwrite_parquet`` for that (the
+    overwrite job would otherwise be the first action, reading files
+    the committer is deleting)."""
     mode = current_mode()
     if mode == "local":
         return df.localCheckpoint(eager=False)

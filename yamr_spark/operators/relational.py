@@ -348,6 +348,7 @@ def skyline_2d(
     maximize: str,
     keys: list[str] | None = None,
     band_width: float = 100.0,
+    quantize_dp: int = 2,
 ) -> DataFrame:
     """2-D skyline / Pareto frontier: rows not DOMINATED by any other —
     q dominates p iff q.min ≤ p.min AND q.max ≥ p.max with at least one
@@ -365,15 +366,33 @@ def skyline_2d(
     via a RANGE frame to 1-cent preceding on the integer cent value,
     or by an equal-priced row with strictly larger ``maximize``.
     No self-join, no single-partition window; the only all-row shuffle
-    is the band-partitioned window exchange."""
-    from pyspark.sql import Window
+    is the band-partitioned window exchange.
 
+    PRECONDITION (``quantize_dp``, ADVICE r06): the in-band RANGE frame
+    keys on ``minimize`` quantized to ``quantize_dp`` decimals, so
+    values differing only BELOW that precision are treated as equal —
+    exact for decimal columns with scale ≤ quantize_dp (validated
+    here), approximate for float/double columns with finer precision
+    (a strictly-dominated row within one quantum of its dominator can
+    survive). Pass a larger quantize_dp for sub-default-precision
+    float data; the scaled key must stay within long range."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import DecimalType
+
+    dt = df.schema[minimize].dataType
+    if isinstance(dt, DecimalType) and dt.scale > quantize_dp:
+        raise ValueError(
+            f"skyline_2d: {minimize} is {dt.simpleString()} with scale "
+            f"{dt.scale} > quantize_dp={quantize_dp}; in-band dominance "
+            f"would merge distinct values — pass quantize_dp>={dt.scale}"
+        )
+    quantum = 10 ** quantize_dp
     keys = keys or [c for c in df.columns if c not in (minimize, maximize)]
     base = df.select(
         *keys,
         F.col(minimize).alias("mn"),
         F.col(maximize).alias("mx"),
-        F.round(F.col(minimize) * 100).cast("long").alias("cents"),
+        F.round(F.col(minimize) * quantum).cast("long").alias("cents"),
         F.floor(F.col(minimize) / band_width).cast("long").alias("band"),
     )
     band_max = base.groupBy("band").agg(F.max("mx").alias("band_max"))

@@ -1088,12 +1088,15 @@ def kmv_set_ops(
     joined = sk_a.crossJoin(sk_b).crossJoin(sk_u)
     ea, eb, eu = est("n_a", "kth_a"), est("n_b", "kth_b"), est("n_u", "kth_u")
     inter = F.greatest(ea + eb - eu, F.lit(0.0))
+    # both inputs empty → est_union = 0; Jaccard of two empty sets is
+    # DEFINED as 0 here rather than NULL/NaN from the 0/0 (ADVICE r06)
+    jac = F.when(eu > 0, inter / eu).otherwise(F.lit(0.0))
     return joined.select(
         F.round(ea, 4).alias("est_a"),
         F.round(eb, 4).alias("est_b"),
         F.round(eu, 4).alias("est_union"),
         F.round(inter, 4).alias("est_intersection"),
-        F.round(inter / eu, 4).alias("jaccard_est"),
+        F.round(jac, 4).alias("jaccard_est"),
     )
 
 

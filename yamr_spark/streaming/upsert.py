@@ -49,7 +49,10 @@ def keep_latest(
     REMOVED from the output — upsert/delete streams apply with the same
     single window, and the rule stays associative (the latest change
     dominates any prefix merge, so incremental per-batch application
-    equals the one-shot result, deletes included)."""
+    equals the one-shot result, deletes included). A NULL tombstone
+    value means "not a delete" — ``~col`` alone would evaluate NULL and
+    silently DROP those keys from the filter (ADVICE r06), so the flag
+    coalesces to false first."""
     w = Window.partitionBy(key).orderBy(F.col(order).desc(), F.col(tie).desc())
     latest = (
         df.withColumn("__rn", F.row_number().over(w))
@@ -57,7 +60,7 @@ def keep_latest(
         .drop("__rn")
     )
     if tombstone_col is not None:
-        latest = latest.where(~F.col(tombstone_col))
+        latest = latest.where(~F.coalesce(F.col(tombstone_col), F.lit(False)))
     return latest
 
 
@@ -200,7 +203,9 @@ def read_store(
     ]
     out = spark.read.parquet(*buckets)
     if tombstone_col is not None:
-        out = out.where(~F.col(tombstone_col))
+        # NULL tombstone = not a delete (same coalesce as keep_latest —
+        # a bare ~col would null out and hide those keys)
+        out = out.where(~F.coalesce(F.col(tombstone_col), F.lit(False)))
     return out
 
 
