@@ -122,3 +122,113 @@ def test_crash_residue_recovery(spark, sf_dir, tmp_path):
     # planner never lists underscore dirs as leaves
     assert all("/_" not in e["dir"].replace(store, "") for e in plan)
     assert _sweep_residue(store) == []
+
+
+def test_flat_store_compaction_stages_inside_store(spark, sf_dir, tmp_path):
+    """ADVICE r06 (medium): compacting a FLAT store (the leaf IS
+    store_dir) must stage its residue INSIDE the store — the old
+    dir-rename protocol staged in the store's parent, outside every
+    sweep's walk, so a crash mid-swap stranded the index invisibly."""
+    store = str(tmp_path / "flat")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(12).write.parquet(store)
+    truth = sorted(r.doc_id for r in spark.read.parquet(store).collect())
+    assert len(_parquet_files(store)) == 12
+
+    plan = compact_store(spark, store, target_bytes=256 * 1024 * 1024)
+    assert len(_parquet_files(store)) < 12
+    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == truth
+    assert all(e["n_files_after"] == e["target_files"] for e in plan if e["needed"])
+    # nothing staged OUTSIDE the store, no residue left inside
+    assert not [d for d in os.listdir(tmp_path) if d.startswith("_")]
+    assert not [d for d in os.listdir(store) if d.startswith("_") and d != "_SUCCESS"]
+
+
+def test_flat_store_crash_windows_recover(spark, sf_dir, tmp_path):
+    """Every crash window of the flat-leaf protocol recovers to a
+    committed state via sweep_residue: partial rewrite → rolled back;
+    mid-drain → rolled back; post-drain (including the empty-root
+    'index looks absent' window the streaming LSH ingest hits) →
+    rolled forward. Content is never lost or duplicated."""
+    import shutil
+
+    from yamr_spark.operators.maintenance import (
+        _FLAT_DRAINED,
+        _FLAT_OLD,
+        _FLAT_TMP,
+        sweep_residue,
+    )
+
+    def fresh(name):
+        store = str(tmp_path / name)
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.repartition(6).write.parquet(store)
+        return store, sorted(r.doc_id for r in spark.read.parquet(store).collect())
+
+    # W1: rewrite staged, drain never started → tmp dropped, originals win
+    store, truth = fresh("w1")
+    tmp = os.path.join(store, _FLAT_TMP)
+    spark.read.parquet(store).coalesce(1).write.parquet(tmp)
+    assert any(a.startswith("removed partial flat rewrite") for a in sweep_residue(store))
+    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == truth
+    assert not os.path.exists(tmp)
+
+    # W2: crash mid-drain (half the originals moved aside, no _DRAINED)
+    # → rolled back, every original restored
+    store, truth = fresh("w2")
+    tmp = os.path.join(store, _FLAT_TMP)
+    old = os.path.join(store, _FLAT_OLD)
+    spark.read.parquet(store).coalesce(1).write.parquet(tmp)
+    os.makedirs(old)
+    moved = [f for f in sorted(os.listdir(store)) if f.endswith(".parquet")][:3]
+    for f in moved:
+        os.rename(os.path.join(store, f), os.path.join(old, f))
+    assert any(a.startswith("rolled back") for a in sweep_residue(store))
+    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == truth
+    assert not os.path.exists(old) and not os.path.exists(tmp)
+
+    # W3: crash AFTER the drain completed (root empty of parquet — the
+    # exact window where the old code made the index look absent) →
+    # rolled forward to the compacted file set
+    store, truth = fresh("w3")
+    tmp = os.path.join(store, _FLAT_TMP)
+    old = os.path.join(store, _FLAT_OLD)
+    spark.read.parquet(store).coalesce(1).write.parquet(tmp)
+    os.makedirs(old)
+    for f in sorted(os.listdir(store)):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(store, f), os.path.join(old, f))
+    with open(os.path.join(old, _FLAT_DRAINED), "w"):
+        pass
+    # the pre-sweep read sees NO data — this is why ingest must sweep first
+    assert any(a.startswith("rolled forward") for a in sweep_residue(store))
+    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == truth
+    assert len(_parquet_files(store)) == 1  # the compacted rewrite won
+    assert not os.path.exists(old) and not os.path.exists(tmp)
+
+    # W4: crash between refill and cleanup (tmp+old both gone-stale):
+    # run the real path but fail the first rmtree
+    store, truth = fresh("w4")
+    from yamr_spark.operators import maintenance as M
+
+    real_rmtree = shutil.rmtree
+    calls = {"n": 0}
+
+    def failing_rmtree(path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("simulated crash during cleanup")
+        return real_rmtree(path, *a, **kw)
+
+    M.shutil.rmtree = failing_rmtree
+    try:
+        try:
+            compact_store(spark, store, target_bytes=256 * 1024 * 1024)
+        except OSError:
+            pass
+    finally:
+        M.shutil.rmtree = real_rmtree
+    sweep_residue(store)
+    assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == truth
+    assert not os.path.exists(os.path.join(store, _FLAT_OLD))
+    assert not os.path.exists(os.path.join(store, _FLAT_TMP))

@@ -71,10 +71,65 @@ def _leaf_parquet_dirs(store_dir: str) -> list[str]:
     return sorted(leaves)
 
 
+# Staging names for compacting a FLAT store (the leaf IS store_dir):
+# the dir-rename swap used for nested leaves would stage in store_dir's
+# PARENT — outside every sweep's os.walk, so a crash mid-swap stranded
+# the whole index invisibly (ADVICE r06). Flat leaves instead stage
+# INSIDE the store under these fixed underscore names, with a
+# _DRAINED marker making every crash window unambiguous.
+_FLAT_TMP = "_flat.compact.tmp"
+_FLAT_OLD = "_flat.compact.old"
+_FLAT_DRAINED = "_DRAINED"
+
+
+def _move_parquet_files(src: str, dst: str) -> None:
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".parquet") and not os.path.exists(os.path.join(dst, f)):
+            os.rename(os.path.join(src, f), os.path.join(dst, f))
+
+
+def _sweep_flat_residue(parent: str, dirs: list[str], actions: list[str]) -> None:
+    """Flat-leaf recovery for residue found in ``parent``. Protocol
+    (see ``_compact_flat_leaf``): rewrite → _flat.compact.tmp; move old
+    files → _flat.compact.old; touch .old/_DRAINED; move new files up;
+    rmtree tmp; rmtree old. Recovery:
+
+    - ``.old`` without ``_DRAINED`` → crash mid-drain: the parent holds
+      only ORIGINAL files — roll BACK (restore files from .old, drop
+      tmp).
+    - ``.old`` with ``_DRAINED`` → drain completed: the parent holds
+      only NEW files (possibly partially moved) — roll FORWARD (move
+      any files still in tmp up, drop tmp, drop the superseded .old).
+    - ``tmp`` alone → incomplete rewrite, originals untouched: drop it.
+    """
+    old = os.path.join(parent, _FLAT_OLD)
+    tmp = os.path.join(parent, _FLAT_TMP)
+    if _FLAT_OLD in dirs:
+        if os.path.exists(os.path.join(old, _FLAT_DRAINED)):
+            if os.path.isdir(tmp):
+                _move_parquet_files(tmp, parent)
+                shutil.rmtree(tmp)
+            shutil.rmtree(old)
+            actions.append(f"rolled forward flat compaction in {parent}")
+        else:
+            _move_parquet_files(old, parent)
+            shutil.rmtree(old)
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            actions.append(f"rolled back flat compaction in {parent}")
+        for d in (_FLAT_OLD, _FLAT_TMP):
+            if d in dirs:
+                dirs.remove(d)
+    elif _FLAT_TMP in dirs:
+        shutil.rmtree(tmp)
+        dirs.remove(_FLAT_TMP)
+        actions.append(f"removed partial flat rewrite {tmp}")
+
+
 def _sweep_residue(store_dir: str) -> list[str]:
     """Recover from a crashed compaction. Residue is invisible to
     readers and the planner (underscore prefix), so sweeping never
-    races a read. Rules, per leaf ``<L>``:
+    races a read. Rules, per nested leaf ``<L>``:
 
     - ``_<L>.compact.old`` present, ``<L>`` missing → the crash hit
       between the two swap renames; the backup IS the data — rename it
@@ -83,9 +138,12 @@ def _sweep_residue(store_dir: str) -> list[str]:
       fully renamed in; the backup is superseded — delete it.
     - ``_<L>.compact.tmp`` → always a partial/complete rewrite whose
       source rows still live at ``<L>`` or its ``.old`` — delete it.
-    """
-    actions = []
+
+    Flat-leaf residue (``_flat.compact.*`` — store_dir compacted as its
+    own leaf) recovers via ``_sweep_flat_residue``."""
+    actions: list[str] = []
     for root, dirs, _files in os.walk(store_dir):
+        _sweep_flat_residue(root, dirs, actions)
         for d in list(dirs):
             if not d.startswith("_"):
                 continue
@@ -104,6 +162,18 @@ def _sweep_residue(store_dir: str) -> list[str]:
                 dirs.remove(d)
                 actions.append(f"removed partial rewrite {full}")
     return actions
+
+
+def sweep_residue(store_dir: str) -> list[str]:
+    """Public crash-recovery entry point: callers that APPEND to a
+    store between compactions (e.g. the streaming LSH index) must run
+    this BEFORE concluding a store is absent/empty — a crash mid-swap
+    leaves the committed data under staging names that only this sweep
+    restores; appending first would strand (and later delete) the
+    backup."""
+    if not os.path.isdir(store_dir):
+        return []
+    return _sweep_residue(store_dir)
 
 
 def compaction_plan(
@@ -155,19 +225,42 @@ def compact_store(
     swap stays atomic and leaves never share state."""
     plan = compaction_plan(store_dir, target_bytes)
 
+    def _compact_flat_leaf(leaf: str, n_out: int) -> None:
+        # The leaf IS the store root: a dir-rename swap would stage in
+        # the store's PARENT, invisible to every sweep (ADVICE r06).
+        # Stage inside the store instead; the _DRAINED marker written
+        # between the drain and the refill makes every crash window
+        # recoverable (_sweep_flat_residue). Not reader-atomic during
+        # the two file-move phases — flat-store compaction is a
+        # single-writer maintenance window (nested leaves keep the
+        # reader-atomic dir swap).
+        tmp = os.path.join(leaf, _FLAT_TMP)
+        old = os.path.join(leaf, _FLAT_OLD)
+        spark.read.parquet(leaf).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        os.makedirs(old)
+        _move_parquet_files(leaf, old)
+        with open(os.path.join(old, _FLAT_DRAINED), "w"):
+            pass
+        _move_parquet_files(tmp, leaf)
+        shutil.rmtree(tmp)
+        shutil.rmtree(old)
+
     def _compact_leaf(entry: dict) -> None:
         if not entry["needed"]:
             entry["n_files_after"] = entry["n_files"]
             return
         leaf, n_out = entry["dir"], entry["target_files"]
-        parent, base = os.path.split(leaf)
-        tmp = os.path.join(parent, _stage_name(base, ".compact.tmp"))
-        swap = os.path.join(parent, _stage_name(base, ".compact.old"))
-        # coalesce, not repartition: merging files needs no shuffle
-        spark.read.parquet(leaf).coalesce(n_out).write.mode("overwrite").parquet(tmp)
-        os.rename(leaf, swap)
-        os.rename(tmp, leaf)
-        shutil.rmtree(swap)
+        if os.path.abspath(leaf) == os.path.abspath(store_dir):
+            _compact_flat_leaf(leaf, n_out)
+        else:
+            parent, base = os.path.split(leaf)
+            tmp = os.path.join(parent, _stage_name(base, ".compact.tmp"))
+            swap = os.path.join(parent, _stage_name(base, ".compact.old"))
+            # coalesce, not repartition: merging files needs no shuffle
+            spark.read.parquet(leaf).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+            os.rename(leaf, swap)
+            os.rename(tmp, leaf)
+            shutil.rmtree(swap)
         entry["n_files_after"] = sum(
             1 for f in os.listdir(leaf) if f.endswith(".parquet")
         )

@@ -87,6 +87,14 @@ def stream_lsh_into_index(
     full rebuild would remove."""
 
     def _ingest(batch_df: DataFrame, _bid: int) -> None:
+        # Crash-residue recovery BEFORE concluding the index is absent
+        # (ADVICE r06): a crash mid-compaction leaves the committed
+        # index under staging names; appending first would recreate an
+        # EMPTY index and the next sweep would then drop the stranded
+        # backup as superseded — permanently losing the pre-crash index.
+        from yamr_spark.operators.maintenance import sweep_residue
+
+        sweep_residue(index_dir)
         sigs = minhash_band_table(minhash_signatures(batch_df))
         sigs.persist()
         try:
