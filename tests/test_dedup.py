@@ -161,3 +161,35 @@ def test_simhash_overflow_guard(spark):
         simhash(ok).collect()[0].simhash
         == simhash(ok, on_overflow="null").collect()[0].simhash
     )
+
+
+def test_containment_stratified_finds_tiny_in_huge(spark):
+    """VERDICT r06 #3 golden: a tiny doc fully quoted inside a huge one
+    has containment 1.0 but Jaccard ≈ |A|/|B| ≈ 0 — below every band
+    threshold, so the Jaccard-band containment_pairs misses the pair.
+    The one-sided (bottom-k rare-shingle probe) candidates must find
+    it with exact containment 1.0."""
+    from yamr_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_stratified,
+    )
+
+    quote = " ".join(f"quoted{i}" for i in range(8))  # 6 shingles at n=3
+    huge = " ".join(f"body{i}" for i in range(150)) + " " + quote + " " + " ".join(
+        f"tail{i}" for i in range(150)
+    )
+    noise = " ".join(f"other{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, huge), (3, noise)], "doc_id long, text string"
+    )
+
+    banded = containment_pairs(docs).collect()
+    assert not any(
+        (r.src, r.dst) == (1, 2) for r in banded
+    ), "fixture no longer exercises the band-join miss — rebuild it"
+
+    got = {(r.src, r.dst): r.containment for r in containment_pairs_stratified(docs).collect()}
+    assert got.get((1, 2)) == 1.0, got
+    # direction matters: the huge doc is NOT contained in the tiny one
+    assert (2, 1) not in got
+    assert not any(3 in p for p in got)

@@ -888,3 +888,94 @@ def containment_pairs(
         F.round(F.col("i") / F.col("sz_b"), 6).alias("containment"),
     )
     return ab.unionByName(ba).where(F.col("containment") >= threshold)
+
+
+def containment_pairs_stratified(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    probes_per_doc: int = 5,
+    max_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ONE-SIDED containment candidates (VERDICT r06 #3): the variant of
+    :func:`containment_pairs` whose candidate generation does not depend
+    on Jaccard at all, so a tiny document fully quoted inside a huge one
+    (containment ≈ 1, Jaccard ≈ |A|/|B| ≈ 0 — a pair MinHash bands
+    provably may never collide on) still becomes a candidate.
+
+    Candidates come from the SOURCE side's own shingles: each doc
+    probes with its ``probes_per_doc`` smallest (by 60-bit hash —
+    a uniform deterministic sample, i.e. a bottom-k sketch) RARE
+    shingles against the inverted index of every doc's rare shingles.
+    If src is ≥ threshold contained in dst, each probe independently
+    hits dst's set with probability ≥ threshold, so ≥1-hit recall is
+    ≥ 1 − (1−t)^k — and exactly 1 for full containment; no symmetric
+    (both-sets) signature can give that one-sided guarantee.
+    Verification then computes exact c(src→dst) = |S_src ∩ S_dst| /
+    |S_src| over the FULL shingle sets. Output is DIRECTED src→dst
+    (only the probing side's containment — run twice or union with
+    the Jaccard-band variant for both directions).
+
+    Scale: the probe join costs Σ_probes df(shingle) ≤ corpus_docs ×
+    probes_per_doc × ``max_df`` — the ``max_df`` cap drops stop-shingle
+    postings from BOTH sides (the same Σ|posting|² discipline as
+    ngram_jaccard_pairs), bounding the hot-key blowup; the bottom-k
+    probe pick is a per-doc window over the rare-shingle stream
+    (bounded per-doc state, co-partitioned with the next join's build).
+    Recall caveat inherited from the cap: a src doc whose every shingle
+    exceeds ``max_df`` (pure boilerplate) emits no probes — exactly the
+    docs the ngram-Jaccard DF-cap already declines to pair."""
+    from yamr_spark.materialize import materialize
+
+    from pyspark.sql import Window
+
+    sh = word_shingle_hashes(
+        docs, n=n, text_col=text_col, id_col=id_col
+    ).transform(materialize)
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    rare = sh.join(dfreq.where(F.col("df") <= max_df).select("sh"), "sh")
+    w = Window.partitionBy("doc_id").orderBy("sh")
+    probes = (
+        rare.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= probes_per_doc)
+        .select(F.col("doc_id").alias("src"), "sh")
+    )
+    cand = (
+        probes.join(
+            rare.select(F.col("doc_id").alias("dst"), "sh"), "sh"
+        )
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .transform(materialize)
+    )
+    cand_ids = (
+        cand.select(F.col("src").alias("doc_id"))
+        .union(cand.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(cand_ids, "doc_id", "left_semi")
+    inter = (
+        cand.join(shc.alias("sa"), F.col("src") == F.col("sa.doc_id"))
+        .join(
+            shc.alias("sb"),
+            (F.col("dst") == F.col("sb.doc_id"))
+            & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("i"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("src"), "sz"), "src"
+        )
+        .select(
+            "src",
+            "dst",
+            F.round(F.col("i") / F.col("sz"), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

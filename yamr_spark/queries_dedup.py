@@ -552,3 +552,48 @@ def q_containment_pairs(spark, sf_dir):
     c(src→dst) = |src∩dst|/|src| ≥ 0.7 — catches quote/boilerplate
     subsets whose Jaccard is arbitrarily low."""
     return D.containment_pairs(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "containment_pairs_stratified",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hsh AS (
+      SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT) AS h
+      FROM sh
+    ),
+    dfreq AS (SELECT h, COUNT(*) AS df FROM hsh GROUP BY h),
+    rare AS (
+      SELECT hsh.doc_id, hsh.h FROM hsh JOIN dfreq USING (h) WHERE df <= 50
+    ),
+    probes AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h,
+               row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+        FROM rare
+      ) WHERE rn <= 5
+    ),
+    cand AS (
+      SELECT DISTINCT p.doc_id AS src, r.doc_id AS dst
+      FROM probes p JOIN rare r ON r.h = p.h AND r.doc_id <> p.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.src, c.dst, COUNT(*) AS i
+      FROM cand c
+      JOIN hsh sa ON sa.doc_id = c.src
+      JOIN hsh sb ON sb.doc_id = c.dst AND sb.h = sa.h
+      GROUP BY c.src, c.dst
+    )
+    SELECT i.src, i.dst, ROUND(CAST(i.i AS DOUBLE) / za.sz, 6) AS containment
+    FROM inter i JOIN sizes za ON za.doc_id = i.src
+    WHERE CAST(i.i AS DOUBLE) / za.sz >= 0.7
+    """,
+)
+def q_containment_pairs_stratified(spark, sf_dir):
+    """One-sided containment candidates (VERDICT r06 #3): each doc's
+    bottom-5 rare-shingle hashes probe the rare-shingle inverted index,
+    so tiny-doc-in-huge-doc pairs (containment ≈ 1, Jaccard ≈ 0 — pairs
+    the Jaccard band join provably can miss) become candidates; exact
+    |src∩dst|/|src| verification over the full shingle sets."""
+    return D.containment_pairs_stratified(table(spark, sf_dir, "documents"))
