@@ -34,14 +34,24 @@ def _tokens_col() -> Column:
     return F.expr(_TOKENS)
 
 
-def tfidf_top_terms(docs: DataFrame, top_n: int = 3) -> DataFrame:
+def tfidf_top_terms(
+    docs: DataFrame, top_n: int = 3, max_df_frac: float | None = None
+) -> DataFrame:
     """Top-``top_n`` TF-IDF terms per document.
 
     tf = term count in doc; idf = ln((N+1)/(df+1)) + 1 (smoothed). N is a
     scalar aggregate broadcast-cross-joined into the plan — no driver
     collect, so the whole thing stays one lazy DAG. Ties rank by token
     asc for determinism. Two shuffles: (doc,token) tf agg and token df
-    agg; the per-doc top-n is a window over the tf join."""
+    agg; the per-doc top-n is a window over the tf join.
+
+    ``max_df_frac`` (sklearn-style stop-term cap): terms appearing in
+    more than that fraction of documents are dropped BEFORE the top-n
+    ranking — idf stays full-corpus, but the vectors carry only
+    discriminative terms. This is the knob that bounds downstream
+    posting-join cost (Σ|posting|² for all-pairs linkage) because it
+    removes exactly the hottest posting lists; scale-invariant since
+    it's a fraction, not an absolute df."""
     from pyspark.sql import Window
 
     tokens = docs.select("doc_id", F.explode(_tokens_col()).alias("token"))
@@ -60,6 +70,10 @@ def tfidf_top_terms(docs: DataFrame, top_n: int = 3) -> DataFrame:
             ),
         )
     )
+    if max_df_frac is not None:
+        scored = scored.where(
+            F.col("df") <= F.col("n_docs") * F.lit(max_df_frac)
+        )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
@@ -1105,6 +1119,7 @@ def sparse_cosine_pairs(
     top_n: int = 3,
     threshold: float = 0.6,
     num_queries: int | None = 50,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """SPARSE-vector document similarity over the inverted index — the
     lexical complement to dense-embedding ANN: each doc is its
@@ -1118,13 +1133,15 @@ def sparse_cosine_pairs(
     index; cost |query postings| × posting length). ``None`` is the
     all-pairs LINKAGE shape, whose cost is Σ_t |posting(t)|² — measured
     12 s at sf0.1 on this fixture because a 31-word vocabulary makes
-    every posting list hot; real corpora bound it with stop-term
-    pruning (drop df > cap terms), the same Σ|cell|² discipline as
-    every blocked operator here. Weights are the 6dp-rounded tfidf
-    values (identical in both engines); dots and norms accumulate
-    9dp-rounded terms through DECIMAL so no float reduction depends on
-    order."""
-    vec = tfidf_top_terms(docs, top_n=top_n).select(
+    every posting list hot; ``max_df_frac`` is the stop-term cap that
+    bounds it (terms in more than that fraction of docs never enter
+    the vectors — see tfidf_top_terms; the hottest postings are
+    exactly what Σ|posting|² is quadratic in), the same Σ|cell|²
+    discipline as every blocked operator here. Weights are the
+    6dp-rounded tfidf values (identical in both engines); dots and
+    norms accumulate 9dp-rounded terms through DECIMAL so no float
+    reduction depends on order."""
+    vec = tfidf_top_terms(docs, top_n=top_n, max_df_frac=max_df_frac).select(
         "doc_id", "token", F.col("tfidf").alias("w")
     )
     dec = lambda c: F.sum(

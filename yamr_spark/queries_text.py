@@ -806,3 +806,65 @@ def q_sparse_cosine_pairs(spark, sf_dir):
     the num_queries=None parameter; on this fixture's 31-word vocab it
     measures 12 s at sf0.1 — see the operator docstring.)"""
     return T.sparse_cosine_pairs(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sparse_cosine_linkage_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1), 6) AS w
+      FROM tf JOIN df USING (token) CROSS JOIN n
+      WHERE df.df <= n.n_docs * 0.5
+    ),
+    vec AS (
+      SELECT doc_id, token, w FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY w DESC, token) AS rnk
+        FROM scored
+      ) t WHERE rnk <= 3
+    ),
+    norms AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(round(w * w, 9) AS DECIMAL(28,9))) AS DOUBLE))
+               AS nrm
+      FROM vec GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, na.nrm AS na, nb.nrm AS nb,
+             SUM(CAST(round(a.w * b.w, 9) AS DECIMAL(28,9))) AS dot
+      FROM vec a
+      JOIN vec b ON b.token = a.token AND a.doc_id < b.doc_id
+      JOIN norms na ON na.doc_id = a.doc_id
+      JOIN norms nb ON nb.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id, na.nrm, nb.nrm
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(dot AS DOUBLE) / (na * nb), 6) AS cosine
+    FROM pairs
+    WHERE ROUND(CAST(dot AS DOUBLE) / (na * nb), 6) >= 0.6
+    """,
+)
+def q_sparse_cosine_linkage_pairs(spark, sf_dir):
+    """The ALL-PAIRS linkage form of sparse_cosine_pairs, registrable
+    only because of the max_df_frac stop-term cap (VERDICT r06 #4):
+    terms in more than half the documents never enter the vectors, so
+    the Σ|posting|² self-join loses exactly its hottest lists (the
+    uncapped form measured 14.2 s at sf0.1). The cap must sit BELOW
+    the stop-term band: this fixture's df spectrum is bimodal (30 of
+    31 tokens at ~77% df, one at 5%), and a 0.77 cap that still
+    admitted the band measured 42.6 s — 3x WORSE than uncapped,
+    because narrowing the vocabulary while keeping hot terms
+    concentrates every vector onto the same postings (SCALE.md). The
+    cap is a fraction — scale-invariant across sf dirs and corpora."""
+    return T.sparse_cosine_pairs(
+        table(spark, sf_dir, "documents"),
+        num_queries=None,
+        max_df_frac=0.5,
+    )
