@@ -101,3 +101,30 @@ def test_triangle_counts_no_triangles(spark):
 
     edges = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
     assert triangle_counts(edges).count() == 0
+
+
+def test_triangle_counts_degree_orientation_equal(spark):
+    """VERDICT r06 #8: the degree-(then id)-ordered orientation must
+    produce IDENTICAL triangle counts to raw-id orientation — on the
+    golden K4-minus-an-edge fixture and on a hub graph (star center +
+    attached triangles), the shape whose wedge count the degree
+    orientation exists to bound."""
+    from yamr_spark.operators.graph import triangle_counts
+
+    k4m = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "doc_a long, doc_b long"
+    )
+    # hub 0 with spokes 10..19, plus triangles (0,10,11) and (12,13,0)
+    # closed through the hub, and one hub-free triangle (20,21,22)
+    hub = spark.createDataFrame(
+        [(0, s) for s in range(10, 20)]
+        + [(10, 11), (12, 13), (20, 21), (20, 22), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    for edges in (k4m, hub):
+        plain = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+        oriented = {
+            r.node: r.n_triangles
+            for r in triangle_counts(edges, orient_by_degree=True).collect()
+        }
+        assert plain == oriented and plain

@@ -192,7 +192,12 @@ def pagerank(
     return r.select("node", F.col("r").alias("rank"))
 
 
-def triangle_counts(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    orient_by_degree: bool = False,
+) -> DataFrame:
     """Per-node triangle participation over an undirected graph given as
     canonical ``src < dst`` edges: (node, n_triangles) for every node in
     at least one triangle. Triangle density over a near-dup graph
@@ -203,12 +208,38 @@ def triangle_counts(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") ->
     Enumeration uses the ordered orientation: a<b<c paths from one
     self-join on the middle node, closed by a (a,c) edge semi-join, so
     each triangle is found exactly once — two equality-join shuffles on
-    node keys, no DISTINCT over candidate sets. On power-law graphs at
-    100 TB the standard refinement is re-orienting edges by (degree,
-    id) instead of raw id — same output, enumeration bounded O(m^1.5);
-    near-dup graphs (tiny components) don't need it, so the operator
-    keeps the simpler oriented join."""
+    node keys, no DISTINCT over candidate sets.
+
+    ``orient_by_degree`` (VERDICT r06 #8): re-orients every edge from
+    the lower-(degree, id) endpoint to the higher — still a total
+    order, so the orientation stays acyclic and each triangle is found
+    exactly once from its minimum-(degree, id) corner; identical
+    output (golden-tested). This is the standard power-law refinement:
+    with raw-id orientation a degree-d hub can be the a-side of d
+    edges and the middle-node self-join materializes O(d²) wedges at
+    it, while degree orientation bounds every node's out-degree by
+    O(√m), making enumeration O(m^1.5) worst case (Schank & Wagner
+    2005 / Suri & Vassilvitskii 2011). Near-dup graphs (tiny, cliquish
+    components) don't need the two extra degree joins, so the flag
+    defaults off and small graphs keep the simpler plan."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if orient_by_degree:
+        und = e.select("a", "b").union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        deg = und.groupBy("a").agg(F.count("*").alias("deg")).withColumnRenamed(
+            "a", "node"
+        )
+        da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+        db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+        keyed = e.join(da, "a").join(db, "b")
+        a_first = (F.col("deg_a") < F.col("deg_b")) | (
+            (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+        )
+        e = keyed.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("a"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("b"),
+        )
     paths = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
