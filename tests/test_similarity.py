@@ -347,3 +347,60 @@ def test_nan_embeddings_never_outrank_or_pair(spark):
     assert top1[3] != 2
     pairs = embedding_near_dup(emb, threshold=0.5).collect()
     assert not any(2 in (r.vec_a, r.vec_b) for r in pairs)
+
+
+def test_covariance_gemm_path_and_agreement(spark, sf_dir):
+    """VERDICT r06 #6: the d>=64 covariance runs the Arrow-batched
+    integer-gemm path (MapInPandas in-plan, no join generating outer
+    products, partial agg under the d^2-key shuffle), agrees with the
+    explode form at shared dims to quantization tolerance, and equals
+    a local numpy replay of the identical scaled-int arithmetic."""
+    import numpy as np
+
+    from yamr_spark.operators.similarity import (
+        embedding_covariance,
+        embedding_covariance_gemm,
+    )
+    from yamr_spark.plans import has_partial_aggregate, plan_text
+    from yamr_spark.registry import _ship_package
+    from yamr_spark.tables import table
+
+    _ship_package(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    gemm = embedding_covariance_gemm(emb, max_dim=64)
+    txt = plan_text(gemm)
+    assert "MapInPandas" in txt, "gemm path must be the Arrow-batched plan"
+    assert "SortMergeJoin" not in txt, "outer products must not come from a join"
+    assert has_partial_aggregate(gemm)
+
+    got = {(r.i, r.j): r.cov for r in gemm.collect()}
+    assert len(got) == 64 * 65 // 2
+
+    # cross-check vs the explode form on the shared 16 dims: different
+    # quantization contracts (9dp products vs 6dp inputs), so compare
+    # within the combined quantization tolerance, not exactly
+    explode = {
+        (r.i, r.j): r.cov
+        for r in embedding_covariance(emb, max_dim=16).collect()
+    }
+    for k, v in explode.items():
+        assert abs(got[k] - v) < 1e-4, (k, got[k], v)
+
+    # exact replay: same scaled-int arithmetic locally
+    rows = emb.select("embedding").collect()
+    m = np.array(
+        [
+            [float(np.float64(x)) for x in r.embedding[:64]]
+            for r in rows
+        ],
+        dtype=np.float64,
+    )
+    q = np.round(m, 6)  # numpy half-even vs Spark half-up: ties are
+    # measure-zero here; the driver oracle (DuckDB) is the binding check
+    sx = np.rint(q * 1e6).astype(np.int64)
+    n = sx.shape[0]
+    g = sx.T @ sx
+    s = sx.sum(axis=0)
+    i, j = 0, 5
+    want = round((float(g[i, j]) / 1e12) / n - ((float(s[i]) / 1e6) / n) * ((float(s[j]) / 1e6) / n), 6)
+    assert abs(got[(i, j)] - want) < 2e-6, (got[(i, j)], want)

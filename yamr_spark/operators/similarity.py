@@ -1132,6 +1132,101 @@ def embedding_covariance(
     )
 
 
+def embedding_covariance_gemm(
+    emb: DataFrame,
+    max_dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The BATCHED-GEMM form of :func:`embedding_covariance` (VERDICT
+    r06 #6) — the production path for realistic dimensionality: the
+    explode form emits d(d+1)/2 rows PER VECTOR before its partial
+    aggregate (fine at d=16, a 295k-row-per-1k-vectors blow-up at
+    d=768); here each Arrow batch computes ONE numpy gemm (Mᵀ·M) and
+    emits d(d+1)/2 partial rows PER BATCH, so the shuffle carries
+    ≤ batches × d² rows regardless of corpus size.
+
+    Exactness contract (stronger than decimal-of-products): inputs are
+    quantized JVM-SIDE to exact scaled int64s (round(x, 6) → decimal →
+    ×10⁶), so the gemm is INTEGER arithmetic — associative, overflow-
+    checked, independent of batch boundaries and aggregation order —
+    and the DuckDB oracle replays the identical integers. The explode
+    form instead rounds each PRODUCT to 9 dp; both are deterministic,
+    but only input quantization survives arbitrary re-batching, which
+    is exactly what mapInPandas does. Final covariance is the same
+    two-operation double formula on both engines:
+    cov_ij = (SP_ij/10¹²)/n − ((S_i/10⁶)/n)·((S_j/10⁶)/n).
+
+    Scale: one corpus scan; per-batch python cost is one d×d int gemm
+    (numpy, exact); S_i/n are JVM-side aggregates over the same
+    quantized array. Batches are chunked to 64k rows so per-batch
+    partial sums stay far from int64 range (|sx| ≤ 10⁷ for |x| ≤ 10 →
+    per-element product ≤ 10¹⁴, per-chunk sum ≤ 6.5×10¹⁸ worst case —
+    asserted, not assumed, via an int64 overflow check)."""
+    import pandas as pd  # noqa: F401 (signature parity with siblings)
+
+    quant = F.expr(
+        f"transform(slice(transform({vec_col}, x -> cast(x as double)), 1, {max_dim}),"
+        " x -> cast(cast(round(x, 6) as decimal(18,6)) * 1000000 as long))"
+    )
+    base = emb.select(quant.alias("q")).where(F.size("q") > 0)
+    n = base.agg(F.count("*").alias("n"))
+    sums = (
+        base.select(F.posexplode("q").alias("i", "sx"))
+        .groupBy("i")
+        .agg(F.sum(F.col("sx").cast("decimal(38,0)")).alias("sl"))
+    )
+
+    def _gemm(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            arrs = pdf["q"].to_numpy()
+            if len(arrs) == 0:
+                continue
+            for lo in range(0, len(arrs), 65536):
+                chunk = arrs[lo : lo + 65536]
+                m = np.stack([np.asarray(a, dtype=np.int64) for a in chunk])
+                # int64 gemm is exact; verify no silent wraparound by
+                # bounding |element| and row count against int64 range
+                amax = np.abs(m).max(initial=0)
+                assert amax == 0 or len(chunk) <= (1 << 62) // max(1, amax * amax), (
+                    "covariance gemm int64 overflow risk — shrink chunk"
+                )
+                g = m.T @ m
+                d = g.shape[0]
+                iu, ju = np.triu_indices(d)
+                yield pd.DataFrame(
+                    {"i": iu.astype("int64"), "j": ju.astype("int64"), "sp": g[iu, ju]}
+                )
+
+    partials = base.mapInPandas(_gemm, "i long, j long, sp long")
+    pairs = partials.groupBy("i", "j").agg(
+        F.sum(F.col("sp").cast("decimal(38,0)")).alias("spl")
+    )
+    si = sums.select(F.col("i"), F.col("sl").alias("sil"))
+    sj = sums.select(F.col("i").alias("j"), F.col("sl").alias("sjl"))
+    nd = F.col("n").cast("double")
+    return (
+        pairs.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            (
+                F.round(
+                    (F.col("spl").cast("double") / F.lit(1e12)) / nd
+                    - ((F.col("sil").cast("double") / F.lit(1e6)) / nd)
+                    * ((F.col("sjl").cast("double") / F.lit(1e6)) / nd),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
 def quantized_ivf_topk(
     emb: DataFrame,
     k: int = 5,

@@ -691,6 +691,48 @@ def q_embedding_covariance(spark, sf_dir):
 
 
 @register(
+    "embedding_covariance_gemm",
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id,
+             list_transform(
+               CAST(embedding AS DOUBLE[])[1:64],
+               x -> CAST(CAST(ROUND(x, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+             ) AS q
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, unnest(range(len(q))) AS i, unnest(q) AS sx FROM vecs
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vecs WHERE len(q) > 0),
+    sums AS (SELECT i, SUM(sx) AS sl FROM ex GROUP BY i),
+    pairs AS (
+      SELECT a.i, b.i AS j, SUM(a.sx * b.sx) AS spl
+      FROM ex a JOIN ex b ON b.vec_id = a.vec_id AND b.i >= a.i
+      GROUP BY a.i, b.i
+    )
+    SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+           ROUND((CAST(p.spl AS DOUBLE) / 1e12) / n.n
+                 - ((CAST(si.sl AS DOUBLE) / 1e6) / n.n)
+                 * ((CAST(sj.sl AS DOUBLE) / 1e6) / n.n),
+                 6) + 0.0 AS cov
+    FROM pairs p
+    JOIN sums si ON si.i = p.i
+    JOIN sums sj ON sj.i = p.j
+    CROSS JOIN n
+    """,
+)
+def q_embedding_covariance_gemm(spark, sf_dir):
+    """Full-dimension (d=64) covariance via the Arrow-batched integer
+    GEMM path (VERDICT r06 #6): per-batch numpy Mᵀ·M over JVM-quantized
+    scaled int64s — exact, batch-boundary-independent arithmetic the
+    oracle replays integer-for-integer. The explode form stays
+    registered at d=16 as the SQL-shaped baseline; this is the plan
+    that survives d in the hundreds (d² rows per BATCH, not per row)."""
+    return S.embedding_covariance_gemm(table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "ann_quantized_ivf_topk",
     oracle=f"""
     WITH {_QUANT_CTE},
