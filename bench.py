@@ -89,6 +89,7 @@ FAMILIES: dict[str, list[str]] = {
         "hard_negative_mining_ivf",
         "embedding_covariance",
         "embedding_covariance_gemm",
+        "pca_top_component",
         "ann_quantized_ivf_topk",
     ],
     # text-analysis family
@@ -125,6 +126,7 @@ FAMILIES: dict[str, list[str]] = {
         "chunk_documents",
         "pii_redaction_stats",
         "temperature_mixture_sample",
+        "quality_stratified_sample",
     ],
     # multimodal decode seams (Arrow mapInPandas)
     "multimodal": [

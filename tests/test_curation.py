@@ -262,3 +262,25 @@ def test_pipeline_v3_funnel_monotone(spark, sf_dir):
         assert all(a >= b for a, b in zip(seq, seq[1:])), (lang, seq)
     totals = [sum(d.get(s, 0) for d in by_lang.values()) for s in stages]
     assert all(t > 0 for t in totals), totals
+
+
+def test_quality_stratified_sample_report(spark, sf_dir):
+    """Quartile buckets cover the corpus, rates are the configured
+    ladder, and every bucket's sample is a subset at roughly its
+    rate (deterministic hash membership)."""
+    from yamr_spark.operators.curation import quality_stratified_sample
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    rows = {r.bucket: r for r in quality_stratified_sample(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert [rows[b].rate_pct for b in (1, 2, 3, 4)] == [5, 15, 40, 80]
+    total = sum(r.n_docs for r in rows.values())
+    assert total == docs.count()
+    for b, r in rows.items():
+        assert 0 <= r.n_sampled <= r.n_docs
+        frac = r.n_sampled / r.n_docs
+        assert abs(frac - r.rate_pct / 100) < 0.15, (b, frac)
+    # monotone quality: bucket means increase with bucket index
+    means = [rows[b].mean_lm for b in (1, 2, 3, 4)]
+    assert means == sorted(means)

@@ -404,3 +404,28 @@ def test_covariance_gemm_path_and_agreement(spark, sf_dir):
     i, j = 0, 5
     want = round((float(g[i, j]) / 1e12) / n - ((float(s[i]) / 1e6) / n) * ((float(s[j]) / 1e6) / n), 6)
     assert abs(got[(i, j)] - want) < 2e-6, (got[(i, j)], want)
+
+
+def test_pca_top_component_recovers_dominant_axis(spark):
+    """Power iteration on a synthetic set whose variance is
+    concentrated on axis 0 must return a unit-norm loading vector
+    dominated by dim 0, with eigenvalue near the axis-0 variance."""
+    import math
+
+    from yamr_spark.operators.similarity import pca_top_component
+    from yamr_spark.registry import _ship_package
+
+    _ship_package(spark)
+    rows = [
+        (i, [float(s * m), 0.1 * (i % 3 - 1), 0.05 * (i % 2), 0.0])
+        for i, (s, m) in enumerate((s, m) for s in (-1, 1) for m in (1, 2, 3, 4, 5))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.i: r for r in pca_top_component(emb, max_dim=4).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    norm = math.sqrt(sum(r.loading**2 for r in got.values()))
+    assert abs(norm - 1.0) < 1e-6
+    assert abs(got[0].loading) > 0.99
+    ev = got[0].eigenvalue
+    # axis-0 variance of {±1..±5} = mean of squares = 11.0 (mean 0)
+    assert abs(ev - 11.0) < 0.2, ev

@@ -810,3 +810,59 @@ def llm_prep_pipeline_v3(docs: DataFrame, bench_mod: int = 97) -> DataFrame:
         .unionByName(stage(s6, "6_decontam"))
         .unionByName(stage(s7.select("doc_id", "lang"), "7_quality_p75"))
     )
+
+
+def quality_stratified_sample(
+    docs: DataFrame, rates_pct: tuple[int, ...] = (5, 15, 40, 80)
+) -> DataFrame:
+    """Quality-STRATIFIED corpus sampling — the standard mixing move
+    after cheap LM scoring: bucket documents by corpus-relative
+    unigram-LM quality quartile and keep a deterministic hash sample
+    per bucket at increasing rates (low-quality buckets thinned, high
+    kept), so the sampled mix upweights quality without hard-dropping
+    the tail. Returns the per-bucket report (bucket, rate_pct, n_docs,
+    n_sampled, mean_lm) — what an operator monitors; the row-level
+    sample is the same filter without the final aggregate.
+
+    Determinism: bucket edges are EXACT interpolated quartiles (Spark
+    ``percentile`` == DuckDB ``quantile_cont``) of the 6dp-rounded
+    lm_score, membership is md5-hash60(doc_id) mod 100 < rate — both
+    engines replay every decision, so approximate "sampling" sits
+    under the exact content hash.
+
+    Scale: one LM-scoring pass (see unigram_lm_score — co-partitioned
+    model join, no forced broadcast), a 1-row quartile aggregate
+    broadcast back (exact percentile holds per-partition value buffers;
+    swap percentile_approx in at 10¹² rows, same plan shape), then a
+    map-side bucket/keep decision and one 4-group aggregate."""
+    from yamr_spark.functions import hash60
+    from yamr_spark.operators.text import unigram_lm_score
+
+    scores = unigram_lm_score(docs)
+    edges = scores.agg(
+        F.round(F.expr("percentile(lm_score, 0.25)"), 6).alias("e1"),
+        F.round(F.expr("percentile(lm_score, 0.5)"), 6).alias("e2"),
+        F.round(F.expr("percentile(lm_score, 0.75)"), 6).alias("e3"),
+    )
+    rates = F.array(*[F.lit(int(r)) for r in rates_pct])
+    bucket = (
+        F.lit(1)
+        + (F.col("lm_score") > F.col("e1")).cast("int")
+        + (F.col("lm_score") > F.col("e2")).cast("int")
+        + (F.col("lm_score") > F.col("e3")).cast("int")
+    )
+    keep = F.pmod(hash60(F.col("doc_id").cast("string")), F.lit(100)) < F.element_at(
+        rates, F.col("bucket")
+    )
+    return (
+        scores.crossJoin(F.broadcast(edges))
+        .withColumn("bucket", bucket)
+        .withColumn("kept", keep)
+        .groupBy("bucket")
+        .agg(
+            F.element_at(rates, F.first("bucket")).cast("long").alias("rate_pct"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_sampled"),
+            F.round(F.avg("lm_score"), 6).alias("mean_lm"),
+        )
+    )

@@ -1227,6 +1227,100 @@ def embedding_covariance_gemm(
     )
 
 
+def pca_top_component(
+    emb: DataFrame,
+    max_dim: int = 16,
+    vec_col: str = "embedding",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Top principal component of the embedding distribution by POWER
+    ITERATION over the distributed covariance — the step after
+    :func:`embedding_covariance` in any PCA/whitening pipeline, kept
+    entirely in DataFrames: (i, loading, eigenvalue) for the dominant
+    eigenvector estimate after ``n_rounds`` iterations from the uniform
+    start v₀ = 1/√d.
+
+    Determinism across engines (the pagerank float discipline applied
+    to linear algebra): per-term products round to 12 dp and sum
+    through DECIMAL(28,14) — matrix·vector rows and the norm are
+    aggregation-order independent — and the iterate re-rounds to 10 dp
+    after each normalization, so the unrolled DuckDB oracle replays
+    every iteration bit-for-bit. The eigenvalue is the Rayleigh
+    quotient vᵀCv of the final iterate (rounded 8 dp). Sign follows
+    the iteration from the positive uniform start (deterministic; for
+    a covariance matrix with positive dominant loadings this is the
+    conventional orientation).
+
+    Scale: the DATA pass is the covariance (gemm path — one corpus
+    scan, d²-per-batch partials); everything here iterates d²-row /
+    d-row tables, so per-round cost is O(d²) joins independent of
+    corpus size — no driver-side matrix, no collect. The classical
+    convergence caveat applies: power iteration needs |λ₁| > |λ₂|;
+    ``n_rounds`` is fixed (not convergence-tested) so the result is a
+    deterministic ESTIMATE, which is what makes it oracle-checkable."""
+    from yamr_spark.materialize import materialize
+
+    cov_ut = embedding_covariance_gemm(emb, max_dim=max_dim, vec_col=vec_col)
+    full = materialize(
+        cov_ut.unionByName(
+            cov_ut.where(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), F.col("cov")
+            )
+        )
+    )
+    v = full.select("i").distinct().select(
+        "i",
+        F.round(F.lit(1.0) / F.sqrt(F.lit(float(max_dim))), 10).alias("v"),
+    )
+    for _ in range(n_rounds):
+        w = (
+            full.join(
+                v.select(F.col("i").alias("j"), F.col("v").alias("vj")), "j"
+            )
+            .select(
+                "i",
+                F.round(F.col("cov") * F.col("vj"), 12)
+                .cast("decimal(28,14)")
+                .alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").alias("w"))
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.expr(
+                        "cast(round(cast(w as double) * cast(w as double), 12)"
+                        " as decimal(28,14))"
+                    )
+                ).cast("double")
+            ).alias("nrm")
+        )
+        v = materialize(
+            w.crossJoin(F.broadcast(nrm)).select(
+                "i",
+                F.round(F.col("w").cast("double") / F.col("nrm"), 10).alias("v"),
+            )
+        )
+    lam = (
+        full.join(v.select(F.col("i").alias("i"), F.col("v").alias("va")), "i")
+        .join(v.select(F.col("i").alias("j"), F.col("v").alias("vb")), "j")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("va") * F.col("cov") * F.col("vb"), 12).cast(
+                        "decimal(28,14)"
+                    )
+                ).cast("double"),
+                8,
+            ).alias("eigenvalue")
+        )
+    )
+    return v.crossJoin(F.broadcast(lam)).select(
+        "i", F.col("v").alias("loading"), "eigenvalue"
+    )
+
+
 def quantized_ivf_topk(
     emb: DataFrame,
     k: int = 5,

@@ -837,3 +837,57 @@ def q_llm_prep_pipeline_v3(spark, sf_dir):
     including the percentile threshold over stage-6 survivors — in a
     single SQL statement."""
     return C.llm_prep_pipeline_v3(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_stratified_sample",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'),
+                                x -> length(x) > 0)) AS token
+      FROM documents
+    ),
+    uni AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    corpus AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM uni),
+    scores AS (
+      SELECT doc_id,
+             ROUND(AVG(ln((cnt + 1.0) / (total + 1.0 * vocab))), 6) AS lm_score
+      FROM toks JOIN uni USING (token) CROSS JOIN corpus
+      GROUP BY doc_id
+    ),
+    edges AS (
+      SELECT ROUND(quantile_cont(lm_score, 0.25), 6) AS e1,
+             ROUND(quantile_cont(lm_score, 0.5), 6) AS e2,
+             ROUND(quantile_cont(lm_score, 0.75), 6) AS e3
+      FROM scores
+    ),
+    b AS (
+      SELECT s.doc_id, s.lm_score,
+             1 + CAST(s.lm_score > e.e1 AS INT)
+               + CAST(s.lm_score > e.e2 AS INT)
+               + CAST(s.lm_score > e.e3 AS INT) AS bucket
+      FROM scores s CROSS JOIN edges e
+    ),
+    r AS (
+      SELECT bucket, lm_score,
+             [5, 15, 40, 80][bucket] AS rate_pct,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)
+               < [5, 15, 40, 80][bucket] AS kept
+      FROM b
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(rate_pct AS BIGINT) AS rate_pct,
+           COUNT(*) AS n_docs,
+           SUM(CAST(kept AS BIGINT)) AS n_sampled,
+           ROUND(AVG(lm_score), 6) AS mean_lm
+    FROM r GROUP BY bucket, rate_pct
+    """,
+)
+def q_quality_stratified_sample(spark, sf_dir):
+    """Quality-stratified sampling report: LM-quality quartile buckets
+    (exact interpolated edges) with deterministic hash-sample rates
+    5/15/40/80% — the post-scoring mixing move of a training-data
+    pipeline, fully replayed by the oracle (edges, buckets, and every
+    per-doc keep decision)."""
+    return C.quality_stratified_sample(table(spark, sf_dir, "documents"))

@@ -690,13 +690,15 @@ def q_embedding_covariance(spark, sf_dir):
     return S.embedding_covariance(table(spark, sf_dir, "embeddings"))
 
 
-@register(
-    "embedding_covariance_gemm",
-    oracle="""
-    WITH vecs AS (
+def _cov_gemm_cte(dim: int) -> str:
+    """DuckDB CTE chain ending in ``covut(i, j, cov)`` — the upper
+    triangle of the input-quantized integer-gemm covariance at ``dim``
+    dims (the exact arithmetic embedding_covariance_gemm computes)."""
+    return f"""
+    vecs AS (
       SELECT vec_id,
              list_transform(
-               CAST(embedding AS DOUBLE[])[1:64],
+               CAST(embedding AS DOUBLE[])[1:{dim}],
                x -> CAST(CAST(ROUND(x, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
              ) AS q
       FROM embeddings
@@ -706,21 +708,81 @@ def q_embedding_covariance(spark, sf_dir):
     ),
     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vecs WHERE len(q) > 0),
     sums AS (SELECT i, SUM(sx) AS sl FROM ex GROUP BY i),
-    pairs AS (
+    prs AS (
       SELECT a.i, b.i AS j, SUM(a.sx * b.sx) AS spl
       FROM ex a JOIN ex b ON b.vec_id = a.vec_id AND b.i >= a.i
       GROUP BY a.i, b.i
+    ),
+    covut AS (
+      SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+             ROUND((CAST(p.spl AS DOUBLE) / 1e12) / n.n
+                   - ((CAST(si.sl AS DOUBLE) / 1e6) / n.n)
+                   * ((CAST(sj.sl AS DOUBLE) / 1e6) / n.n),
+                   6) + 0.0 AS cov
+      FROM prs p
+      JOIN sums si ON si.i = p.i
+      JOIN sums sj ON sj.i = p.j
+      CROSS JOIN n
+    )"""
+
+
+def _pca_oracle(dim: int = 16, n_rounds: int = 3) -> str:
+    """Unrolled power-iteration replay (the pagerank-oracle pattern):
+    same 12dp-product/DECIMAL(28,14)-sum/10dp-renormalize discipline
+    the Spark operator applies, one CTE pair per round."""
+    head = f"""
+    WITH {_cov_gemm_cte(dim)},
+    cfull AS (
+      SELECT i, j, cov FROM covut
+      UNION ALL
+      SELECT j AS i, i AS j, cov FROM covut WHERE i <> j
+    ),
+    dims AS (SELECT DISTINCT i FROM cfull),
+    v0 AS (SELECT i, ROUND(1.0 / sqrt(CAST({dim} AS DOUBLE)), 10) AS v FROM dims)"""
+    rounds = []
+    for k in range(1, n_rounds + 1):
+        rounds.append(f""",
+    w{k} AS (
+      SELECT c.i,
+             SUM(CAST(ROUND(c.cov * v.v, 12) AS DECIMAL(28,14))) AS w
+      FROM cfull c JOIN v{k - 1} v ON v.i = c.j
+      GROUP BY c.i
+    ),
+    n{k} AS (
+      SELECT sqrt(CAST(SUM(CAST(ROUND(CAST(w AS DOUBLE) * CAST(w AS DOUBLE), 12)
+                               AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
+      FROM w{k}
+    ),
+    v{k} AS (
+      SELECT i, ROUND(CAST(w AS DOUBLE) / n{k}.nrm, 10) AS v
+      FROM w{k} CROSS JOIN n{k}
+    )""")
+    tail = f""",
+    lam AS (
+      SELECT ROUND(CAST(SUM(CAST(ROUND(va.v * c.cov * vb.v, 12)
+                                 AS DECIMAL(28,14))) AS DOUBLE), 8) AS eigenvalue
+      FROM cfull c
+      JOIN v{n_rounds} va ON va.i = c.i
+      JOIN v{n_rounds} vb ON vb.i = c.j
     )
-    SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
-           ROUND((CAST(p.spl AS DOUBLE) / 1e12) / n.n
-                 - ((CAST(si.sl AS DOUBLE) / 1e6) / n.n)
-                 * ((CAST(sj.sl AS DOUBLE) / 1e6) / n.n),
-                 6) + 0.0 AS cov
-    FROM pairs p
-    JOIN sums si ON si.i = p.i
-    JOIN sums sj ON sj.i = p.j
-    CROSS JOIN n
-    """,
+    SELECT v.i, v.v AS loading, lam.eigenvalue
+    FROM v{n_rounds} v CROSS JOIN lam"""
+    return head + "".join(rounds) + tail
+
+
+@register("pca_top_component", oracle=_pca_oracle())
+def q_pca_top_component(spark, sf_dir):
+    """Dominant principal component of the first 16 embedding dims:
+    3 decimal-disciplined power-iteration rounds over the distributed
+    integer-gemm covariance, plus the Rayleigh-quotient eigenvalue —
+    distributed numerical linear algebra under the exact content hash
+    (the iteration itself is d²-table work, corpus-size independent)."""
+    return S.pca_top_component(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_covariance_gemm",
+    oracle=f"WITH {_cov_gemm_cte(64)} SELECT i, j, cov FROM covut",
 )
 def q_embedding_covariance_gemm(spark, sf_dir):
     """Full-dimension (d=64) covariance via the Arrow-batched integer
