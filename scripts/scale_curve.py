@@ -181,6 +181,46 @@ def skew_experiment(spark, sf_dir: str, out_dir: str) -> None:
         print(json.dumps({"op": name, "factor": k, "sec": round(best, 2)}))
 
 
+def r7_experiment(spark, sf_dir: str, out_dir: str) -> None:
+    """Scaling curve for the round-7 additions over the salted
+    replicas. The linkage cap is passed as 0.3/k: vocabulary salting
+    divides every token's GLOBAL df fraction by k (each word lives in
+    one replica), so a fixed fraction would flip selectivity regimes
+    between k's — 0.3/k tracks the replica-local stop-term band (hot
+    tokens sit at 0.77/k, the rare one at 0.05/k) and measures the
+    same per-replica workload at every k, which is the honest linear
+    setup."""
+    from yamr_spark.operators import dedup as D
+    from yamr_spark.operators import text as T
+
+    paths = build_scaled(spark, sf_dir, out_dir)
+    results: dict[str, dict[int, float]] = {}
+    for k in FACTORS:
+        docs = spark.read.parquet(paths[k])
+        docs.count()
+        ops = {
+            "containment_pairs_stratified": lambda df: D.containment_pairs_stratified(df),
+            "sparse_cosine_linkage(cap=0.3/k)": lambda df, kk=k: T.sparse_cosine_pairs(
+                df, num_queries=None, max_df_frac=0.3 / kk
+            ),
+        }
+        for name, fn in ops.items():
+            best = None
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                fn(docs).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name.split("(")[0], {})[k] = round(best, 2)
+            print(json.dumps({"op": name, "factor": k, "sec": round(best, 2)}))
+    print("\n| operator | " + " | ".join(f"{k}x" for k in FACTORS) + " | t(16x)/t(1x) |")
+    print("|---|" + "---|" * (len(FACTORS) + 1))
+    for name, row in results.items():
+        ratio = round(row[FACTORS[-1]] / row[FACTORS[0]], 1)
+        cells = " | ".join(f"{row[k]:.2f}" for k in FACTORS)
+        print(f"| {name} | {cells} | {ratio}x |")
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = pos[0] if pos else os.environ.get(
@@ -199,6 +239,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if "--skew" in sys.argv:
         skew_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
+    if "--r7" in sys.argv:
+        r7_experiment(spark, sf_dir, out_dir)
         spark.stop()
         return
     paths = build_scaled(spark, sf_dir, out_dir)
