@@ -232,3 +232,29 @@ def test_flat_store_crash_windows_recover(spark, sf_dir, tmp_path):
     assert sorted(r.doc_id for r in spark.read.parquet(store).collect()) == truth
     assert not os.path.exists(os.path.join(store, _FLAT_OLD))
     assert not os.path.exists(os.path.join(store, _FLAT_TMP))
+
+
+def test_nested_leaf_named_flat_not_misread_as_flat_residue(spark, sf_dir, tmp_path):
+    """Regression (r07 review): a nested partition leaf literally named
+    'flat' stages as '_flat.compact.old' under the nested dir-rename
+    protocol — the flat-store staging names are deliberately unreachable
+    by _stage_name, so the sweep must RENAME the backup dir back (nested
+    rule), never file-merge it into the store root (flat rule)."""
+    from yamr_spark.operators.maintenance import _stage_name, sweep_residue
+
+    store = str(tmp_path / "store")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.limit(50).write.parquet(os.path.join(store, "flat"))
+    docs.limit(30).write.parquet(os.path.join(store, "other"))
+    truth = sorted(
+        r.doc_id for r in spark.read.parquet(os.path.join(store, "flat")).collect()
+    )
+    # crash between the two nested swap renames: leaf renamed aside
+    leaf = os.path.join(store, "flat")
+    os.rename(leaf, os.path.join(store, _stage_name("flat", ".compact.old")))
+    actions = sweep_residue(store)
+    assert any(a.startswith("restored") for a in actions), actions
+    assert os.path.isdir(leaf)
+    assert sorted(r.doc_id for r in spark.read.parquet(leaf).collect()) == truth
+    # nothing leaked into the store root
+    assert not [f for f in os.listdir(store) if f.endswith(".parquet")]

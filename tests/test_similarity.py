@@ -429,3 +429,29 @@ def test_pca_top_component_recovers_dominant_axis(spark):
     ev = got[0].eigenvalue
     # axis-0 variance of {±1..±5} = mean of squares = 11.0 (mean 0)
     assert abs(ev - 11.0) < 0.2, ev
+
+
+def test_covariance_gemm_ragged_vectors_match_explode(spark):
+    """Regression (r07 review): mixed-dimensionality embeddings must
+    not crash the gemm batcher — zero-padding to the chunk max dim is
+    semantically identical to the explode form's absent-dim handling,
+    so both forms see the same sums (checked to quantization tol)."""
+    from yamr_spark.operators.similarity import (
+        embedding_covariance,
+        embedding_covariance_gemm,
+    )
+    from yamr_spark.registry import _ship_package
+
+    _ship_package(spark)
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, [0.5, -1.0, 3.0]),
+        (3, [2.0]),
+        (4, [1.5, 0.25, -0.75, 4.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g = {(r.i, r.j): r.cov for r in embedding_covariance_gemm(emb, max_dim=4).collect()}
+    e = {(r.i, r.j): r.cov for r in embedding_covariance(emb, max_dim=4).collect()}
+    assert set(g) == set(e)
+    for k in e:
+        assert abs(g[k] - e[k]) < 1e-4, (k, g[k], e[k])

@@ -93,8 +93,8 @@ def overwrite_parquet(df: DataFrame, path: str, partition_by: list[str] | None =
     the default lazy ``local`` materialize mode, a plain
     ``materialize(df).write.mode("overwrite")`` defers computation into
     the overwrite job itself, which reads the store's files while the
-    committer deletes them (ADVICE r06; merge_batch_into_store_dpo was
-    the first site, this helper is the reusable guard)."""
+    committer deletes them (ADVICE r06; merge_batch_into_store_dpo
+    routes its dynamic-partition-overwrite write through here)."""
     out = materialize_eager(df)
     w = out.write.mode("overwrite")
     if partition_by:

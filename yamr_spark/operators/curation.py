@@ -836,9 +836,13 @@ def quality_stratified_sample(
     swap percentile_approx in at 10¹² rows, same plan shape), then a
     map-side bucket/keep decision and one 4-group aggregate."""
     from yamr_spark.functions import hash60
+    from yamr_spark.materialize import materialize
     from yamr_spark.operators.text import unigram_lm_score
 
-    scores = unigram_lm_score(docs)
+    # materialize: the score table feeds BOTH the quartile-edge
+    # aggregate and the main stream — without the barrier the whole
+    # scoring join would execute twice per action
+    scores = materialize(unigram_lm_score(docs))
     edges = scores.agg(
         F.round(F.expr("percentile(lm_score, 0.25)"), 6).alias("e1"),
         F.round(F.expr("percentile(lm_score, 0.5)"), 6).alias("e2"),

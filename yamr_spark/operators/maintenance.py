@@ -77,8 +77,15 @@ def _leaf_parquet_dirs(store_dir: str) -> list[str]:
 # the whole index invisibly (ADVICE r06). Flat leaves instead stage
 # INSIDE the store under these fixed underscore names, with a
 # _DRAINED marker making every crash window unambiguous.
-_FLAT_TMP = "_flat.compact.tmp"
-_FLAT_OLD = "_flat.compact.old"
+# The names are UNREACHABLE by _stage_name: its output is always
+# "_<base>.compact.tmp|old" whose pre-suffix part ends in base's last
+# char, so producing "_compact.flat.tmp" would need a base of
+# "compact.flat.tmp"-minus-".compact.tmp" — length arithmetic that has
+# no solution. A nested leaf literally named "flat" therefore stages
+# as "_flat.compact.old" and can never be misread as flat-store
+# residue (regression-tested).
+_FLAT_TMP = "_compact.flat.tmp"
+_FLAT_OLD = "_compact.flat.old"
 _FLAT_DRAINED = "_DRAINED"
 
 

@@ -1186,11 +1186,22 @@ def embedding_covariance_gemm(
                 continue
             for lo in range(0, len(arrs), 65536):
                 chunk = arrs[lo : lo + 65536]
-                m = np.stack([np.asarray(a, dtype=np.int64) for a in chunk])
+                rows = [np.asarray(a, dtype=np.int64) for a in chunk]
+                # zero-pad ragged vectors to the chunk max dim: a
+                # missing dim contributes nothing to sums/products in
+                # the explode form, and a padded 0 contributes the
+                # same nothing — identical semantics, no crash on
+                # mixed-dimensionality corpora
+                dmax = max(len(r) for r in rows)
+                m = np.zeros((len(rows), dmax), dtype=np.int64)
+                for ridx, r in enumerate(rows):
+                    m[ridx, : len(r)] = r
                 # int64 gemm is exact; verify no silent wraparound by
                 # bounding |element| and row count against int64 range
-                amax = np.abs(m).max(initial=0)
-                assert amax == 0 or len(chunk) <= (1 << 62) // max(1, amax * amax), (
+                # (PYTHON ints: np.int64 amax*amax would itself wrap in
+                # exactly the regime this guard exists for)
+                amax = int(np.abs(m).max(initial=0))
+                assert amax == 0 or len(rows) <= (1 << 62) // (amax * amax), (
                     "covariance gemm int64 overflow risk — shrink chunk"
                 )
                 g = m.T @ m

@@ -511,7 +511,8 @@ _ORACLES["streaming_lsh_incremental"] = f"""
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rn
       FROM events
-    ) t WHERE rn = 1 AND event_type != 'error'
+    ) t WHERE rn = 1
+      AND (event_type IS NULL OR event_type != 'error')
     """,
 )
 def q_cdc_latest_state(spark, sf_dir):
@@ -524,6 +525,8 @@ def q_cdc_latest_state(spark, sf_dir):
     test_cdc_tombstone_delete_survives_late_update)."""
     from yamr_spark.streaming.upsert import keep_latest
 
+    # NULL event_type → NULL deleted → keep_latest coalesces to "not a
+    # delete"; the oracle mirrors with (event_type IS NULL OR != 'error')
     ev = table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",

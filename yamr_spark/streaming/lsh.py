@@ -86,15 +86,20 @@ def stream_lsh_into_index(
     wasted bytes — which the periodic compaction keeps bounded and a
     full rebuild would remove."""
 
-    def _ingest(batch_df: DataFrame, _bid: int) -> None:
-        # Crash-residue recovery BEFORE concluding the index is absent
-        # (ADVICE r06): a crash mid-compaction leaves the committed
-        # index under staging names; appending first would recreate an
-        # EMPTY index and the next sweep would then drop the stranded
-        # backup as superseded — permanently losing the pre-crash index.
-        from yamr_spark.operators.maintenance import sweep_residue
+    # Crash-residue recovery ONCE, BEFORE the first batch can touch the
+    # index (ADVICE r06): a crash mid-compaction leaves the committed
+    # index under staging names; appending first would recreate an
+    # EMPTY index and the next sweep would then drop the stranded
+    # backup as superseded — permanently losing the pre-crash index.
+    # Once per stream start suffices (not per batch): within a run the
+    # only residue producer is compact_store, whose own planning sweep
+    # recovers before it compacts — so a fresh crash window only exists
+    # across a RESTART, which lands here.
+    from yamr_spark.operators.maintenance import sweep_residue
 
-        sweep_residue(index_dir)
+    sweep_residue(index_dir)
+
+    def _ingest(batch_df: DataFrame, _bid: int) -> None:
         sigs = minhash_band_table(minhash_signatures(batch_df))
         sigs.persist()
         try:

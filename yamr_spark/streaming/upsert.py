@@ -232,7 +232,7 @@ def merge_batch_into_store_dpo(
     bounds that staging cost to touched-bucket data, not the store."""
     import os
 
-    from yamr_spark.materialize import materialize_eager
+    from yamr_spark.materialize import overwrite_parquet
 
     spark = batch_df.sparkSession
     batch = batch_df.withColumn("bucket", _bucket_of(F.col(key), n_buckets))
@@ -250,11 +250,14 @@ def merge_batch_into_store_dpo(
             merged = keep_latest(old.unionByName(batch), key, order, tie)
         else:
             merged = keep_latest(batch, key, order, tie)
-        merged = materialize_eager(merged)
         prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            merged.write.mode("overwrite").partitionBy("bucket").parquet(store_dir)
+            # overwrite_parquet = the barrier-then-overwrite guard: the
+            # plan READS the very partitions the write replaces, so the
+            # merged frame must be fully computed before the committer
+            # starts deleting (materialize.py)
+            overwrite_parquet(merged, store_dir, partition_by=["bucket"])
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
     finally:
