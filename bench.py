@@ -154,6 +154,7 @@ FAMILIES: dict[str, list[str]] = {
         "repeat_purchase_interval",
         "daily_value_median_trend",
         "kmv_set_ops_customers",
+        "kmv_distinct_users_per_type",
         "key_skew_report",
         "mad_outlier_report",
     ],

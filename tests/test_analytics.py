@@ -188,3 +188,25 @@ def test_kmv_set_ops_empty_inputs_defined(spark):
     row = kmv_set_ops(empty, empty, "v").collect()[0]
     assert row.est_union == 0.0
     assert row.jaccard_est == 0.0
+
+
+def test_kmv_distinct_per_group_accuracy(spark, sf_dir):
+    """Per-group KMV: groups below k report the EXACT distinct count;
+    filled sketches estimate within the ~1/sqrt(k) error band."""
+    from yamr_spark.operators.text import kmv_distinct_per_group
+    from yamr_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    got = {r.event_type: r for r in kmv_distinct_per_group(ev, "event_type", "user_id", k=64).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, r in got.items():
+        if r.n_hashes < 64:
+            assert r.estimate == exact[t]
+        else:
+            assert abs(r.estimate - exact[t]) / exact[t] < 0.5, (t, r.estimate, exact[t])

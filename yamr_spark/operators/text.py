@@ -1052,6 +1052,52 @@ def recency_weighted_user_score(
     )
 
 
+def kmv_distinct_per_group(
+    df: DataFrame, group_col: str, col: str, k: int = 64
+) -> DataFrame:
+    """Per-GROUP KMV distinct-count sketch — the GROUP BY form of
+    :func:`kmv_distinct` that completes the sketch family (global
+    estimate, set algebra, per-key): approximate COUNT(DISTINCT col)
+    per ``group_col`` from each group's k smallest distinct 60-bit
+    hashes. Like its siblings, every number is a DETERMINISTIC
+    function of the data (md5-derived hash60), so the approximate
+    answer sits under the exact content hash.
+
+    Returns (group, n_hashes, estimate): n_hashes < k means the sketch
+    saw every distinct value and the estimate IS exact.
+
+    Scale plan: the (group, hash) distinct collapses partial-aggregated
+    before one shuffle on the group key; the per-group bottom-k is a
+    window over DISTINCT hashes only (row_number, rank-k cutoff) —
+    per-group state is the surviving distinct-hash stream, and the
+    output is groups × 1 rows. The sketches are mergeable (bottom-k of
+    a union = bottom-k of concatenated bottom-ks), which is what makes
+    the same shape work as a partial aggregate over shards at 100 TB."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    from yamr_spark.functions import hash60
+
+    hashes = df.select(
+        F.col(group_col).alias("grp"),
+        hash60(F.col(col).cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    bottom = hashes.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    agg = bottom.groupBy("grp").agg(
+        F.count("*").alias("n_hashes"), F.max("h").alias("kth")
+    )
+    est = F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("kth").cast("double") / F.lit(float(1 << 60)))
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_hashes",
+        F.round(est, 4).alias("estimate"),
+    )
+
+
 def kmv_set_ops(
     df_a: DataFrame, df_b: DataFrame, col: str, k: int = 256
 ) -> DataFrame:

@@ -207,6 +207,41 @@ def q_kmv_distinct_orders(spark, sf_dir):
 
 
 @register(
+    "kmv_distinct_users_per_type",
+    oracle="""
+    WITH hashes AS (
+      SELECT DISTINCT event_type AS grp,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    bottom AS (
+      SELECT grp, h FROM (
+        SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM hashes
+      ) WHERE rn <= 64
+    )
+    SELECT grp AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hashes,
+           ROUND(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                 ELSE 63.0 / (CAST(MAX(h) AS DOUBLE) / 1152921504606846976.0)
+                 END, 4) AS estimate
+    FROM bottom GROUP BY grp
+    """,
+)
+def q_kmv_distinct_users_per_type(spark, sf_dir):
+    """GROUP BY approximate distinct: per-event-type user cardinality
+    from per-group bottom-64 KMV sketches — the per-key form that
+    completes the sketch family (global / set-ops / grouped), with the
+    same deterministic md5 arithmetic under the exact content hash.
+    Groups whose sketch never filled report the EXACT count."""
+    from yamr_spark.operators.text import kmv_distinct_per_group
+
+    return kmv_distinct_per_group(
+        table(spark, sf_dir, "events"), "event_type", "user_id", k=64
+    )
+
+
+@register(
     "stats_moments",
     oracle="""
     SELECT event_type,

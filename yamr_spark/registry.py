@@ -103,13 +103,13 @@ _LOADED = False
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of
 # queries() per round. Round-7 window policy (per the r06 verdict):
-# (1) the 5 NEW queries and the 12 whose PLAN changed this round
+# (1) the 6 NEW queries and the 12 whose PLAN changed this round
 # (LM broadcast removal, shared near-dup pair table, tombstone/KMV/
 # skyline hardening, LSH flat-store compaction) go first — changed
-# plans must earn fresh stamps; (2) the remaining 33 slots backfill
-# the STALEST stamps oldest-first, which exactly clears every
-# remaining r01 and r02 stamp.
-# _R08_BACKFILL lists the 39 r03-stamped queries the 50-slot window
+# plans must earn fresh stamps; (2) the remaining 32 slots backfill
+# the STALEST stamps oldest-first, which clears every remaining r01
+# stamp and all but one r02 stamp.
+# _R08_BACKFILL lists the 40 r02/r03-stamped queries the 50-slot window
 # cannot fit this round, in order, so the r08 window starts there —
 # after r08 no stamp predates r04. Everything stays registered; only
 # order changes.
@@ -119,6 +119,7 @@ DRIVER_PRIORITY = [
     "embedding_covariance_gemm",
     "pca_top_component",
     "quality_stratified_sample",
+    "kmv_distinct_users_per_type",
     "unigram_lm_score",
     "bigram_lm_score",
     "dedup_groups",
@@ -163,12 +164,12 @@ DRIVER_PRIORITY = [
     "top_words",
     "union_mapper_outputs",
     "corpus_curation",
-    "dedup_exact",
 ]
 
 # The r03-stamped tail that did not fit round 7's 50-slot window —
 # first in line for the round-8 window (oldest-first within r03).
 _R08_BACKFILL = [
+    "dedup_exact",
     "tfidf_top_terms",
     "asof_click_purchase",
     "benchmark_decontaminate",
