@@ -68,6 +68,7 @@ FAMILIES: dict[str, list[str]] = {
         "dedup_groups",
         "dedup_keep_best",
         "fuzzy_part_pairs",
+        "entity_resolution_parts",
         "semdedup",
         "pagerank_near_dup",
         "neardup_triangles",

@@ -193,3 +193,45 @@ def test_containment_stratified_finds_tiny_in_huge(spark):
     # direction matters: the huge doc is NOT contained in the tiny one
     assert (2, 1) not in got
     assert not any(3 in p for p in got)
+
+
+def test_entity_resolution_golden(spark):
+    """Golden entity resolution: two fuzzy clusters and a loner inside
+    one block — clusters get min-id entity ids, the canonical name is
+    the min-id member's, transitivity merges chains, unmatched rows
+    emit no entity."""
+    from pyspark.sql import functions as F
+
+    from yamr_spark.operators.dedup import fuzzy_match_pairs
+    from yamr_spark.operators.graph import connected_components
+
+    rows = [
+        (1, "ivory navy steel", "B1", 1),
+        (2, "ivory navy steel x", "B1", 1),   # dist 2 from 1
+        (3, "ivory navy steel xy", "B1", 1),  # dist 1 from 2, 3 from 1 → chain
+        (7, "totally different words", "B1", 1),
+        (9, "ivory navy steel", "B2", 1),     # other block — never compared
+    ]
+    parts = spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string, size_band int"
+    )
+    pairs = fuzzy_match_pairs(
+        parts, block_cols=["p_brand", "size_band"], name_col="p_name",
+        id_col="p_partkey",
+    )
+    groups = connected_components(pairs, src="id_a", dst="id_b")
+    ent = (
+        groups.join(
+            parts.selectExpr("p_partkey AS node", "p_name"), "node"
+        )
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min_by("p_name", "node").alias("canonical_name"),
+        )
+        .collect()
+    )
+    assert len(ent) == 1
+    e = ent[0]
+    assert e.component == 1 and e.n_members == 3
+    assert e.canonical_name == "ivory navy steel"

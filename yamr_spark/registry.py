@@ -103,13 +103,13 @@ _LOADED = False
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of
 # queries() per round. Round-7 window policy (per the r06 verdict):
-# (1) the 6 NEW queries and the 12 whose PLAN changed this round
+# (1) the 7 NEW queries and the 12 whose PLAN changed this round
 # (LM broadcast removal, shared near-dup pair table, tombstone/KMV/
 # skyline hardening, LSH flat-store compaction) go first — changed
-# plans must earn fresh stamps; (2) the remaining 32 slots backfill
+# plans must earn fresh stamps; (2) the remaining 31 slots backfill
 # the STALEST stamps oldest-first, which clears every remaining r01
-# stamp and all but one r02 stamp.
-# _R08_BACKFILL lists the 40 r02/r03-stamped queries the 50-slot window
+# stamp.
+# _R08_BACKFILL lists the 41 r02/r03-stamped queries the 50-slot window
 # cannot fit this round, in order, so the r08 window starts there —
 # after r08 no stamp predates r04. Everything stays registered; only
 # order changes.
@@ -120,6 +120,7 @@ DRIVER_PRIORITY = [
     "pca_top_component",
     "quality_stratified_sample",
     "kmv_distinct_users_per_type",
+    "entity_resolution_parts",
     "unigram_lm_score",
     "bigram_lm_score",
     "dedup_groups",
@@ -163,12 +164,12 @@ DRIVER_PRIORITY = [
     "top_orders",
     "top_words",
     "union_mapper_outputs",
-    "corpus_curation",
 ]
 
 # The r03-stamped tail that did not fit round 7's 50-slot window —
 # first in line for the round-8 window (oldest-first within r03).
 _R08_BACKFILL = [
+    "corpus_curation",
     "dedup_exact",
     "tfidf_top_terms",
     "asof_click_purchase",
