@@ -270,3 +270,43 @@ def test_cosine_contract_null_or_bounded(spark, rows):
         if r.cosine is not None:
             assert not math.isnan(r.cosine)
             assert -1.0000005 <= r.cosine <= 1.0000005
+
+
+_words = st.sampled_from([f"w{i}" for i in range(12)])
+_docs_texts = st.lists(
+    st.lists(_words, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=_docs_texts, span=st.data())
+@_SETTINGS
+def test_containment_stratified_full_span_recall(spark, texts, span):
+    """The one-sided recall GUARANTEE (the reason the operator exists):
+    for ANY corpus, a doc whose text is a contiguous ≥3-token span of
+    another doc must be reported with containment 1.0 — its bottom-k
+    probes all live in the container's shingle set and every tiny-
+    corpus shingle is under the df cap. Also: every reported value is
+    in (0, 1] and never self-referential."""
+    from yamr_spark.operators.dedup import containment_pairs_stratified
+
+    host = max(texts, key=lambda t: len(t.split()))
+    toks = host.split()
+    rows = [(i, t) for i, t in enumerate(texts)]
+    has_span = len(toks) >= 3
+    if has_span:
+        start = span.draw(st.integers(0, len(toks) - 3))
+        end = span.draw(st.integers(start + 3, len(toks)))
+        rows.append((len(texts), " ".join(toks[start:end])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.src, r.dst): r.containment
+        for r in containment_pairs_stratified(docs).collect()
+    }
+    for (s, d), c in got.items():
+        assert s != d and 0.0 < c <= 1.0
+    if has_span:
+        host_id = texts.index(host)
+        if host_id != len(texts):
+            assert got.get((len(texts), host_id)) == 1.0
