@@ -107,6 +107,7 @@ FAMILIES: dict[str, list[str]] = {
         "quality_percentile_gate",
         "sparse_cosine_pairs",
         "sparse_cosine_linkage_pairs",
+        "hashed_doc_embeddings",
     ],
     # curation family: decontamination, span dedup, split, quota
     # sampling, novelty, packing, mixtures — plus the fused pipelines

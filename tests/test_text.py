@@ -211,3 +211,23 @@ def test_phrase_search_rejects_single_word(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         phrase_search(docs, ["a"])
+
+
+def test_hashed_doc_embeddings_unit_norm_and_determinism(spark, sf_dir):
+    """Feature-hashed embeddings: every doc's sparse vector is unit-L2
+    (to rounding), dims stay in [0, d), and the map is deterministic
+    across invocations (hashing, no randomness)."""
+    from yamr_spark.operators.text import hashed_doc_embeddings
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(40)
+    rows = hashed_doc_embeddings(docs, d=32).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        assert 0 <= r.dim < 32
+        by_doc.setdefault(r.doc_id, []).append(r.weight)
+    for did, ws in by_doc.items():
+        assert abs(sum(w * w for w in ws) - 1.0) < 1e-4, did
+    again = sorted((r.doc_id, r.dim, r.weight) for r in hashed_doc_embeddings(docs, d=32).collect())
+    assert again == sorted((r.doc_id, r.dim, r.weight) for r in rows)

@@ -1052,6 +1052,59 @@ def recency_weighted_user_score(
     )
 
 
+def hashed_doc_embeddings(
+    docs: DataFrame, d: int = 32
+) -> DataFrame:
+    """Feature-hashed (hashing-trick) bag-of-words document embeddings
+    — the deterministic text→vector bridge when no trained model is in
+    the loop (Weinberger et al. 2009): every token hashes to one of
+    ``d`` buckets with a ±1 sign hash, per-doc bucket sums are
+    L2-normalized, and the output is the SPARSE form (doc_id, dim,
+    weight) ready for the engine's posting-join retrieval and dense
+    ANN machinery. Both hashes are the md5-derived hash60, so the
+    DuckDB oracle replays every bucket, sign, and weight.
+
+    Exactness: bucket values are integer sums of ±tf (exact), the norm
+    is the square root of an exact integer, and the only float op is
+    the final round(val/norm, 6) — no decimal discipline needed.
+    Documents whose buckets fully cancel (norm 0) drop, mirrored by
+    the oracle.
+
+    Scale: one tokenize scan, one partial-aggregated (doc, bucket)
+    shuffle (≤ d live buckets per doc), one per-doc norm aggregate
+    joined back on doc_id — word_count-shaped throughout; d is a
+    constant, never a per-row blowup."""
+    from yamr_spark.functions import hash60
+
+    tokens = docs.select("doc_id", F.explode(_tokens_col()).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    hashed = tf.select(
+        "doc_id",
+        F.pmod(hash60(F.col("token")), F.lit(d)).alias("dim"),
+        (
+            (F.pmod(hash60(F.concat(F.lit("±"), F.col("token"))), F.lit(2)) * 2 - 1)
+            * F.col("tf")
+        ).alias("signed_tf"),
+    )
+    vals = (
+        hashed.groupBy("doc_id", "dim")
+        .agg(F.sum("signed_tf").alias("val"))
+        .where(F.col("val") != 0)
+    )
+    norms = vals.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val")).cast("double")).alias("nrm")
+    )
+    return (
+        vals.join(norms, "doc_id")
+        .where(F.col("nrm") > 0)
+        .select(
+            "doc_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("val") / F.col("nrm"), 6).alias("weight"),
+        )
+    )
+
+
 def kmv_distinct_per_group(
     df: DataFrame, group_col: str, col: str, k: int = 64
 ) -> DataFrame:

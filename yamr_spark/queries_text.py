@@ -868,3 +868,43 @@ def q_sparse_cosine_linkage_pairs(spark, sf_dir):
         num_queries=None,
         max_df_frac=0.5,
     )
+
+
+@register(
+    "hashed_doc_embeddings",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'),
+                                x -> length(x) > 0)) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    hashed AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(token), 1, 15))::BIGINT % 32) AS dim,
+             ((('0x' || substr(md5('±' || token), 1, 15))::BIGINT % 2) * 2 - 1) * tf
+               AS signed_tf
+      FROM tf
+    ),
+    vals AS (
+      SELECT doc_id, dim, SUM(signed_tf) AS val
+      FROM hashed GROUP BY doc_id, dim
+      HAVING SUM(signed_tf) <> 0
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(SUM(val * val) AS DOUBLE)) AS nrm
+      FROM vals GROUP BY doc_id
+    )
+    SELECT v.doc_id, CAST(v.dim AS BIGINT) AS dim,
+           ROUND(v.val / n.nrm, 6) AS weight
+    FROM vals v JOIN norms n USING (doc_id)
+    WHERE n.nrm > 0
+    """,
+)
+def q_hashed_doc_embeddings(spark, sf_dir):
+    """Hashing-trick document embeddings (32-dim, ±1 sign hash,
+    L2-normalized sparse output) — the model-free text→vector bridge
+    into the similarity family; every bucket/sign/weight replayed by
+    the md5 oracle arithmetic."""
+    return T.hashed_doc_embeddings(table(spark, sf_dir, "documents"))

@@ -166,9 +166,11 @@ DRIVER_PRIORITY = [
     "union_mapper_outputs",
 ]
 
-# The r03-stamped tail that did not fit round 7's 50-slot window —
-# first in line for the round-8 window (oldest-first within r03).
+# Registered after the r07 window filled (new → will head the r08
+# window per the new-first policy), then the r02/r03-stamped tail that
+# did not fit round 7's 50 slots (oldest-first).
 _R08_BACKFILL = [
+    "hashed_doc_embeddings",
     "corpus_curation",
     "dedup_exact",
     "tfidf_top_terms",
