@@ -129,6 +129,7 @@ FAMILIES: dict[str, list[str]] = {
         "pii_redaction_stats",
         "temperature_mixture_sample",
         "quality_stratified_sample",
+        "weighted_sample_docs",
     ],
     # multimodal decode seams (Arrow mapInPandas)
     "multimodal": [

@@ -284,3 +284,27 @@ def test_quality_stratified_sample_report(spark, sf_dir):
     # monotone quality: bucket means increase with bucket index
     means = [rows[b].mean_lm for b in (1, 2, 3, 4)]
     assert means == sorted(means)
+
+
+def test_weighted_sample_properties(spark, sf_dir):
+    """A-ES weighted sampling: exactly k rows, no duplicates,
+    deterministic across invocations, only positive-weight rows
+    eligible, and heavier rows are sampled at a visibly higher rate
+    than uniform on a skewed-weight fixture."""
+    from yamr_spark.operators.curation import weighted_sample
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    s1 = weighted_sample(docs, "doc_id", "n_chars", k=50).collect()
+    s2 = weighted_sample(docs, "doc_id", "n_chars", k=50).collect()
+    assert len(s1) == 50 and len({r.doc_id for r in s1}) == 50
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    assert all(r.weight > 0 for r in s1)
+
+    # skew check: ids 0..99 weight 1, ids 100..119 weight 1000 — the
+    # heavy 1/6 of rows should dominate a k=20 sample
+    rows = [(i, 1) for i in range(100)] + [(i, 1000) for i in range(100, 120)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample(df, "doc_id", "w", k=20).collect()
+    heavy = sum(1 for r in got if r.doc_id >= 100)
+    assert heavy >= 15, heavy

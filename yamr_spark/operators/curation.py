@@ -812,6 +812,42 @@ def llm_prep_pipeline_v3(docs: DataFrame, bench_mod: int = 97) -> DataFrame:
     )
 
 
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int = 50
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement in one pass — the
+    Efraimidis–Spirakis A-ES scheme (Inf. Process. Lett. 2006): each
+    row draws u ∈ (0, 1] and the k largest u^(1/w) win, which is
+    distributionally identical to sequential weighted draws. Here u is
+    DETERMINISTIC — (hash60(id)+1)/2⁶⁰ — so the "random" sample is a
+    pure function of the data (the engine's quota/temperature/hash-
+    split sampling discipline), and the rank key is the monotone
+    log form ln(u)/w (avoids cross-engine pow; rounded 9 dp so both
+    engines rank identical values). Rows with non-positive weight are
+    ineligible, as in the original scheme.
+
+    Scale: one map-side key computation + TakeOrdered top-k
+    (per-partition heaps merged at the driver) — no global sort, no
+    per-group state; the standard way to draw a fixed-size
+    importance-weighted subset from 10¹² rows in one pass."""
+    from yamr_spark.functions import hash60
+
+    u = (hash60(F.col(id_col).cast("string")) + 1).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    key = F.round(F.log(u) / F.col(weight_col), 9)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def quality_stratified_sample(
     docs: DataFrame, rates_pct: tuple[int, ...] = (5, 15, 40, 80)
 ) -> DataFrame:

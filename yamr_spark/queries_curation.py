@@ -891,3 +891,30 @@ def q_quality_stratified_sample(spark, sf_dir):
     pipeline, fully replayed by the oracle (edges, buckets, and every
     per-doc keep decision)."""
     return C.quality_stratified_sample(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "weighted_sample_docs",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT) AS weight,
+             ROUND(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       + 1) / 1152921504606846976.0) / n_chars, 9) AS sample_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, weight, sample_key
+    FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50
+    """,
+)
+def q_weighted_sample_docs(spark, sf_dir):
+    """Length-weighted 50-doc sample without replacement (A-ES priority
+    sampling, deterministic md5-derived priorities) — fixed-size
+    importance-weighted subsetting in one TakeOrdered pass; the oracle
+    replays every priority."""
+    from yamr_spark.operators.curation import weighted_sample
+
+    return weighted_sample(
+        table(spark, sf_dir, "documents"), id_col="doc_id",
+        weight_col="n_chars", k=50,
+    )

@@ -171,6 +171,7 @@ DRIVER_PRIORITY = [
 # did not fit round 7's 50 slots (oldest-first).
 _R08_BACKFILL = [
     "hashed_doc_embeddings",
+    "weighted_sample_docs",
     "corpus_curation",
     "dedup_exact",
     "tfidf_top_terms",
