@@ -310,3 +310,52 @@ def test_containment_stratified_full_span_recall(spark, texts, span):
         host_id = texts.index(host)
         if host_id != len(texts):
             assert got.get((len(texts), host_id)) == 1.0
+
+
+def test_gemm_covariance_batch_boundary_invariance(spark, sf_dir):
+    """The gemm covariance's exactness CONTRACT is batch-boundary
+    independence (integer arithmetic, associative merge). Force
+    radically different Arrow batch sizes and partitionings — results
+    must be IDENTICAL bit-for-bit, not merely close."""
+    from yamr_spark.operators.similarity import embedding_covariance_gemm
+    from yamr_spark.registry import _ship_package
+    from yamr_spark.tables import table
+
+    _ship_package(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    prior = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        tiny = {
+            (r.i, r.j): r.cov
+            for r in embedding_covariance_gemm(emb.repartition(13), max_dim=16).collect()
+        }
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        big = {
+            (r.i, r.j): r.cov
+            for r in embedding_covariance_gemm(emb.coalesce(1), max_dim=16).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prior)
+    assert tiny == big
+
+
+def test_pca_and_sampling_partition_invariance(spark, sf_dir):
+    """Decimal-disciplined iteration and hash-keyed sampling must not
+    depend on physical layout: pca_top_component and weighted_sample
+    return identical rows under different partitionings."""
+    from yamr_spark.operators.curation import weighted_sample
+    from yamr_spark.operators.similarity import pca_top_component
+    from yamr_spark.registry import _ship_package
+    from yamr_spark.tables import table
+
+    _ship_package(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, pca_top_component(emb.repartition(11), max_dim=8).collect()))
+    b = sorted(map(tuple, pca_top_component(emb.coalesce(1), max_dim=8).collect()))
+    assert a == b
+
+    docs = table(spark, sf_dir, "documents")
+    s1 = sorted(map(tuple, weighted_sample(docs.repartition(17), "doc_id", "n_chars").collect()))
+    s2 = sorted(map(tuple, weighted_sample(docs.coalesce(1), "doc_id", "n_chars").collect()))
+    assert s1 == s2
