@@ -149,10 +149,13 @@ def test_skyline_2d_golden(spark):
 
 
 def test_skyline_2d_quantization_contract(spark):
-    """ADVICE r06: in-band dominance keys on the minimize value
-    quantized to quantize_dp decimals. A decimal column finer than the
-    quantum is rejected loudly; raising quantize_dp makes sub-cent
-    domination exact again."""
+    """ADVICE r06 + review r07: the operator computes the EXACT skyline
+    of the quantize_dp-rounded minimize column. Sub-quantum float
+    spreads therefore shift results in BOTH directions — a dominated
+    row can survive (false keep) and a truly-undominated cheaper row
+    can lose the quantized equal-price tiebreak (false drop); raising
+    quantize_dp to the data's precision restores the true skyline. A
+    decimal column finer than the quantum is rejected loudly."""
     import pytest
 
     from yamr_spark.operators.relational import skyline_2d
@@ -160,7 +163,7 @@ def test_skyline_2d_quantization_contract(spark):
     rows = [(1, 10.001, 5), (2, 10.004, 5)]  # 2 strictly dominated by 1
     df = spark.createDataFrame(rows, "k long, price double, size int")
     # default 2dp quantum merges 10.001 and 10.004 → both survive (the
-    # documented approximation for float columns)
+    # false-KEEP direction: quantized-equal price, equal size)
     got2 = {r.k for r in skyline_2d(df, "price", "size", keys=["k"]).collect()}
     assert got2 == {1, 2}
     # 3dp quantum resolves them → the dominated row dies
@@ -169,6 +172,17 @@ def test_skyline_2d_quantization_contract(spark):
         for r in skyline_2d(df, "price", "size", keys=["k"], quantize_dp=3).collect()
     }
     assert got3 == {1}
+
+    # false-DROP direction: (10.001, 5) vs (10.004, 9) — mutually
+    # undominated in the reals, but at the 2dp quantum they are
+    # equal-priced and the smaller size loses; 3dp restores both
+    rows2 = [(1, 10.001, 5), (2, 10.004, 9)]
+    df2 = spark.createDataFrame(rows2, "k long, price double, size int")
+    assert {r.k for r in skyline_2d(df2, "price", "size", keys=["k"]).collect()} == {2}
+    assert {
+        r.k
+        for r in skyline_2d(df2, "price", "size", keys=["k"], quantize_dp=3).collect()
+    } == {1, 2}
 
     dec = df.select("k", F.col("price").cast("decimal(10,3)").alias("price"), "size")
     with pytest.raises(ValueError, match="scale 3 > quantize_dp=2"):

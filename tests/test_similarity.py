@@ -455,3 +455,42 @@ def test_covariance_gemm_ragged_vectors_match_explode(spark):
     assert set(g) == set(e)
     for k in e:
         assert abs(g[k] - e[k]) < 1e-4, (k, g[k], e[k])
+
+
+def test_covariance_gemm_poison_row_matches_explode(spark):
+    """Review r07 (repro'd live): a NaN embedding element must
+    contribute NOTHING — matching the explode form's NULL-skipping —
+    not reach numpy as INT64_MIN and wrap the gemm."""
+    import math
+
+    from yamr_spark.operators.similarity import (
+        embedding_covariance,
+        embedding_covariance_gemm,
+    )
+    from yamr_spark.registry import _ship_package
+
+    _ship_package(spark)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.000001]), (2, [float("nan"), 0.000001]), (3, [2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    g = {(r.i, r.j): r.cov for r in embedding_covariance_gemm(emb, max_dim=2).collect()}
+    e = {(r.i, r.j): r.cov for r in embedding_covariance(emb, max_dim=2).collect()}
+    assert set(g) == set(e)
+    for k in e:
+        assert not math.isnan(g[k]) and abs(g[k] - e[k]) < 1e-4, (k, g[k], e[k])
+
+
+def test_pca_degenerate_input_null_not_ansi_kill(spark):
+    """Review r07 (repro'd live): identical embeddings → zero
+    covariance → zero norm. The iteration must return NULL loadings,
+    not die with an ANSI DIVIDE_BY_ZERO."""
+    from yamr_spark.operators.similarity import pca_top_component
+    from yamr_spark.registry import _ship_package
+
+    _ship_package(spark)
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(4)], "vec_id long, embedding array<double>"
+    )
+    rows = pca_top_component(emb, max_dim=2).collect()
+    assert rows and all(r.loading is None for r in rows)

@@ -967,7 +967,11 @@ def containment_pairs_stratified(
         .groupBy("src", "dst")
         .agg(F.count("*").alias("i"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # sizes from the candidate-pruned stream (shc), not the corpus: only
+    # src docs' sizes are ever joined, and shc already carries every
+    # candidate id — the full-corpus aggregate would shuffle size state
+    # for documents that can never appear (review r07 finding)
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("sz"))
     return (
         inter.join(
             sizes.select(F.col("doc_id").alias("src"), "sz"), "src"

@@ -368,14 +368,19 @@ def skyline_2d(
     No self-join, no single-partition window; the only all-row shuffle
     is the band-partitioned window exchange.
 
-    PRECONDITION (``quantize_dp``, ADVICE r06): the in-band RANGE frame
-    keys on ``minimize`` quantized to ``quantize_dp`` decimals, so
-    values differing only BELOW that precision are treated as equal —
-    exact for decimal columns with scale ≤ quantize_dp (validated
-    here), approximate for float/double columns with finer precision
-    (a strictly-dominated row within one quantum of its dominator can
-    survive). Pass a larger quantize_dp for sub-default-precision
-    float data; the scaled key must stay within long range."""
+    QUANTIZED SEMANTICS (``quantize_dp``, ADVICE r06 + review r07):
+    what this operator computes EXACTLY is the skyline of
+    ``(round(minimize, quantize_dp), maximize)`` — values differing
+    only below the quantum are equal-priced. For decimal columns with
+    scale ≤ quantize_dp that IS the true skyline (validated here: a
+    finer decimal scale is rejected loudly). For float/double columns
+    with sub-quantum spreads, the quantized skyline can differ from
+    the real-valued one in BOTH directions: a strictly-dominated row
+    one quantum below its dominator survives, and a truly-undominated
+    row can lose the quantized equal-price tiebreak to a same-quantum
+    neighbor with larger ``maximize``. Pass a quantize_dp at (or
+    beyond) the data's meaningful precision; the scaled key must stay
+    within long range."""
     from pyspark.sql import Window
     from pyspark.sql.types import DecimalType
 

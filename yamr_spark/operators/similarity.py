@@ -1164,9 +1164,16 @@ def embedding_covariance_gemm(
     asserted, not assumed, via an int64 overflow check)."""
     import pandas as pd  # noqa: F401 (signature parity with siblings)
 
+    # try_cast + coalesce-to-0: a NaN/Inf element (the poison-row class
+    # the r06 ANSI sweep hardened cosine against) quantizes to NULL and
+    # contributes NOTHING — exactly the explode form's behavior, where
+    # the NULL decimal product is skipped by SUM. Without this, the
+    # NULL reaches numpy as NaN, int64-converts to INT64_MIN, and the
+    # gemm silently wraps (review r07 finding, repro'd live).
     quant = F.expr(
         f"transform(slice(transform({vec_col}, x -> cast(x as double)), 1, {max_dim}),"
-        " x -> cast(cast(round(x, 6) as decimal(18,6)) * 1000000 as long))"
+        " x -> coalesce(cast(try_cast(round(x, 6) as decimal(18,6)) * 1000000"
+        " as long), 0L))"
     )
     base = emb.select(quant.alias("q")).where(F.size("q") > 0)
     n = base.agg(F.count("*").alias("n"))
@@ -1198,9 +1205,10 @@ def embedding_covariance_gemm(
                     m[ridx, : len(r)] = r
                 # int64 gemm is exact; verify no silent wraparound by
                 # bounding |element| and row count against int64 range
-                # (PYTHON ints: np.int64 amax*amax would itself wrap in
-                # exactly the regime this guard exists for)
-                amax = int(np.abs(m).max(initial=0))
+                # (PYTHON ints throughout: np.int64 amax*amax — and
+                # np.abs(INT64_MIN) itself — wrap in exactly the regime
+                # this guard exists for)
+                amax = max(int(m.max(initial=0)), -int(m.min(initial=0)))
                 assert amax == 0 or len(rows) <= (1 << 62) // (amax * amax), (
                     "covariance gemm int64 overflow risk — shrink chunk"
                 )
@@ -1310,7 +1318,14 @@ def pca_top_component(
         v = materialize(
             w.crossJoin(F.broadcast(nrm)).select(
                 "i",
-                F.round(F.col("w").cast("double") / F.col("nrm"), 10).alias("v"),
+                # nrm = 0 (constant/degenerate embeddings → zero
+                # covariance) must yield NULL loadings, not an ANSI
+                # DIVIDE_BY_ZERO job kill (the repo's pinned rule:
+                # every data-derived denominator is guarded)
+                F.when(
+                    F.col("nrm") > 0,
+                    F.round(F.col("w").cast("double") / F.col("nrm"), 10),
+                ).alias("v"),
             )
         )
     lam = (

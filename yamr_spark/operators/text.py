@@ -1132,10 +1132,18 @@ def kmv_distinct_per_group(
 
     from yamr_spark.functions import hash60
 
-    hashes = df.select(
-        F.col(group_col).alias("grp"),
-        hash60(F.col(col).cast("string")).alias("h"),
-    ).distinct()
+    # NULLs are excluded up front: COUNT(DISTINCT col) ignores NULL,
+    # and an unfiltered NULL hash would occupy a bottom-k slot on the
+    # Spark side (NULLS FIRST) while DuckDB's default ordering puts it
+    # last — a cross-engine sketch divergence (review r07 finding)
+    hashes = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            hash60(F.col(col).cast("string")).alias("h"),
+        )
+        .distinct()
+    )
     w = Window.partitionBy("grp").orderBy("h")
     bottom = hashes.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
     agg = bottom.groupBy("grp").agg(

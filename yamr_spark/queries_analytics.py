@@ -212,7 +212,7 @@ def q_kmv_distinct_orders(spark, sf_dir):
     WITH hashes AS (
       SELECT DISTINCT event_type AS grp,
              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     bottom AS (
       SELECT grp, h FROM (

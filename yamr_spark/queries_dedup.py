@@ -34,6 +34,12 @@ def _near_dup_pairs_shared(spark, sf_dir: str) -> DataFrame:
     if df is None:
         from yamr_spark.materialize import materialize
 
+        # entries keyed by DEAD applications can never be reused (a new
+        # session gets a new appId) — evict them so a long-lived process
+        # cycling SparkSessions doesn't pin one materialized frame per
+        # (app, sf_dir) forever (review r07 finding)
+        for stale in [k for k in _PAIR_CACHE if k[0] != key[0]]:
+            del _PAIR_CACHE[stale]
         df = materialize(D.minhash_near_dup(table(spark, sf_dir, "documents")))
         _PAIR_CACHE[key] = df
     return df
@@ -609,9 +615,10 @@ def q_containment_pairs(spark, sf_dir):
       JOIN hsh sb ON sb.doc_id = c.dst AND sb.h = sa.h
       GROUP BY c.src, c.dst
     )
-    SELECT i.src, i.dst, ROUND(CAST(i.i AS DOUBLE) / za.sz, 6) AS containment
-    FROM inter i JOIN sizes za ON za.doc_id = i.src
-    WHERE CAST(i.i AS DOUBLE) / za.sz >= 0.7
+    SELECT src, dst, containment FROM (
+      SELECT i.src, i.dst, ROUND(CAST(i.i AS DOUBLE) / za.sz, 6) AS containment
+      FROM inter i JOIN sizes za ON za.doc_id = i.src
+    ) t WHERE containment >= 0.7
     """,
 )
 def q_containment_pairs_stratified(spark, sf_dir):

@@ -699,7 +699,8 @@ def _cov_gemm_cte(dim: int) -> str:
       SELECT vec_id,
              list_transform(
                CAST(embedding AS DOUBLE[])[1:{dim}],
-               x -> CAST(CAST(ROUND(x, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               x -> CAST(COALESCE(TRY_CAST(ROUND(x, 6) AS DECIMAL(18,6))
+                                  * 1000000, 0) AS BIGINT)
              ) AS q
       FROM embeddings
     ),
@@ -754,7 +755,8 @@ def _pca_oracle(dim: int = 16, n_rounds: int = 3) -> str:
       FROM w{k}
     ),
     v{k} AS (
-      SELECT i, ROUND(CAST(w AS DOUBLE) / n{k}.nrm, 10) AS v
+      SELECT i, CASE WHEN n{k}.nrm > 0
+                     THEN ROUND(CAST(w AS DOUBLE) / n{k}.nrm, 10) END AS v
       FROM w{k} CROSS JOIN n{k}
     )""")
     tail = f""",
