@@ -184,6 +184,26 @@ def test_skyline_2d_quantization_contract(spark):
         for r in skyline_2d(df2, "price", "size", keys=["k"], quantize_dp=3).collect()
     } == {1, 2}
 
+    # band-boundary cases (review r07, repro'd live pre-fix): pairs that
+    # quantize to the SAME price but straddle a raw-value band edge must
+    # follow the quantized equal-price rule, not band pruning — bands
+    # now derive from the quantized key
+    strad = spark.createDataFrame(
+        [(1, 99.999, 5), (2, 100.001, 9)], "k long, price double, size int"
+    )
+    assert {r.k for r in skyline_2d(strad, "price", "size", keys=["k"]).collect()} == {2}
+    strad_eq = spark.createDataFrame(
+        [(1, 99.999, 5), (2, 100.001, 5)], "k long, price double, size int"
+    )
+    assert {
+        r.k for r in skyline_2d(strad_eq, "price", "size", keys=["k"]).collect()
+    } == {1, 2}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="whole multiple"):
+        skyline_2d(df2, "price", "size", keys=["k"], band_width=0.005)
+
     dec = df.select("k", F.col("price").cast("decimal(10,3)").alias("price"), "size")
     with pytest.raises(ValueError, match="scale 3 > quantize_dp=2"):
         skyline_2d(dec, "price", "size", keys=["k"])

@@ -494,3 +494,21 @@ def test_pca_degenerate_input_null_not_ansi_kill(spark):
     )
     rows = pca_top_component(emb, max_dim=2).collect()
     assert rows and all(r.loading is None for r in rows)
+
+
+def test_covariance_gemm_finite_overflow_is_loud(spark):
+    """Review r07 follow-up: a FINITE element too large for the scaled
+    int64 representation must fail loudly (ANSI long-cast overflow),
+    never silently quantize to 0 — only NaN/Inf take the
+    zero-contribution path."""
+    import pytest
+
+    from yamr_spark.operators.similarity import embedding_covariance_gemm
+    from yamr_spark.registry import _ship_package
+
+    _ship_package(spark)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1e13, 0.5])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="(?i)overflow|out of range|cast"):
+        embedding_covariance_gemm(emb, max_dim=2).collect()

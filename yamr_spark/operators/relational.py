@@ -392,13 +392,29 @@ def skyline_2d(
             f"would merge distinct values — pass quantize_dp>={dt.scale}"
         )
     quantum = 10 ** quantize_dp
+    # bands derive from the QUANTIZED key, not the raw value: a pair
+    # straddling a band edge within one quantum is equal-priced under
+    # the contract and must land in the SAME band so the in-band
+    # equal-price rule sees it — raw-value banding broke the quantized
+    # contract in both directions at band boundaries (review r07,
+    # repro'd live). band_width must be a whole number of quanta.
+    band_width_q = round(band_width * quantum)
+    if band_width_q < 1 or abs(band_width_q - band_width * quantum) > 1e-9:
+        raise ValueError(
+            f"band_width={band_width} is not a positive whole multiple of "
+            f"the 10^-{quantize_dp} quantum"
+        )
     keys = keys or [c for c in df.columns if c not in (minimize, maximize)]
     base = df.select(
         *keys,
         F.col(minimize).alias("mn"),
         F.col(maximize).alias("mx"),
         F.round(F.col(minimize) * quantum).cast("long").alias("cents"),
-        F.floor(F.col(minimize) / band_width).cast("long").alias("band"),
+    ).withColumn(
+        # exact up to |cents| ~ 2^53 (double division then floor); the
+        # scaled key already had to fit a long for the RANGE frame
+        "band",
+        F.floor(F.col("cents") / F.lit(float(band_width_q))).cast("long"),
     )
     band_max = base.groupBy("band").agg(F.max("mx").alias("band_max"))
     wb = (

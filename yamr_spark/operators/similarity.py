@@ -1164,16 +1164,20 @@ def embedding_covariance_gemm(
     asserted, not assumed, via an int64 overflow check)."""
     import pandas as pd  # noqa: F401 (signature parity with siblings)
 
-    # try_cast + coalesce-to-0: a NaN/Inf element (the poison-row class
-    # the r06 ANSI sweep hardened cosine against) quantizes to NULL and
-    # contributes NOTHING — exactly the explode form's behavior, where
-    # the NULL decimal product is skipped by SUM. Without this, the
-    # NULL reaches numpy as NaN, int64-converts to INT64_MIN, and the
-    # gemm silently wraps (review r07 finding, repro'd live).
+    # NaN/Inf elements (the poison-row class the r06 ANSI sweep hardened
+    # cosine against) quantize to NULL via try_cast and coalesce to a
+    # ZERO contribution — exactly the explode form's behavior, where the
+    # NULL decimal product is skipped by SUM; without this the NULL
+    # reaches numpy as NaN, int64-converts to INT64_MIN, and the gemm
+    # silently wraps (review r07, repro'd live). FINITE magnitudes stay
+    # loud: decimal(25,6) holds any |x| the scaled-long representation
+    # can carry, so a finite |x| > ~9.2e12 fails the ANSI long cast with
+    # an explicit overflow error rather than being silently zeroed
+    # (review r07 follow-up — try_cast at decimal(18,6) swallowed it).
     quant = F.expr(
         f"transform(slice(transform({vec_col}, x -> cast(x as double)), 1, {max_dim}),"
-        " x -> coalesce(cast(try_cast(round(x, 6) as decimal(18,6)) * 1000000"
-        " as long), 0L))"
+        " x -> cast(coalesce(try_cast(round(x, 6) as decimal(25,6)),"
+        " cast(0 as decimal(25,6))) * 1000000 as long))"
     )
     base = emb.select(quant.alias("q")).where(F.size("q") > 0)
     n = base.agg(F.count("*").alias("n"))

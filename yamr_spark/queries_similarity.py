@@ -699,8 +699,8 @@ def _cov_gemm_cte(dim: int) -> str:
       SELECT vec_id,
              list_transform(
                CAST(embedding AS DOUBLE[])[1:{dim}],
-               x -> CAST(COALESCE(TRY_CAST(ROUND(x, 6) AS DECIMAL(18,6))
-                                  * 1000000, 0) AS BIGINT)
+               x -> CAST(COALESCE(TRY_CAST(ROUND(x, 6) AS DECIMAL(25,6)),
+                                  CAST(0 AS DECIMAL(25,6))) * 1000000 AS BIGINT)
              ) AS q
       FROM embeddings
     ),
