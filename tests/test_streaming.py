@@ -518,3 +518,62 @@ def test_cdc_tombstone_delete_survives_late_update(spark, tmp_path):
     # the tombstone is still physically in the store (unfiltered read)
     raw = {(r.user_id, r.deleted) for r in read_store(spark, store).collect()}
     assert (1, True) in raw
+
+
+def test_streaming_lsh_recovers_index_after_compaction_crash(spark, sf_dir, tmp_path):
+    """The ADVICE r06 kill chain, end-to-end: a crash in the middle of
+    index compaction (post-drain — the window where the index dir holds
+    ZERO visible parquet files), then a restart that ingests one more
+    batch. The ingest-start sweep must RESTORE the compacted index
+    before matching, so the new batch's flags still see every pre-crash
+    doc — instead of silently matching nothing against a recreated
+    empty index and letting a later sweep delete the stranded backup."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yamr_spark.operators.maintenance import _FLAT_DRAINED, _FLAT_OLD, _FLAT_TMP
+    from yamr_spark.streaming.lsh import (
+        build_band_index,
+        read_flagged,
+        stage_stream_files,
+        stream_lsh_into_index,
+    )
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    index_dir = str(tmp_path / "index")
+    results_dir = str(tmp_path / "results")
+    build_band_index(docs.where(F.col("doc_id") % 2 == 0), index_dir)
+    index_rows = spark.read.parquet(index_dir).count()
+
+    # simulate the post-drain crash window of a flat-store compaction:
+    # rewrite staged in _compact.flat.tmp, every visible file drained
+    # into _compact.flat.old (with the _DRAINED marker), nothing
+    # refilled yet — a naive reader sees an EMPTY index
+    tmp = os.path.join(index_dir, _FLAT_TMP)
+    old = os.path.join(index_dir, _FLAT_OLD)
+    spark.read.parquet(index_dir).coalesce(1).write.parquet(tmp)
+    os.makedirs(old)
+    for f in sorted(os.listdir(index_dir)):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(index_dir, f), os.path.join(old, f))
+    with open(os.path.join(old, _FLAT_DRAINED), "w"):
+        pass
+    assert not [f for f in os.listdir(index_dir) if f.endswith(".parquet")]
+
+    # restart: ingest one batch of odd docs against the crashed index
+    stage_stream_files(docs, str(tmp_path / "stream"), [F.col("doc_id") % 4 == 1])
+    stream_lsh_into_index(
+        spark, str(tmp_path / "stream"), docs.schema, index_dir,
+        results_dir, str(tmp_path / "ckpt"),
+    )
+    flagged = {
+        (r.stream_doc, r.index_doc)
+        for r in read_flagged(spark, results_dir).collect()
+    }
+    # flags against the RECOVERED pre-crash index (even doc_ids) exist
+    assert any(i % 2 == 0 for _s, i in flagged), flagged
+    # index = recovered pre-crash rows + the new batch's bands; residue gone
+    assert spark.read.parquet(index_dir).count() > index_rows
+    assert not os.path.exists(old) and not os.path.exists(tmp)
