@@ -92,6 +92,7 @@ FAMILIES: dict[str, list[str]] = {
         "embedding_covariance_gemm",
         "pca_top_component",
         "ann_quantized_ivf_topk",
+        "hybrid_rrf_search",
     ],
     # text-analysis family
     "text": [

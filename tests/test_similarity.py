@@ -512,3 +512,21 @@ def test_covariance_gemm_finite_overflow_is_loud(spark):
     )
     with pytest.raises(Exception, match="(?i)overflow|out of range|cast"):
         embedding_covariance_gemm(emb, max_dim=2).collect()
+
+
+def test_rrf_fuse_golden(spark):
+    """RRF math on crafted rankings: a doc ranked in BOTH lists beats a
+    doc ranked first in only one; absent lists contribute nothing;
+    ties break on id; top cut respected."""
+    from yamr_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "doc_id long, rnk long")
+    b = spark.createDataFrame([(11, 1), (13, 2), (10, 3)], "doc_id long, rnk long")
+    rows = {r.doc_id: r for r in rrf_fuse(a, b, k=60, top=3).collect()}
+    # 11: 1/62 + 1/61 ; 10: 1/61 + 1/63 ; 13: 1/62 ; 12: 1/63 —
+    # both-list docs lead, and 13 (1/62) edges out 12 (1/63)
+    assert set(rows) == {10, 11, 13}
+    assert rows[11].rrf_score > rows[10].rrf_score > rows[13].rrf_score
+    assert rows[11].sparse_rank == 2 and rows[11].dense_rank == 1
+    assert rows[13].sparse_rank is None and rows[13].dense_rank == 2
+    assert abs(rows[11].rrf_score - round(1 / 62 + 1 / 61, 6)) < 1e-9

@@ -1250,6 +1250,55 @@ def embedding_covariance_gemm(
     )
 
 
+def rrf_fuse(
+    ranks_a: DataFrame,
+    ranks_b: DataFrame,
+    k: int = 60,
+    top: int = 10,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR'09) —
+    the standard way to combine rankings from heterogeneous retrievers
+    (sparse lexical ⊕ dense embedding) WITHOUT score calibration:
+    rrf(d) = Σ_lists 1/(k + rank_list(d)), absent-from-a-list
+    contributing nothing. k=60 is the paper's constant; fusion depends
+    only on RANKS, so a BM25 score and a cosine never need to share a
+    scale.
+
+    Determinism: input ranks are already deterministic (every retriever
+    here tie-breaks on id); the fused score is a 6dp-rounded sum of
+    exact reciprocals of small integers — identical in both engines —
+    and the final top-``top`` tie-breaks on id.
+
+    Scale: one full-outer join of two ranked lists (each already
+    truncated to its retriever's top-N — candidate-sized, not
+    corpus-sized) and a TakeOrdered cut. The per-query state is the
+    union of the candidate lists."""
+    a = ranks_a.select(
+        F.col(id_col).alias("doc"), F.col(rank_col).alias("ra")
+    )
+    b = ranks_b.select(
+        F.col(id_col).alias("doc"), F.col(rank_col).alias("rb")
+    )
+    score = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("ra")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("rb")), F.lit(0.0)),
+        6,
+    )
+    return (
+        a.join(b, "doc", "full_outer")
+        .select(
+            F.col("doc").alias(id_col),
+            score.alias("rrf_score"),
+            F.col("ra").alias("sparse_rank"),
+            F.col("rb").alias("dense_rank"),
+        )
+        .orderBy(F.col("rrf_score").desc(), id_col)
+        .limit(top)
+    )
+
+
 def pca_top_component(
     emb: DataFrame,
     max_dim: int = 16,

@@ -727,6 +727,101 @@ def _cov_gemm_cte(dim: int) -> str:
     )"""
 
 
+@register(
+    "hybrid_rrf_search",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    dq AS (SELECT v AS va FROM vecs WHERE vec_id = 0),
+    dscored AS (
+      SELECT c.vec_id AS doc, {_COS.format(a="dq.va", b="c.v")} AS cosine
+      FROM dq CROSS JOIN vecs c WHERE c.vec_id != 0
+    ),
+    dense AS (
+      SELECT doc, rnk FROM (
+        SELECT doc, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc) AS rnk
+        FROM dscored
+      ) t WHERE rnk <= 20
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
+                                x -> length(x) > 0)) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    sc AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1), 6) AS w
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    vec AS (
+      SELECT doc_id, token, w FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY w DESC, token) AS r
+        FROM sc
+      ) t WHERE r <= 3
+    ),
+    norms AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(round(w * w, 9) AS DECIMAL(28,9))) AS DOUBLE)) AS nrm
+      FROM vec GROUP BY doc_id
+    ),
+    sprs AS (
+      SELECT b.doc_id AS doc,
+             ROUND(CAST(SUM(CAST(round(a.w * b.w, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                   / (na.nrm * nb.nrm), 6) AS cosine
+      FROM (SELECT * FROM vec WHERE doc_id = 0) a
+      JOIN vec b ON b.token = a.token AND b.doc_id != 0
+      JOIN norms na ON na.doc_id = 0
+      JOIN norms nb ON nb.doc_id = b.doc_id
+      GROUP BY b.doc_id, na.nrm, nb.nrm
+    ),
+    sparse AS (
+      SELECT doc, rnk FROM (
+        SELECT doc, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc) AS rnk
+        FROM sprs
+      ) t WHERE rnk <= 20
+    )
+    SELECT COALESCE(s.doc, d.doc) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + s.rnk), 0.0)
+                 + COALESCE(1.0 / (60 + d.rnk), 0.0), 6) AS rrf_score,
+           s.rnk AS sparse_rank,
+           d.rnk AS dense_rank
+    FROM sparse s FULL OUTER JOIN dense d ON d.doc = s.doc
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def q_hybrid_rrf_search(spark, sf_dir):
+    """HYBRID retrieval for query 0 (doc_id ↔ vec_id aligned): the
+    sparse lexical ranking (top-3-TF-IDF posting join, top-20) and the
+    dense embedding ranking (exact cosine, top-20) fused by Reciprocal
+    Rank Fusion — the calibration-free sparse⊕dense combiner every
+    production retrieval stack ships. Both input rankings and the
+    fusion are deterministic and oracle-replayed."""
+    from pyspark.sql import Window, functions as F
+
+    from yamr_spark.operators import text as T
+
+    sp = T.sparse_cosine_pairs(
+        table(spark, sf_dir, "documents"), num_queries=1, threshold=-1.0
+    )
+    # single-query candidate list — the windowless rank is bounded by
+    # that one query's posting-join candidates, not the corpus
+    wq = Window.orderBy(F.col("cosine").desc(), F.col("doc_b"))
+    sparse = (
+        sp.withColumn("rnk", F.row_number().over(wq).cast("long"))
+        .where(F.col("rnk") <= 20)
+        .select(F.col("doc_b").alias("doc_id"), "rnk")
+    )
+    dense = S.brute_force_topk(
+        table(spark, sf_dir, "embeddings"), k=20, num_queries=1
+    ).select(F.col("neighbor_id").alias("doc_id"), "rnk")
+    return S.rrf_fuse(sparse, dense, k=60, top=10)
+
+
 def _pca_oracle(dim: int = 16, n_rounds: int = 3) -> str:
     """Unrolled power-iteration replay (the pagerank-oracle pattern):
     same 12dp-product/DECIMAL(28,14)-sum/10dp-renormalize discipline

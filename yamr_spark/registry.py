@@ -172,6 +172,7 @@ DRIVER_PRIORITY = [
 _R08_BACKFILL = [
     "hashed_doc_embeddings",
     "weighted_sample_docs",
+    "hybrid_rrf_search",
     "corpus_curation",
     "dedup_exact",
     "tfidf_top_terms",
