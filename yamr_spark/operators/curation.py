@@ -906,3 +906,111 @@ def quality_stratified_sample(
             F.round(F.avg("lm_score"), 6).alias("mean_lm"),
         )
     )
+
+
+def token_budget_pack(
+    docs: DataFrame, budget_tokens: int = 2000, n_buckets: int = 64
+) -> DataFrame:
+    """Token-BUDGET-capped corpus selection per language — the unit a
+    training-data mix is actually specified in ("X tokens of lang L"),
+    not document counts: walk each language's documents in a
+    deterministic hash-priority order and keep documents while the
+    running token total stays within the budget. Returns the per-lang
+    packing report (docs_total, tokens_total, docs_selected,
+    tokens_selected, budget_tokens).
+
+    Selection rule: order by (pri, doc_id) where pri = hash60('tbp:'||
+    doc_id) — a uniform deterministic permutation — and keep a document
+    iff the inclusive running sum of its token count is <= budget.
+    Token counts floor at 1 (an empty document still costs one slot),
+    which also guarantees the running sum is STRICTLY increasing, so
+    the kept set is exactly a prefix of the permutation.
+
+    Scale plan (the reason this is not one global window): a per-lang
+    window over all documents would sort the full corpus. Instead the
+    priority's top 6 bits stratify each language into ``n_buckets``
+    pre-sorted strata: phase 1 aggregates token mass per (lang, bucket)
+    — langs x n_buckets rows, partial-aggregated map-side — and a
+    cumulative sum over that TINY table locates the single boundary
+    bucket where the budget crosses. Phase 2 then keeps every document
+    of the full buckets below the boundary with a broadcast semi-join
+    (no sort at all), and sorts ONLY the boundary bucket's ~1/n_buckets
+    slice in a per-lang window. Because the token floor makes the
+    cumulative sum strictly increasing, the two-phase selection equals
+    the global prefix rule the oracle replays with one flat window.
+    """
+    from yamr_spark.functions import hash60
+
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    if not 1 <= n_buckets <= (1 << 30):
+        raise ValueError(f"n_buckets out of range: {n_buckets}")
+    ws = F.expr("filter(split(text, '\\\\s+'), x -> length(x) > 0)")
+    # bucket = floor(pri / (2^60 / n_buckets)): top bits of the 60-bit
+    # priority, so bucket order IS coarse priority order.
+    stride = (1 << 60) // n_buckets
+    base = docs.select(
+        "lang",
+        "doc_id",
+        F.greatest(F.size(ws), F.lit(1)).cast("long").alias("n_tok"),
+        hash60(F.concat(F.lit("tbp:"), F.col("doc_id").cast("string"))).alias("pri"),
+    ).withColumn("bucket", (F.col("pri") / F.lit(stride)).cast("long"))
+
+    per_bucket = base.groupBy("lang", "bucket").agg(F.sum("n_tok").alias("btok"))
+    wb = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    plan = per_bucket.withColumn("cum", F.sum("btok").over(wb)).withColumn(
+        "cum_before", F.col("cum") - F.col("btok")
+    )
+    boundary = (
+        plan.where(F.col("cum") >= budget_tokens)
+        .groupBy("lang")
+        .agg(F.min("bucket").alias("b_star"))
+    )
+    planned = plan.join(boundary, "lang", "left")
+    # Buckets strictly below the boundary (or every bucket, when the
+    # budget never crosses) are kept whole; only the boundary bucket's
+    # rows enter a window.
+    full_buckets = planned.where(
+        F.col("b_star").isNull() | (F.col("bucket") < F.col("b_star"))
+    ).select("lang", "bucket")
+    bound_buckets = planned.where(F.col("bucket") == F.col("b_star")).select(
+        "lang", "bucket", "cum_before"
+    )
+
+    kept_full = base.join(F.broadcast(full_buckets), ["lang", "bucket"]).select(
+        "lang", "n_tok"
+    )
+    wp = (
+        Window.partitionBy("lang")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_boundary = (
+        base.join(F.broadcast(bound_buckets), ["lang", "bucket"])
+        .withColumn("cum", F.col("cum_before") + F.sum("n_tok").over(wp))
+        .where(F.col("cum") <= budget_tokens)
+        .select("lang", "n_tok")
+    )
+    kept = (
+        kept_full.unionByName(kept_boundary)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs_selected"),
+            F.sum("n_tok").alias("tokens_selected"),
+        )
+    )
+    totals = base.groupBy("lang").agg(
+        F.count("*").alias("docs_total"), F.sum("n_tok").alias("tokens_total")
+    )
+    return totals.join(kept, "lang", "left").select(
+        "lang",
+        "docs_total",
+        "tokens_total",
+        F.coalesce("docs_selected", F.lit(0)).cast("long").alias("docs_selected"),
+        F.coalesce("tokens_selected", F.lit(0)).cast("long").alias("tokens_selected"),
+        F.lit(int(budget_tokens)).cast("long").alias("budget_tokens"),
+    )

@@ -1465,3 +1465,96 @@ def quantized_ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine_q", "rnk")
     )
+
+
+def mmr_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    top_n: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick ``k`` results that balance relevance to
+    the query against redundancy with what is already picked —
+    ``mmr(c) = lam * rel(c) - (1 - lam) * max_{s in S} cos(c, s)`` —
+    the standard diversity-aware selection for retrieval results and
+    for sampling training examples that are relevant but not
+    near-duplicates of each other.
+
+    Determinism: the query is the ``query_id`` vector, candidates are
+    the ``top_n`` highest-relevance vectors (cosine rounded to 6 dp,
+    ties by vec_id), and every per-step argmax breaks ties by vec_id —
+    no RNG anywhere, so the DuckDB oracle replays the greedy unrolled.
+
+    Scale plan: the only corpus-sized work is the relevance pass — a
+    broadcast-query cosine scan + TakeOrdered top_n (per-partition
+    heaps, no global sort; swap the IVF probe in for the scan at index
+    scale). The greedy loop is inherently sequential BY DEFINITION
+    (step i depends on picks 1..i-1) and runs over the top_n candidate
+    rows only: k-1 joins of at most top_n x k rows, each iteration
+    collecting exactly ONE winner row (bounded by k rows total,
+    independent of corpus size — the stream-side/serve-side split, not
+    a driver loop over data). All arithmetic stays in Spark
+    expressions, sharing the NaN/zero-norm NULL-cosine contract."""
+    if k < 1 or top_n < k:
+        raise ValueError(f"need top_n >= k >= 1, got top_n={top_n}, k={k}")
+    vecs = emb.select("vec_id", _vec_double("embedding").alias("v"))
+    q = vecs.where(F.col("vec_id") == query_id).select(F.col("v").alias("va"))
+    cands = materialize(
+        with_cosine(
+            vecs.withColumnRenamed("v", "vb").crossJoin(F.broadcast(q)),
+            "va",
+            "vb",
+        )
+        .where(F.col("vec_id") != query_id)
+        .where(F.col("cosine").isNotNull())
+        .select("vec_id", F.col("vb").alias("v"), F.col("cosine").alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(top_n)
+    )
+    spark = emb.sparkSession
+    lam_c = F.lit(float(lam))
+    picked: list[tuple[int, int, float, float]] = []  # rank, id, rel, mmr
+    sel_ids: list[int] = []
+    for rank in range(1, k + 1):
+        remaining = cands.where(~F.col("vec_id").isin(sel_ids) if sel_ids else F.lit(True))
+        if sel_ids:
+            sel = cands.where(F.col("vec_id").isin(sel_ids)).select(
+                F.col("vec_id").alias("s_id"), F.col("v").alias("sv")
+            )
+            scored = (
+                with_cosine(
+                    remaining.crossJoin(F.broadcast(sel)), "v", "sv"
+                )
+                .groupBy("vec_id")
+                .agg(
+                    F.first("rel").alias("rel"),
+                    F.max("cosine").alias("maxsim"),
+                )
+            )
+        else:
+            scored = remaining.select(
+                "vec_id", "rel", F.lit(0.0).alias("maxsim")
+            )
+        winner = (
+            scored.withColumn(
+                "mmr",
+                F.round(
+                    lam_c * F.col("rel")
+                    - (F.lit(1.0) - lam_c) * F.col("maxsim"),
+                    6,
+                ),
+            )
+            .orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        if not winner:
+            break
+        w = winner[0]
+        picked.append((rank, w["vec_id"], float(w["rel"]), float(w["mmr"])))
+        sel_ids.append(w["vec_id"])
+    return spark.createDataFrame(
+        picked, "rank bigint, vec_id bigint, relevance double, mmr_score double"
+    )

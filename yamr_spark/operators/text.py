@@ -1286,3 +1286,91 @@ def sparse_cosine_pairs(
         pairs.select("doc_a", "doc_b", sim.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def cms_point_estimates(
+    df: DataFrame, col: str, n_probes: int = 10, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count–Min sketch point-frequency estimates (Cormode & Muthu-
+    krishnan, J. Algorithms 2005) — the frequency-counting member of
+    the engine's mergeable-sketch family (KMV does distincts, CMS does
+    counts): ``depth`` independent hash rows of ``width`` counters
+    each; a key's estimate is the MIN of its ``depth`` bucket counts,
+    which can only OVER-estimate (collisions add, never subtract).
+
+    The probe set is the ``n_probes`` smallest distinct values
+    (deterministic, data-derived). Each probe row reports the exact
+    count alongside the sketch estimate plus the structural
+    ``never_underestimates`` invariant — like the approx_aggregates
+    error bands, the approximation's guarantee is checked IN the query,
+    so the driver's exact content hash certifies it. Every bucket
+    placement is md5-derived (hash60 of a row-salted key), so the
+    DuckDB oracle replays the identical sketch.
+
+    Scale plan: building the sketch is one map-side explode (x depth)
+    into a partial-aggregated groupBy whose key space is AT MOST
+    depth x width cells — the shuffle carries <= d*w rows per map
+    partition regardless of corpus size, and two shards' sketches merge
+    by cell-wise addition (how the same shape runs as a partial
+    aggregate over 100 TB). Point lookups broadcast the sketch: the
+    build side is d*w rows BY CONSTRUCTION, independent of the data —
+    the broadcast is justified by a structural bound, unlike a
+    corpus-derived vocabulary table (see the unigram/bigram LM scorers,
+    which deliberately do NOT force-broadcast)."""
+    if depth < 1 or not 2 <= width <= (1 << 20):
+        raise ValueError(f"bad sketch shape: depth={depth}, width={width}")
+    from yamr_spark.functions import hash60
+
+    vals = df.where(F.col(col).isNotNull()).select(
+        F.col(col).alias("probe_val"), F.col(col).cast("string").alias("k")
+    )
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    cells = vals.select(
+        F.explode(rows).alias("i"),
+        F.col("k"),
+    ).select(
+        "i",
+        F.pmod(
+            hash60(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("k"))),
+            F.lit(width),
+        ).alias("bucket"),
+    )
+    sketch = cells.groupBy("i", "bucket").agg(F.count("*").alias("cnt"))
+
+    probes = (
+        vals.select("probe_val").distinct().orderBy("probe_val").limit(n_probes)
+    )
+    exact = (
+        vals.join(F.broadcast(probes), "probe_val")
+        .groupBy("probe_val")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    probe_cells = probes.select(
+        "probe_val", F.explode(rows).alias("i")
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            hash60(
+                F.concat(
+                    F.col("i").cast("string"),
+                    F.lit(":"),
+                    F.col("probe_val").cast("string"),
+                )
+            ),
+            F.lit(width),
+        ),
+    )
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("probe_val")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        exact.join(est, "probe_val")
+        .select(
+            F.col("probe_val"),
+            F.col("exact_cnt"),
+            F.col("cms_est"),
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("never_underestimates"),
+        )
+    )

@@ -1203,3 +1203,53 @@ def q_daily_value_median_trend(spark, sf_dir):
         "n_events",
         F.round(F.col("p50") - F.lag("p50").over(w), 6).alias("p50_delta"),
     )
+
+
+@register(
+    "cms_user_frequency",
+    oracle="""
+    WITH vals AS (
+      SELECT user_id, CAST(user_id AS VARCHAR) AS k
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    depths AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(i)),
+    sketch AS (
+      SELECT i,
+             ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || k), 1, 15))::BIGINT
+               % 256 AS bucket,
+             COUNT(*) AS cnt
+      FROM vals CROSS JOIN depths
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT DISTINCT user_id, k FROM vals ORDER BY user_id LIMIT 10
+    ),
+    exact AS (
+      SELECT v.user_id, COUNT(*) AS exact_cnt
+      FROM vals v JOIN probes p USING (user_id) GROUP BY v.user_id
+    ),
+    est AS (
+      SELECT p.user_id, MIN(s.cnt) AS cms_est
+      FROM probes p CROSS JOIN depths d
+      JOIN sketch s
+        ON s.i = d.i
+       AND s.bucket = ('0x' || substr(md5(CAST(d.i AS VARCHAR) || ':' || p.k),
+                                      1, 15))::BIGINT % 256
+      GROUP BY p.user_id
+    )
+    SELECT e.user_id, e.exact_cnt, m.cms_est,
+           m.cms_est >= e.exact_cnt AS never_underestimates
+    FROM exact e JOIN est m USING (user_id)
+    """,
+)
+def q_cms_user_frequency(spark, sf_dir):
+    """Count-Min sketch frequency estimates for the 10 smallest user
+    ids over the events stream, exact count and the sketch's
+    never-underestimates invariant checked in-query — approximate
+    counting under the exact content hash, completing the mergeable-
+    sketch family (KMV distincts / KMV set ops / CMS frequencies)."""
+    from yamr_spark.operators.text import cms_point_estimates
+
+    return cms_point_estimates(
+        table(spark, sf_dir, "events"), "user_id", n_probes=10
+    ).withColumnRenamed("probe_val", "user_id")

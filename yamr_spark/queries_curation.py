@@ -918,3 +918,53 @@ def q_weighted_sample_docs(spark, sf_dir):
         table(spark, sf_dir, "documents"), id_col="doc_id",
         weight_col="n_chars", k=50,
     )
+
+
+@register(
+    "token_budget_pack",
+    oracle="""
+    WITH base AS (
+      SELECT lang, doc_id,
+             GREATEST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> length(x) > 0)), 1) AS n_tok,
+             ('0x' || substr(md5('tbp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS pri
+      FROM documents
+    ),
+    sel AS (
+      SELECT lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY pri, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+      FROM base
+    ),
+    tot AS (
+      SELECT lang, COUNT(*) AS docs_total,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens_total
+      FROM base GROUP BY lang
+    ),
+    kept AS (
+      SELECT lang, COUNT(*) AS docs_selected,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens_selected
+      FROM sel WHERE cum <= 2000 GROUP BY lang
+    )
+    SELECT t.lang, t.docs_total, t.tokens_total,
+           COALESCE(k.docs_selected, 0) AS docs_selected,
+           COALESCE(k.tokens_selected, 0) AS tokens_selected,
+           CAST(2000 AS BIGINT) AS budget_tokens
+    FROM tot t LEFT JOIN kept k USING (lang)
+    """,
+)
+def q_token_budget_pack(spark, sf_dir):
+    """Per-language TOKEN-budget packing report: walk each language in a
+    deterministic hash-priority order and keep documents while the
+    running whitespace-token total stays within a 2,000-token budget —
+    data mixing in the unit LLM recipes actually budget (tokens, not
+    docs). The oracle replays the selection with one flat window; the
+    Spark plan is the two-phase bucket form that never sorts more than
+    the single boundary stratum."""
+    from yamr_spark.operators.curation import token_budget_pack
+
+    return token_budget_pack(
+        table(spark, sf_dir, "documents"), budget_tokens=2000
+    )

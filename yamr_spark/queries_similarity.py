@@ -945,3 +945,61 @@ def q_ann_quantized_ivf_topk(spark, sf_dir):
     — composing cell pruning with 4× code compression, the production
     ANN shape; oracle replays probe/assign/integer-dot exactly."""
     return S.quantized_ivf_topk(table(spark, sf_dir, "embeddings"))
+
+
+def _mmr_oracle(k: int = 5, top_n: int = 20, query_id: int = 0) -> str:
+    """Unroll the greedy MMR selection as k chained CTEs (step i's
+    argmax depends on picks 1..i-1 — inherently sequential, so the SQL
+    replay is the unrolled form). DOUBLE casts force the lambda
+    arithmetic through the same IEEE ops Spark uses (DuckDB would
+    otherwise evaluate 1 - 0.7 in DECIMAL, a different last-ulp)."""
+    lam = "CAST(0.7 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    parts = [
+        f"q AS (SELECT v AS va FROM vecs WHERE vec_id = {query_id})",
+        f"""cands AS (
+          SELECT vec_id, v, rel FROM (
+            SELECT c.vec_id, c.v, {_COS.format(a="va", b="c.v")} AS rel
+            FROM vecs c CROSS JOIN q WHERE c.vec_id != {query_id}
+          ) t WHERE rel IS NOT NULL
+          ORDER BY rel DESC, vec_id LIMIT {top_n})""",
+        f"""s1 AS (
+          SELECT vec_id, v, rel,
+                 ROUND({lam}*rel - ({one}-{lam})*CAST(0.0 AS DOUBLE), 6) AS mmr
+          FROM cands ORDER BY mmr DESC, vec_id LIMIT 1)""",
+        "sel1 AS (SELECT vec_id, v FROM s1)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(f"""r{i} AS (
+          SELECT c.vec_id, c.v, c.rel,
+                 ROUND({lam}*c.rel
+                       - ({one}-{lam})*MAX({_COS.format(a="c.v", b="s.v")}), 6)
+                   AS mmr
+          FROM cands c CROSS JOIN sel{i - 1} s
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+          GROUP BY c.vec_id, c.v, c.rel)""")
+        parts.append(
+            f"s{i} AS (SELECT * FROM r{i} ORDER BY mmr DESC, vec_id LIMIT 1)"
+        )
+        if i < k:
+            parts.append(
+                f"sel{i} AS (SELECT vec_id, v FROM sel{i - 1}"
+                f" UNION ALL SELECT vec_id, v FROM s{i})"
+            )
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id,"
+        f" rel AS relevance, mmr AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return f"WITH {_VECS_CTE},\n" + ",\n".join(parts) + "\n" + union
+
+
+@register("mmr_diverse_topk", oracle=_mmr_oracle())
+def q_mmr_diverse_topk(spark, sf_dir):
+    """Maximal-Marginal-Relevance diverse top-5 for the query vector
+    vec_id=0 over a 20-candidate relevance pool — diversity-aware
+    selection (relevant but not redundant), the re-rank move both
+    retrieval serving and training-example sampling need after ANN.
+    Greedy and sequential by definition; the oracle replays the
+    unrolled recursion exactly (all arithmetic rounded at 6 dp)."""
+    return S.mmr_topk(table(spark, sf_dir, "embeddings"))

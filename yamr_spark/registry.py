@@ -173,6 +173,9 @@ _R08_BACKFILL = [
     "hashed_doc_embeddings",
     "weighted_sample_docs",
     "hybrid_rrf_search",
+    "token_budget_pack",
+    "cms_user_frequency",
+    "mmr_diverse_topk",
     "corpus_curation",
     "dedup_exact",
     "tfidf_top_terms",
