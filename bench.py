@@ -93,6 +93,7 @@ FAMILIES: dict[str, list[str]] = {
         "pca_top_component",
         "ann_quantized_ivf_topk",
         "hybrid_rrf_search",
+        "mmr_diverse_topk",
     ],
     # text-analysis family
     "text": [
@@ -131,6 +132,7 @@ FAMILIES: dict[str, list[str]] = {
         "temperature_mixture_sample",
         "quality_stratified_sample",
         "weighted_sample_docs",
+        "token_budget_pack",
     ],
     # multimodal decode seams (Arrow mapInPandas)
     "multimodal": [
@@ -161,6 +163,7 @@ FAMILIES: dict[str, list[str]] = {
         "kmv_distinct_users_per_type",
         "key_skew_report",
         "mad_outlier_report",
+        "cms_user_frequency",
     ],
 }
 
