@@ -221,6 +221,48 @@ def r7_experiment(spark, sf_dir: str, out_dir: str) -> None:
         print(f"| {name} | {cells} | {ratio}x |")
 
 
+def r7late_experiment(spark, sf_dir: str, out_dir: str) -> None:
+    """Scaling curve for the late round-7 additions. token_budget_pack
+    keeps the budget FIXED across k (the realistic setup — a token
+    budget does not grow with the corpus), so selection work is
+    constant and the measured growth is the scan + per-(lang, stratum)
+    partial aggregate, which should track data size ~linearly with a
+    fixed-cost head. cms_point_estimates carries a depth x width
+    sketch whose shuffle is bounded by construction — growth is the
+    map-side scan only."""
+    from yamr_spark.operators import curation as C
+    from yamr_spark.operators import text as T
+
+    paths = build_scaled(spark, sf_dir, out_dir)
+    results: dict[str, dict[int, float]] = {}
+    ops = {
+        "token_budget_pack(budget=20k)": lambda df: C.token_budget_pack(
+            df, budget_tokens=20_000
+        ),
+        "cms_point_estimates(doc_id)": lambda df: T.cms_point_estimates(
+            df, "doc_id", n_probes=10
+        ),
+    }
+    for k in FACTORS:
+        docs = spark.read.parquet(paths[k])
+        docs.count()
+        for name, fn in ops.items():
+            best = None
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                fn(docs).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name.split("(")[0], {})[k] = round(best, 2)
+            print(json.dumps({"op": name, "factor": k, "sec": round(best, 2)}))
+    print("\n| operator | " + " | ".join(f"{k}x" for k in FACTORS) + " | t(16x)/t(1x) |")
+    print("|---|" + "---|" * (len(FACTORS) + 1))
+    for name, row in results.items():
+        ratio = round(row[FACTORS[-1]] / row[FACTORS[0]], 1)
+        cells = " | ".join(f"{row[k]:.2f}" for k in FACTORS)
+        print(f"| {name} | {cells} | {ratio}x |")
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = pos[0] if pos else os.environ.get(
@@ -243,6 +285,10 @@ def main() -> None:
         return
     if "--r7" in sys.argv:
         r7_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
+    if "--r7late" in sys.argv:
+        r7late_experiment(spark, sf_dir, out_dir)
         spark.stop()
         return
     paths = build_scaled(spark, sf_dir, out_dir)

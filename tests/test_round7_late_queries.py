@@ -132,3 +132,37 @@ def test_mmr_short_candidate_pool(spark):
     got = mmr_topk(df, query_id=0, top_n=5, k=5).collect()
     assert len(got) == 2
     assert {r.vec_id for r in got} == {1, 2}
+
+
+def test_streaming_cms_store_replay_idempotent_and_additive(spark, sf_dir, tmp_path):
+    """Crash semantics of the delta store: re-merging the SAME batch_id
+    (the at-least-once replay window) leaves the store unchanged, a new
+    batch_id adds cell-wise, and the summed store over slices equals
+    the one-shot batch sketch (additivity)."""
+    from yamr_spark.operators.text import cms_sketch
+    from yamr_spark.streaming.cms import merge_cms_batch, read_cms_store
+
+    ev = table(spark, sf_dir, "events").where("user_id IS NOT NULL")
+    store = str(tmp_path / "cms_store")
+
+    merge_cms_batch(ev, 0, "user_id", store)
+    first = sorted(map(tuple, read_cms_store(spark, store).collect()))
+    merge_cms_batch(ev, 0, "user_id", store)  # replayed batch 0
+    assert sorted(map(tuple, read_cms_store(spark, store).collect())) == first
+
+    merge_cms_batch(ev, 1, "user_id", store)  # genuinely new batch
+    doubled = {
+        (r.i, r.bucket): r.cnt for r in read_cms_store(spark, store).collect()
+    }
+    assert doubled == {(i, b): 2 * c for i, b, c in first}
+
+    # slice-merge == one-shot: three disjoint slices through the delta
+    # store must sum to the whole-input sketch
+    store2 = str(tmp_path / "cms_store2")
+    for bid, pred in enumerate(
+        ["user_id % 3 = 0", "user_id % 3 = 1", "user_id % 3 = 2"]
+    ):
+        merge_cms_batch(ev.where(pred), bid, "user_id", store2)
+    summed = sorted(map(tuple, read_cms_store(spark, store2).collect()))
+    oneshot = sorted(map(tuple, cms_sketch(ev, "user_id").collect()))
+    assert summed == oneshot

@@ -1317,26 +1317,10 @@ def cms_point_estimates(
     the broadcast is justified by a structural bound, unlike a
     corpus-derived vocabulary table (see the unigram/bigram LM scorers,
     which deliberately do NOT force-broadcast)."""
-    if depth < 1 or not 2 <= width <= (1 << 20):
-        raise ValueError(f"bad sketch shape: depth={depth}, width={width}")
-    from yamr_spark.functions import hash60
-
     vals = df.where(F.col(col).isNotNull()).select(
         F.col(col).alias("probe_val"), F.col(col).cast("string").alias("k")
     )
-    rows = F.array(*[F.lit(i) for i in range(depth)])
-    cells = vals.select(
-        F.explode(rows).alias("i"),
-        F.col("k"),
-    ).select(
-        "i",
-        F.pmod(
-            hash60(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("k"))),
-            F.lit(width),
-        ).alias("bucket"),
-    )
-    sketch = cells.groupBy("i", "bucket").agg(F.count("*").alias("cnt"))
-
+    sketch = cms_sketch(df, col, depth=depth, width=width)
     probes = (
         vals.select("probe_val").distinct().orderBy("probe_val").limit(n_probes)
     )
@@ -1345,26 +1329,7 @@ def cms_point_estimates(
         .groupBy("probe_val")
         .agg(F.count("*").alias("exact_cnt"))
     )
-    probe_cells = probes.select(
-        "probe_val", F.explode(rows).alias("i")
-    ).withColumn(
-        "bucket",
-        F.pmod(
-            hash60(
-                F.concat(
-                    F.col("i").cast("string"),
-                    F.lit(":"),
-                    F.col("probe_val").cast("string"),
-                )
-            ),
-            F.lit(width),
-        ),
-    )
-    est = (
-        probe_cells.join(F.broadcast(sketch), ["i", "bucket"])
-        .groupBy("probe_val")
-        .agg(F.min("cnt").alias("cms_est"))
-    )
+    est = cms_estimates(sketch, probes, "probe_val", depth=depth, width=width)
     return (
         exact.join(est, "probe_val")
         .select(
@@ -1373,4 +1338,57 @@ def cms_point_estimates(
             F.col("cms_est"),
             (F.col("cms_est") >= F.col("exact_cnt")).alias("never_underestimates"),
         )
+    )
+
+
+def _cms_bucket(key_str_col, i_col, width: int):
+    from yamr_spark.functions import hash60
+
+    return F.pmod(
+        hash60(F.concat(i_col.cast("string"), F.lit(":"), key_str_col)),
+        F.lit(width),
+    )
+
+
+def cms_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """The raw CMS cell table ``(i, bucket, cnt)`` for one input slice —
+    at most depth x width rows by construction. Cells are ADDITIVE:
+    the sketch of a union is the cell-wise sum of the slices' sketches
+    (the mergeability the streaming maintainer and shard-parallel
+    builds rely on)."""
+    if depth < 1 or not 2 <= width <= (1 << 20):
+        raise ValueError(f"bad sketch shape: depth={depth}, width={width}")
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    cells = (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(rows).alias("i"), F.col(col).cast("string").alias("k"))
+        .select("i", _cms_bucket(F.col("k"), F.col("i"), width).alias("bucket"))
+    )
+    return cells.groupBy("i", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimates(
+    sketch: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency lookups against a built sketch: min over the
+    ``depth`` bucket counts. The sketch broadcast is justified by its
+    STRUCTURAL depth x width size bound (never corpus-derived)."""
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    probe_cells = probes.select(probe_col, F.explode(rows).alias("i")).withColumn(
+        "bucket",
+        _cms_bucket(F.col(probe_col).cast("string"), F.col("i"), width),
+    )
+    # LEFT join: an (i, bucket) cell absent from the sketch means that
+    # counter is 0, so a never-seen probe value estimates 0 instead of
+    # silently min-ing over only its collided rows.
+    return (
+        probe_cells.join(F.broadcast(sketch), ["i", "bucket"], "left")
+        .groupBy(probe_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)).cast("long")).alias("cms_est"))
     )

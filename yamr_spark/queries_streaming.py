@@ -575,3 +575,79 @@ def q_streaming_windowed_topk(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 2)
     )
+
+
+@register(
+    "streaming_cms_frequency",
+    oracle="""
+    WITH vals AS (
+      SELECT user_id, CAST(user_id AS VARCHAR) AS k
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    depths AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(i)),
+    sketch AS (
+      SELECT i,
+             ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || k), 1, 15))::BIGINT
+               % 256 AS bucket,
+             COUNT(*) AS cnt
+      FROM vals CROSS JOIN depths
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT DISTINCT user_id, k FROM vals ORDER BY user_id LIMIT 10
+    ),
+    exact AS (
+      SELECT v.user_id, COUNT(*) AS exact_cnt
+      FROM vals v JOIN probes p USING (user_id) GROUP BY v.user_id
+    ),
+    est AS (
+      SELECT p.user_id, MIN(s.cnt) AS cms_est
+      FROM probes p CROSS JOIN depths d
+      JOIN sketch s
+        ON s.i = d.i
+       AND s.bucket = ('0x' || substr(md5(CAST(d.i AS VARCHAR) || ':' || p.k),
+                                      1, 15))::BIGINT % 256
+      GROUP BY p.user_id
+    )
+    SELECT e.user_id, e.exact_cnt, m.cms_est,
+           m.cms_est >= e.exact_cnt AS never_underestimates
+    FROM exact e JOIN est m USING (user_id)
+    """,
+)
+def q_streaming_cms_frequency(spark, sf_dir):
+    """The CMS sketch MAINTAINED BY A STREAM: micro-batches write
+    bounded per-batch cell deltas (one batch_id partition each, dynamic
+    overwrite => replay-idempotent), the served sketch is their
+    cell-wise sum. The stream runs TWICE against the same checkpoint —
+    the restart must be a no-op — and the summed store must equal the
+    one-shot batch sketch the oracle computes, because cell addition
+    commutes: the same mergeability that makes CMS shard-parallel at
+    100 TB makes it streamable. Identical probe/exact/invariant frame
+    as the batch cms_user_frequency query."""
+    import os
+
+    from yamr_spark.operators.text import cms_estimates
+    from yamr_spark.streaming.cms import read_cms_store, stream_cms_to_store
+    from yamr_spark.tmpdirs import session_dir
+
+    base = session_dir(f"stream_cms:{sf_dir}", "yamr_stream_cms_")
+    store, ckpt = os.path.join(base, "store"), os.path.join(base, "ckpt")
+    stream_cms_to_store(stream_events(spark, sf_dir), "user_id", store, ckpt)
+    # restart against the committed checkpoint: must not change the store
+    stream_cms_to_store(stream_events(spark, sf_dir), "user_id", store, ckpt)
+    sketch = read_cms_store(spark, store)
+
+    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    probes = ev.select("user_id").distinct().orderBy("user_id").limit(10)
+    exact = (
+        ev.join(F.broadcast(probes), "user_id")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    est = cms_estimates(sketch, probes, "user_id")
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("never_underestimates"),
+    )

@@ -176,6 +176,7 @@ _R08_BACKFILL = [
     "token_budget_pack",
     "cms_user_frequency",
     "mmr_diverse_topk",
+    "streaming_cms_frequency",
     "corpus_curation",
     "dedup_exact",
     "tfidf_top_terms",
