@@ -168,7 +168,11 @@ DRIVER_PRIORITY = [
 
 # Registered after the r07 window filled (new → will head the r08
 # window per the new-first policy), then the r02/r03-stamped tail that
-# did not fit round 7's 50 slots (oldest-first).
+# did not fit round 7's 50 slots (oldest-first). 7 new + 41 stale =
+# 48 <= 50, so the r08 window clears EVERY stamp older than r04 and
+# still has 2 slots of headroom — which is why round 7 stopped adding
+# driver-gated queries at 7 (each further one would push a stale
+# backfill slot to r09).
 _R08_BACKFILL = [
     "hashed_doc_embeddings",
     "weighted_sample_docs",
