@@ -359,3 +359,59 @@ def test_pca_and_sampling_partition_invariance(spark, sf_dir):
     s1 = sorted(map(tuple, weighted_sample(docs.repartition(17), "doc_id", "n_chars").collect()))
     s2 = sorted(map(tuple, weighted_sample(docs.coalesce(1), "doc_id", "n_chars").collect()))
     assert s1 == s2
+
+
+@given(
+    vals=st.lists(st.integers(0, 30), min_size=1, max_size=80),
+)
+@_SETTINGS
+def test_cms_never_underestimates_any_multiset(spark, vals):
+    """CMS law for ANY integer multiset: every probe's estimate is
+    >= its exact count (collisions only add), and with a collision-free
+    width the estimate equals the exact count."""
+    from yamr_spark.operators.text import cms_point_estimates
+
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = cms_point_estimates(df, "x", n_probes=10, depth=2, width=16).collect()
+    exact = {v: vals.count(v) for v in vals}
+    assert got, vals
+    for r in got:
+        assert r.cms_est >= r.exact_cnt == exact[r.probe_val]
+        assert r.never_underestimates
+    wide = cms_point_estimates(df, "x", n_probes=10, depth=2, width=1 << 16).collect()
+    assert all(r.cms_est == r.exact_cnt for r in wide)
+
+
+@given(
+    toks=st.lists(st.integers(0, 9), min_size=1, max_size=50),
+    budget=st.integers(1, 120),
+)
+@_SETTINGS
+def test_token_budget_pack_prefix_law(spark, toks, budget):
+    """For ANY document-length multiset and ANY budget, the two-phase
+    plan equals the flat hash-priority prefix rule (replayed in plain
+    Python over the same md5 priorities), never exceeds the budget,
+    and is monotone: a bigger budget never selects fewer tokens."""
+    import hashlib
+
+    from yamr_spark.operators.curation import token_budget_pack
+
+    rows = [(i, " ".join(["w"] * t), "l") for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = token_budget_pack(df, budget, n_buckets=4).collect()[0]
+
+    def pri(i: int) -> int:
+        return int(hashlib.md5(f"tbp:{i}".encode()).hexdigest()[:15], 16)
+
+    order = sorted((pri(i), i, max(t, 1)) for i, t in enumerate(toks))
+    cum = sel_d = sel_t = 0
+    for _, _, t in order:
+        if cum + t > budget:
+            break
+        cum += t
+        sel_d += 1
+        sel_t += t
+    assert (got.docs_selected, got.tokens_selected) == (sel_d, sel_t)
+    assert got.tokens_selected <= budget
+    bigger = token_budget_pack(df, budget + 40, n_buckets=4).collect()[0]
+    assert bigger.tokens_selected >= got.tokens_selected
