@@ -415,3 +415,25 @@ def test_token_budget_pack_prefix_law(spark, toks, budget):
     assert got.tokens_selected <= budget
     bigger = token_budget_pack(df, budget + 40, n_buckets=4).collect()[0]
     assert bigger.tokens_selected >= got.tokens_selected
+
+
+def test_lm_score_layout_invariance(spark, sf_dir):
+    """The r07 driver flake was quality_stratified_sample's 6dp mean
+    flipping with partition layout (float AVG summed in shuffle order).
+    The decimal-disciplined means must return IDENTICAL rows under
+    repartition(1) vs repartition(97) — for the upstream lm_score
+    (which feeds quartile edges) and the stratified report itself."""
+    from yamr_spark.operators.curation import quality_stratified_sample
+    from yamr_spark.operators.text import unigram_lm_score
+    from yamr_spark.registry import _ship_package
+    from yamr_spark.tables import table
+
+    _ship_package(spark)
+    docs = table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, unigram_lm_score(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, unigram_lm_score(docs.repartition(97)).collect()))
+    assert a == b
+
+    qa = sorted(map(tuple, quality_stratified_sample(docs.repartition(1)).collect()))
+    qb = sorted(map(tuple, quality_stratified_sample(docs.repartition(97)).collect()))
+    assert qa == qb

@@ -903,7 +903,14 @@ def quality_stratified_sample(
             F.element_at(rates, F.first("bucket")).cast("long").alias("rate_pct"),
             F.count("*").alias("n_docs"),
             F.sum(F.col("kept").cast("long")).alias("n_sampled"),
-            F.round(F.avg("lm_score"), 6).alias("mean_lm"),
+            # decimal-disciplined mean: addends are already exact 6dp
+            # values, so a DECIMAL sum is exact and the mean is
+            # aggregation-order independent (r07 flake fix)
+            F.round(
+                F.sum(F.col("lm_score").cast("decimal(28,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_lm"),
         )
     )
 

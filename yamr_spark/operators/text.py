@@ -368,7 +368,19 @@ def unigram_lm_score(
         )
         .groupBy("doc_id")
         .agg(
-            F.round(F.avg("logp"), 6).alias("lm_score"),
+            # decimal-disciplined mean (the pagerank/PCA float rule):
+            # round the addends 12 dp, sum through DECIMAL (aggregation-
+            # order independent), divide by the count, round 6 dp —
+            # a float AVG re-rounded to 6 dp can flip its last digit
+            # with partition layout when the mean sits near a 5e-7
+            # boundary (the r07 quality_stratified_sample hash flake)
+            F.round(
+                F.sum(F.round(F.col("logp"), 12).cast("decimal(28,14)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("lm_score"),
             F.count("*").alias("n_tokens"),
         )
     )
@@ -976,7 +988,14 @@ def bigram_lm_score(
         )
         .groupBy("doc_id")
         .agg(
-            F.round(F.avg("logp"), 6).alias("bigram_lm_score"),
+            # decimal-disciplined mean — see unigram_lm_score
+            F.round(
+                F.sum(F.round(F.col("logp"), 12).cast("decimal(28,14)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("bigram_lm_score"),
             F.count("*").alias("n_bigrams"),
         )
     )

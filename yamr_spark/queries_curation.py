@@ -852,7 +852,9 @@ def q_llm_prep_pipeline_v3(spark, sf_dir):
     corpus AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM uni),
     scores AS (
       SELECT doc_id,
-             ROUND(AVG(ln((cnt + 1.0) / (total + 1.0 * vocab))), 6) AS lm_score
+             ROUND(CAST(SUM(CAST(ROUND(ln((cnt + 1.0) / (total + 1.0 * vocab)), 12)
+                                 AS DECIMAL(28,14))) AS DOUBLE)
+                   / COUNT(*), 6) AS lm_score
       FROM toks JOIN uni USING (token) CROSS JOIN corpus
       GROUP BY doc_id
     ),
@@ -880,7 +882,8 @@ def q_llm_prep_pipeline_v3(spark, sf_dir):
            CAST(rate_pct AS BIGINT) AS rate_pct,
            COUNT(*) AS n_docs,
            SUM(CAST(kept AS BIGINT)) AS n_sampled,
-           ROUND(AVG(lm_score), 6) AS mean_lm
+           ROUND(CAST(SUM(CAST(lm_score AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_lm
     FROM r GROUP BY bucket, rate_pct
     """,
 )

@@ -284,7 +284,9 @@ def q_bm25_search(spark, sf_dir):
     uni AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
     corpus AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM uni)
     SELECT doc_id,
-           ROUND(AVG(ln((cnt + 1.0) / (total + 1.0 * vocab))), 6) AS lm_score,
+           ROUND(CAST(SUM(CAST(ROUND(ln((cnt + 1.0) / (total + 1.0 * vocab)), 12)
+                               AS DECIMAL(28,14))) AS DOUBLE)
+                 / COUNT(*), 6) AS lm_score,
            COUNT(*) AS n_tokens
     FROM toks JOIN uni USING (token) CROSS JOIN corpus
     GROUP BY doc_id
@@ -718,7 +720,9 @@ def q_quality_percentile_gate(spark, sf_dir):
       FROM (SELECT unnest(t) AS tok FROM toks) u
     )
     SELECT doc_id,
-           ROUND(AVG(ln((cbg + 1.0) / (cctx + 1.0 * v))), 6)
+           ROUND(CAST(SUM(CAST(ROUND(ln((cbg + 1.0) / (cctx + 1.0 * v)), 12)
+                               AS DECIMAL(28,14))) AS DOUBLE)
+                 / COUNT(*), 6)
              AS bigram_lm_score,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams
     FROM bg
