@@ -86,7 +86,12 @@ def materialize_eager(df: DataFrame) -> DataFrame:
     return materialize(df)
 
 
-def overwrite_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+def overwrite_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    dynamic: bool = False,
+) -> None:
     """The SAFE overwrite sink: full computation barrier, THEN
     ``mode("overwrite")``. Any read-store-then-overwrite consumer must
     come through here (or call ``materialize_eager`` itself) — under
@@ -94,9 +99,17 @@ def overwrite_parquet(df: DataFrame, path: str, partition_by: list[str] | None =
     ``materialize(df).write.mode("overwrite")`` defers computation into
     the overwrite job itself, which reads the store's files while the
     committer deletes them (ADVICE r06; merge_batch_into_store_dpo
-    routes its dynamic-partition-overwrite write through here)."""
+    routes its dynamic-partition-overwrite write through here).
+
+    ``dynamic=True`` sets partitionOverwriteMode PER WRITE via the
+    DataFrameWriter option — never by toggling the session conf, which
+    two concurrent streams sharing one SparkSession could interleave
+    into a static-mode overwrite that wipes untouched partitions
+    (ADVICE r07)."""
     out = materialize_eager(df)
     w = out.write.mode("overwrite")
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)

@@ -840,7 +840,11 @@ def weighted_sample(
         df.where(F.col(weight_col) > 0)
         .select(
             F.col(id_col),
-            F.col(weight_col).cast("long").alias("weight"),
+            # native type, no cast: a truncating cast('long') would
+            # report a weight disagreeing with the raw value the A-ES
+            # key actually divided by for fractional weight columns
+            # (ADVICE r07)
+            F.col(weight_col).alias("weight"),
             key.alias("sample_key"),
         )
         .orderBy(F.col("sample_key").desc(), F.col(id_col))
@@ -961,7 +965,12 @@ def token_budget_pack(
         "doc_id",
         F.greatest(F.size(ws), F.lit(1)).cast("long").alias("n_tok"),
         hash60(F.concat(F.lit("tbp:"), F.col("doc_id").cast("string"))).alias("pri"),
-    ).withColumn("bucket", (F.col("pri") / F.lit(stride)).cast("long"))
+        # integer `div`, never double division: pri is up to 2^60 and
+        # doubles carry 53 bits, so float division can misbucket a
+        # priority within ~64 of a stride boundary, breaking the
+        # bucket-order-monotone-in-pri invariant the two-phase ==
+        # flat-prefix proof rests on (ADVICE r07)
+    ).withColumn("bucket", F.expr(f"pri div {stride}"))
 
     per_bucket = base.groupBy("lang", "bucket").agg(F.sum("n_tok").alias("btok"))
     wb = (

@@ -1213,9 +1213,12 @@ def embedding_covariance_gemm(
                 # np.abs(INT64_MIN) itself — wrap in exactly the regime
                 # this guard exists for)
                 amax = max(int(m.max(initial=0)), -int(m.min(initial=0)))
-                assert amax == 0 or len(rows) <= (1 << 62) // (amax * amax), (
-                    "covariance gemm int64 overflow risk — shrink chunk"
-                )
+                # explicit raise, not assert: the guard must survive
+                # PYTHONOPTIMIZE/-O interpreters (ADVICE r07)
+                if amax != 0 and len(rows) > (1 << 62) // (amax * amax):
+                    raise ValueError(
+                        "covariance gemm int64 overflow risk — shrink chunk"
+                    )
                 g = m.T @ m
                 d = g.shape[0]
                 iu, ju = np.triu_indices(d)

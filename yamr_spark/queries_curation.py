@@ -901,7 +901,7 @@ def q_quality_stratified_sample(spark, sf_dir):
     oracle="""
     WITH keyed AS (
       SELECT doc_id,
-             CAST(n_chars AS BIGINT) AS weight,
+             n_chars AS weight,
              ROUND(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                        + 1) / 1152921504606846976.0) / n_chars, 9) AS sample_key
       FROM documents WHERE n_chars > 0

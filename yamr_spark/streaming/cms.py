@@ -43,18 +43,21 @@ def merge_cms_batch(
 ) -> None:
     """Write one micro-batch's sketch delta as its ``batch_id``
     partition (dynamic overwrite => replay-idempotent)."""
-    spark = batch_df.sparkSession
     cells = cms_sketch(batch_df, col, depth=depth, width=width).withColumn(
         "batch_id", F.lit(int(batch_id))
     )
-    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # no barrier needed: the delta plan reads only the batch, never
-        # the store it writes (contrast merge_batch_into_store_dpo)
-        cells.write.mode("overwrite").partitionBy("batch_id").parquet(store_dir)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    # per-WRITE dynamic mode, not a session-conf toggle: two streams
+    # sharing one SparkSession could interleave a set/restore and run a
+    # static-mode overwrite that wipes every other batch partition
+    # (ADVICE r07)
+    # no barrier needed: the delta plan reads only the batch, never
+    # the store it writes (contrast merge_batch_into_store_dpo)
+    (
+        cells.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_dir)
+    )
 
 
 def stream_cms_to_store(

@@ -250,15 +250,12 @@ def merge_batch_into_store_dpo(
             merged = keep_latest(old.unionByName(batch), key, order, tie)
         else:
             merged = keep_latest(batch, key, order, tie)
-        prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            # overwrite_parquet = the barrier-then-overwrite guard: the
-            # plan READS the very partitions the write replaces, so the
-            # merged frame must be fully computed before the committer
-            # starts deleting (materialize.py)
-            overwrite_parquet(merged, store_dir, partition_by=["bucket"])
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+        # overwrite_parquet = the barrier-then-overwrite guard: the
+        # plan READS the very partitions the write replaces, so the
+        # merged frame must be fully computed before the committer
+        # starts deleting (materialize.py). dynamic=True scopes the
+        # overwrite mode to THIS write (no session-conf toggling two
+        # concurrent streams could interleave — ADVICE r07).
+        overwrite_parquet(merged, store_dir, partition_by=["bucket"], dynamic=True)
     finally:
         batch.unpersist()
