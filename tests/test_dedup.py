@@ -235,3 +235,42 @@ def test_entity_resolution_golden(spark):
     e = ent[0]
     assert e.component == 1 and e.n_members == 3
     assert e.canonical_name == "ivory navy steel"
+
+
+def test_containment_bidir_finds_tiny_in_huge_both_orientations(spark):
+    """VERDICT r07 #3 golden: bidirectional containment reports the
+    tiny⊂huge pair in ONE call with both directed scores, regardless
+    of which document id sorts first (i.e. regardless of which side of
+    the canonical (a < b) pair the contained doc lands on)."""
+    from yamr_spark.operators.dedup import containment_pairs_bidir
+
+    quote = " ".join(f"quoted{i}" for i in range(8))  # 6 shingles at n=3
+    huge = " ".join(f"body{i}" for i in range(150)) + " " + quote + " " + " ".join(
+        f"tail{i}" for i in range(150)
+    )
+    noise = " ".join(f"other{i}" for i in range(40))
+
+    # orientation 1: tiny id < huge id  →  containment_ab == 1
+    docs = spark.createDataFrame(
+        [(1, quote), (2, huge), (3, noise)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.containment_ab, r.containment_ba)
+        for r in containment_pairs_bidir(docs).collect()
+    }
+    assert (1, 2) in got, got
+    ab, ba = got[(1, 2)]
+    assert ab == 1.0 and ba < 0.7
+    assert not any(3 in p for p in got)
+
+    # orientation 2: huge id < tiny id  →  containment_ba == 1
+    docs2 = spark.createDataFrame(
+        [(9, quote), (2, huge), (3, noise)], "doc_id long, text string"
+    )
+    got2 = {
+        (r.doc_a, r.doc_b): (r.containment_ab, r.containment_ba)
+        for r in containment_pairs_bidir(docs2).collect()
+    }
+    assert (2, 9) in got2, got2
+    ab2, ba2 = got2[(2, 9)]
+    assert ba2 == 1.0 and ab2 < 0.7

@@ -631,6 +631,58 @@ def q_containment_pairs_stratified(spark, sf_dir):
 
 
 @register(
+    "containment_pairs_bidir",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hsh AS (
+      SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT) AS h
+      FROM sh
+    ),
+    dfreq AS (SELECT h, COUNT(*) AS df FROM hsh GROUP BY h),
+    rare AS (
+      SELECT hsh.doc_id, hsh.h FROM hsh JOIN dfreq USING (h) WHERE df <= 50
+    ),
+    probes AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h,
+               row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+        FROM rare
+      ) WHERE rn <= 5
+    ),
+    cand AS (
+      SELECT DISTINCT LEAST(p.doc_id, r.doc_id) AS a,
+                      GREATEST(p.doc_id, r.doc_id) AS b
+      FROM probes p JOIN rare r ON r.h = p.h AND r.doc_id <> p.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, COUNT(*) AS i
+      FROM cand c
+      JOIN hsh sa ON sa.doc_id = c.a
+      JOIN hsh sb ON sb.doc_id = c.b AND sb.h = sa.h
+      GROUP BY c.a, c.b
+    )
+    SELECT doc_a, doc_b, containment_ab, containment_ba FROM (
+      SELECT i.a AS doc_a, i.b AS doc_b,
+             ROUND(CAST(i.i AS DOUBLE) / za.sz, 6) AS containment_ab,
+             ROUND(CAST(i.i AS DOUBLE) / zb.sz, 6) AS containment_ba
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.a
+      JOIN sizes zb ON zb.doc_id = i.b
+    ) t WHERE containment_ab >= 0.7 OR containment_ba >= 0.7
+    """,
+)
+def q_containment_pairs_bidir(spark, sf_dir):
+    """BIDIRECTIONAL containment (VERDICT r07 #3): one row per
+    unordered candidate pair with BOTH directed containments, kept when
+    either clears 0.7 — the one-call form of the directed query's
+    "run twice or union" docstring. Candidates from either side's
+    rare-shingle probes; both directions verified from ONE exact
+    intersection count (no second corpus pass)."""
+    return D.containment_pairs_bidir(table(spark, sf_dir, "documents"))
+
+
+@register(
     "entity_resolution_parts",
     oracle="""
     WITH RECURSIVE fpairs AS (
