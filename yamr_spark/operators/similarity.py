@@ -1343,6 +1343,20 @@ def pca_top_component(
             )
         )
     )
+    v, lam = _power_iteration(full, max_dim, n_rounds)
+    return v.crossJoin(F.broadcast(lam)).select(
+        "i", F.col("v").alias("loading"), "eigenvalue"
+    )
+
+
+def _power_iteration(full: DataFrame, max_dim: int, n_rounds: int):
+    """Shared decimal-disciplined power-iteration loop over a full
+    (i, j, cov) matrix table: returns (v, lam) — the d-row final
+    iterate and the 1-row Rayleigh-quotient eigenvalue. Factored out of
+    :func:`pca_top_component` so the deflation variant
+    (:func:`pca_top_components`) replays the identical arithmetic."""
+    from yamr_spark.materialize import materialize
+
     v = full.select("i").distinct().select(
         "i",
         F.round(F.lit(1.0) / F.sqrt(F.lit(float(max_dim))), 10).alias("v"),
@@ -1398,9 +1412,86 @@ def pca_top_component(
             ).alias("eigenvalue")
         )
     )
-    return v.crossJoin(F.broadcast(lam)).select(
-        "i", F.col("v").alias("loading"), "eigenvalue"
+    return v, lam
+
+
+def pca_top_components(
+    emb: DataFrame,
+    max_dim: int = 16,
+    vec_col: str = "embedding",
+    n_components: int = 2,
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Top-``n_components`` principal components by power iteration
+    WITH HOTELLING DEFLATION — the multi-component extension of
+    :func:`pca_top_component`: after extracting (v₁, λ₁), the matrix
+    deflates to C₂ = C − λ₁·v₁·v₁ᵀ (whose dominant eigenpair is the
+    original second component, classical deflation), and the iteration
+    repeats. Returns (component, i, loading, eigenvalue) — component
+    is 1-based in decreasing-eigenvalue order.
+
+    Determinism: each extraction replays :func:`_power_iteration`'s
+    decimal discipline bit-for-bit; the deflated entry is
+    round(cov − coalesce(round(λ·vᵢ·vⱼ, 12), 0), 8) — scalar per-entry
+    arithmetic with no aggregation, so it is layout-independent by
+    construction, and the DuckDB oracle unrolls the identical chain.
+    The coalesce keeps a degenerate (all-zero covariance → NULL
+    loadings) matrix unchanged rather than poisoning later components
+    with NULLs. Outputs canonicalize −0.0 → +0.0 (the driver-hash
+    rule for round()-produced zeros).
+
+    Scale: ONE corpus scan total (the gemm covariance is computed once
+    and reused across components — deflation operates on the d²-row
+    matrix table); per-component cost is n_rounds d²-row joins plus one
+    d²-row deflation map, all corpus-size independent. n_components
+    sequential extractions are inherent to deflation (each needs the
+    previous eigenpair); for k beyond a handful, block/subspace
+    iteration would amortize rounds across components — out of scope
+    while k is small."""
+    from yamr_spark.materialize import materialize
+
+    cov_ut = embedding_covariance_gemm(emb, max_dim=max_dim, vec_col=vec_col)
+    cur = materialize(
+        cov_ut.unionByName(
+            cov_ut.where(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), F.col("cov")
+            )
+        )
     )
+    out = None
+    for comp in range(1, n_components + 1):
+        v, lam = _power_iteration(cur, max_dim, n_rounds)
+        rows = v.crossJoin(F.broadcast(lam)).select(
+            F.lit(comp).cast("long").alias("component"),
+            "i",
+            (F.col("v") + F.lit(0.0)).alias("loading"),
+            (F.col("eigenvalue") + F.lit(0.0)).alias("eigenvalue"),
+        )
+        out = rows if out is None else out.unionByName(rows)
+        if comp < n_components:
+            va = v.select(F.col("i"), F.col("v").alias("va"))
+            vb = v.select(F.col("i").alias("j"), F.col("v").alias("vb"))
+            cur = materialize(
+                cur.join(F.broadcast(va), "i")
+                .join(F.broadcast(vb), "j")
+                .crossJoin(F.broadcast(lam))
+                .select(
+                    "i",
+                    "j",
+                    F.round(
+                        F.col("cov")
+                        - F.coalesce(
+                            F.round(
+                                F.col("eigenvalue") * F.col("va") * F.col("vb"),
+                                12,
+                            ),
+                            F.lit(0.0),
+                        ),
+                        8,
+                    ).alias("cov"),
+                )
+            )
+    return out
 
 
 def quantized_ivf_topk(

@@ -867,6 +867,88 @@ def _pca_oracle(dim: int = 16, n_rounds: int = 3) -> str:
     return head + "".join(rounds) + tail
 
 
+def _power_ctes(mat: str, sfx: str, dim: int, n_rounds: int) -> str:
+    """CTE chain replaying ``_power_iteration`` over matrix CTE ``mat``
+    with suffix-disambiguated names: defines ``v{sfx}{n_rounds}`` (the
+    final iterate) and ``lam{sfx}`` (the Rayleigh eigenvalue). Same
+    12dp-product/DECIMAL(28,14)-sum/10dp-renormalize discipline as
+    :func:`_pca_oracle`, factored so the deflation oracle can chain
+    two extractions."""
+    parts = [
+        f""",
+    dims{sfx} AS MATERIALIZED (SELECT DISTINCT i FROM {mat}),
+    v{sfx}0 AS MATERIALIZED (SELECT i, ROUND(1.0 / sqrt(CAST({dim} AS DOUBLE)), 10) AS v
+                FROM dims{sfx})"""
+    ]
+    for k in range(1, n_rounds + 1):
+        parts.append(f""",
+    w{sfx}{k} AS MATERIALIZED (
+      SELECT c.i,
+             SUM(CAST(ROUND(c.cov * v.v, 12) AS DECIMAL(28,14))) AS w
+      FROM {mat} c JOIN v{sfx}{k - 1} v ON v.i = c.j
+      GROUP BY c.i
+    ),
+    n{sfx}{k} AS MATERIALIZED (
+      SELECT sqrt(CAST(SUM(CAST(ROUND(CAST(w AS DOUBLE) * CAST(w AS DOUBLE), 12)
+                               AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
+      FROM w{sfx}{k}
+    ),
+    v{sfx}{k} AS MATERIALIZED (
+      SELECT i, CASE WHEN n{sfx}{k}.nrm > 0
+                     THEN ROUND(CAST(w AS DOUBLE) / n{sfx}{k}.nrm, 10) END AS v
+      FROM w{sfx}{k} CROSS JOIN n{sfx}{k}
+    )""")
+    parts.append(f""",
+    lam{sfx} AS MATERIALIZED (
+      SELECT ROUND(CAST(SUM(CAST(ROUND(va.v * c.cov * vb.v, 12)
+                                 AS DECIMAL(28,14))) AS DOUBLE), 8) AS eigenvalue
+      FROM {mat} c
+      JOIN v{sfx}{n_rounds} va ON va.i = c.i
+      JOIN v{sfx}{n_rounds} vb ON vb.i = c.j
+    )""")
+    return "".join(parts)
+
+
+def _pca_components_oracle(dim: int = 16, n_rounds: int = 3) -> str:
+    """Two-component deflation replay: extract (v, λ) over cfull, deflate
+    entry-wise via round(cov − coalesce(round(λ·vᵢ·vⱼ, 12), 0), 8),
+    extract again — the exact chain ``pca_top_components`` runs."""
+    n = n_rounds
+    return f"""
+    WITH {_cov_gemm_cte(dim)},
+    cfull AS MATERIALIZED (
+      SELECT i, j, cov FROM covut
+      UNION ALL
+      SELECT j AS i, i AS j, cov FROM covut WHERE i <> j
+    ){_power_ctes("cfull", "a", dim, n_rounds)},
+    c2 AS MATERIALIZED (
+      SELECT c.i, c.j,
+             ROUND(c.cov - COALESCE(ROUND(lama.eigenvalue * va.v * vb.v, 12),
+                                    0.0), 8) AS cov
+      FROM cfull c
+      JOIN va{n} va ON va.i = c.i
+      JOIN va{n} vb ON vb.i = c.j
+      CROSS JOIN lama
+    ){_power_ctes("c2", "b", dim, n_rounds)}
+    SELECT CAST(1 AS BIGINT) AS component, v.i, v.v + 0.0 AS loading,
+           lama.eigenvalue + 0.0 AS eigenvalue
+    FROM va{n} v CROSS JOIN lama
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), v.i, v.v + 0.0, lamb.eigenvalue + 0.0
+    FROM vb{n} v CROSS JOIN lamb"""
+
+
+@register("pca_top_components", oracle=_pca_components_oracle())
+def q_pca_top_components(spark, sf_dir):
+    """Top TWO principal components via power iteration with Hotelling
+    deflation over the distributed integer-gemm covariance — the
+    multi-component PCA a whitening/semdedup pipeline actually wants.
+    One corpus scan total; deflation and both extractions are d²-row
+    table work, corpus-size independent, decimal-disciplined so the
+    unrolled oracle replays every round and the deflation bit-for-bit."""
+    return S.pca_top_components(table(spark, sf_dir, "embeddings"))
+
+
 @register("pca_top_component", oracle=_pca_oracle())
 def q_pca_top_component(spark, sf_dir):
     """Dominant principal component of the first 16 embedding dims:

@@ -651,3 +651,43 @@ def q_streaming_cms_frequency(spark, sf_dir):
         "cms_est",
         (F.col("cms_est") >= F.col("exact_cnt")).alias("never_underestimates"),
     )
+
+
+@register(
+    "streaming_kmv_distinct",
+    oracle="""
+    WITH hashes AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    bottom AS (SELECT h FROM hashes ORDER BY h LIMIT 64)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hashes,
+           MAX(h) AS kth_min,
+           ROUND(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                 ELSE 63.0 / (CAST(MAX(h) AS DOUBLE) / 1152921504606846976.0)
+                 END, 4) AS estimate
+    FROM bottom
+    """,
+)
+def q_streaming_kmv_distinct(spark, sf_dir):
+    """The KMV distinct-count sketch MAINTAINED BY A STREAM: each
+    micro-batch writes its own bottom-k hash-set partition (<= k rows
+    per batch — TakeOrdered, never a global sort), the served sketch is
+    bottom-k over the DISTINCT union of partitions. Unlike the CMS
+    delta store, union is IDEMPOTENT, so replay safety is free; the
+    per-batch dynamic-overwrite partition keeps the store bounded by
+    batches x k rows anyway. The stream runs TWICE against the same
+    checkpoint (restart must be a no-op) and the served estimator must
+    equal the one-shot batch sketch the oracle computes — bottom-k of a
+    union of per-slice bottom-k's IS the global bottom-k."""
+    import os
+
+    from yamr_spark.streaming.kmv import read_kmv_store, stream_kmv_to_store
+    from yamr_spark.tmpdirs import session_dir
+
+    base = session_dir(f"stream_kmv:{sf_dir}", "yamr_stream_kmv_")
+    store, ckpt = os.path.join(base, "store"), os.path.join(base, "ckpt")
+    stream_kmv_to_store(stream_events(spark, sf_dir), "user_id", store, ckpt, k=64)
+    # restart against the committed checkpoint: must not change the store
+    stream_kmv_to_store(stream_events(spark, sf_dir), "user_id", store, ckpt, k=64)
+    return read_kmv_store(spark, store, k=64)

@@ -126,6 +126,15 @@ DRIVER_PRIORITY = [
 ]
 
 # The 7 + 41 the r07 verdict sequenced for this window (#2 there).
+# Round-9 amendment (round 8 ended before the driver ran this window,
+# so it executes now): the two queries registered in r08 with no stamp
+# at all — pca_top_components, streaming_kmv_distinct — take the slots
+# of two stale-but-GREEN r03 stamps (max_value_per_year,
+# json_props_stats; both unchanged since their green run and both
+# pinned by unit tests). Never-certified is a strictly worse state
+# than stale-certified, so never-stamped queries outrank stale
+# restamps for window slots. The two displaced queries head
+# _R10_BACKFILL below.
 _R08_BACKFILL = [
     "hashed_doc_embeddings",
     "weighted_sample_docs",
@@ -134,6 +143,8 @@ _R08_BACKFILL = [
     "cms_user_frequency",
     "mmr_diverse_topk",
     "streaming_cms_frequency",
+    "pca_top_components",
+    "streaming_kmv_distinct",
     "corpus_curation",
     "dedup_exact",
     "tfidf_top_terms",
@@ -143,12 +154,10 @@ _R08_BACKFILL = [
     "grouping_sets_pricing",
     "hash_split_counts",
     "ivf_probe_partitioned",
-    "json_props_stats",
     "jsonl_corrupt_handling",
     "jsonl_roundtrip_stats",
     "llm_prep_pipeline",
     "math_price_features",
-    "max_value_per_year",
     "multimodal_frame_counts",
     "multimodal_large_assets",
     "multimodal_meta",
@@ -180,15 +189,21 @@ _R08_BACKFILL = [
     "containment_pairs_bidir",
 ]
 
-# Queries registered this round BEYOND the window (verdict items #5
-# and #6) — exact oracles, unit/property tests, and a local drive.py
-# ALL-MATCH each, but no driver slot left (the verdict's own rule:
-# new queries must displace nothing). They head the r09 window.
-_R09_BACKFILL = [
-    "pca_top_components",
-    "streaming_kmv_distinct",
-    # r07-stamped queries whose r08 plan/value changes (if any) or
-    # oldest stamps continue here, newest-certification-debt first.
+# Certification debt beyond the 50-slot window, ordered for the r10
+# window: first the two green-r03 queries displaced by the never-stamped
+# pair, then queries registered in round 9 (new operators acquire debt,
+# never displace backfill), then r07-stamped queries whose later hygiene
+# changes were locally re-verified ALL-MATCH (values unchanged — their
+# r07 stamps still certify the outputs), oldest-stamp-first after that.
+_R10_BACKFILL = [
+    "max_value_per_year",
+    "json_props_stats",
+    # round-9 registrations (exact oracles + tests; debt until stamped):
+    "span_dup_stats",
+    "leakage_safe_split",
+    "heavy_hitter_terms",
+    "bloom_semi_join_orders",
+    # hygiene-change restamps (locally ALL-MATCH, r07 stamps valid):
     "unigram_lm_score",
     "bigram_lm_score",
     "streaming_upsert_latest",
@@ -196,7 +211,7 @@ _R09_BACKFILL = [
 ]
 DRIVER_PRIORITY = DRIVER_PRIORITY + [
     n for n in _R08_BACKFILL if n not in DRIVER_PRIORITY
-] + [n for n in _R09_BACKFILL if n not in DRIVER_PRIORITY]
+] + [n for n in _R10_BACKFILL if n not in DRIVER_PRIORITY]
 
 
 def _prioritized(d: dict) -> dict:
