@@ -1,0 +1,106 @@
+"""Unit pins for the round-9 additions. Each operator also has a
+registered driver query with an exact DuckDB oracle; these tests pin
+the semantic invariants the oracle hash alone doesn't explain
+(deflation orthogonality, sketch-union idempotence, span-merge laws).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from yamr_spark.operators.similarity import pca_top_component, pca_top_components
+from yamr_spark.tables import table
+
+
+def test_pca_components_first_equals_single(spark, sf_dir):
+    """Component 1 of the deflation variant must be bit-identical to
+    pca_top_component (same helper, same matrix, same rounds)."""
+    emb = table(spark, sf_dir, "embeddings")
+    single = {
+        r.i: (r.loading, r.eigenvalue) for r in pca_top_component(emb).collect()
+    }
+    multi = pca_top_components(emb, n_components=2).collect()
+    first = {r.i: (r.loading, r.eigenvalue) for r in multi if r.component == 1}
+    # the components query canonicalizes -0.0 → +0.0; normalize both
+    norm = lambda d: {k: (v[0] + 0.0, v[1] + 0.0) for k, v in d.items()}
+    assert norm(first) == norm(single)
+
+
+def test_pca_components_decreasing_unit_norm(spark, sf_dir):
+    """On real (near-flat-spectrum) data the fixed-round estimate still
+    guarantees: unit-norm iterates and non-increasing eigenvalues."""
+    emb = table(spark, sf_dir, "embeddings")
+    rows = pca_top_components(emb, n_components=2).collect()
+    v1 = {r.i: r.loading for r in rows if r.component == 1}
+    v2 = {r.i: r.loading for r in rows if r.component == 2}
+    lam1 = next(r.eigenvalue for r in rows if r.component == 1)
+    lam2 = next(r.eigenvalue for r in rows if r.component == 2)
+    n1 = sum(x * x for x in v1.values()) ** 0.5
+    n2 = sum(x * x for x in v2.values()) ** 0.5
+    assert abs(n1 - 1.0) < 1e-6 and abs(n2 - 1.0) < 1e-6
+    assert lam1 >= lam2 - 1e-8
+
+
+def test_pca_components_orthogonal_on_separated_spectrum(spark):
+    """Power iteration converges at rate (λ2/λ1)^rounds, so the
+    orthogonality/accuracy contract is only tight when the spectrum is
+    separated — pin it on a synthetic corpus with variances ~16:4:1 in
+    three axes: v1 ≈ e0, v2 ≈ e1, v1·v2 ≈ 0, λ1 > λ2."""
+    import math
+
+    rows = []
+    for t in range(200):
+        a = 4.0 * math.sin(t * 1.7)  # axis 0: dominant variance
+        b = 2.0 * math.sin(t * 2.3 + 1.0)  # axis 1: second
+        c = 1.0 * math.sin(t * 3.1 + 2.0)  # axis 2: smallest
+        rows.append((t, [a, b, c, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pca_top_components(emb, max_dim=4, n_components=2, n_rounds=3).collect()
+    v1 = {r.i: r.loading for r in out if r.component == 1}
+    v2 = {r.i: r.loading for r in out if r.component == 2}
+    lam1 = next(r.eigenvalue for r in out if r.component == 1)
+    lam2 = next(r.eigenvalue for r in out if r.component == 2)
+    assert abs(v1[0]) > 0.95 and abs(v2[1]) > 0.95
+    assert abs(sum(v1[i] * v2[i] for i in v1)) < 0.05
+    assert lam1 > lam2 > 0
+
+
+def test_streaming_kmv_store_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Bottom-k over the union of per-batch bottom-k partitions must
+    equal the one-shot kmv_distinct sketch: run the store twice (replay
+    must be a no-op), compare all three numbers."""
+    from yamr_spark.operators.text import kmv_distinct
+    from yamr_spark.streaming.events import stream_events
+    from yamr_spark.streaming.kmv import read_kmv_store, stream_kmv_to_store
+
+    store = os.path.join(str(tmp_path), "store")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    for _ in range(2):  # restart against committed checkpoint: no-op
+        stream_kmv_to_store(
+            stream_events(spark, sf_dir), "user_id", store, ckpt, k=32
+        )
+    served = read_kmv_store(spark, store, k=32).collect()[0]
+    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    batch = kmv_distinct(ev, "user_id", k=32).collect()[0]
+    assert (served.n_hashes, served.kth_min, served.estimate) == (
+        batch.n_hashes,
+        batch.kth_min,
+        batch.estimate,
+    )
+
+
+def test_kmv_store_partitions_bounded(spark, sf_dir, tmp_path):
+    """Every batch partition holds <= k rows (TakeOrdered per batch,
+    bounded state shipped to the store regardless of batch size)."""
+    from yamr_spark.streaming.events import stream_events
+    from yamr_spark.streaming.kmv import stream_kmv_to_store
+
+    store = os.path.join(str(tmp_path), "store")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    stream_kmv_to_store(stream_events(spark, sf_dir), "user_id", store, ckpt, k=16)
+    per_batch = (
+        spark.read.parquet(store).groupBy("batch_id").count().collect()
+    )
+    assert per_batch and all(r["count"] <= 16 for r in per_batch)
