@@ -110,6 +110,151 @@ def chunk_dup_stats(docs: DataFrame, width: int = 8) -> DataFrame:
     )
 
 
+def leakage_safe_split_stats(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Train/valid/test assignment that can NOT leak near-duplicates
+    across splits: the split is a deterministic hash of the document's
+    near-dup connected-COMPONENT representative, not of the document
+    itself — two near-duplicate documents share a component, hence a
+    split, by construction. Plain doc-hash splitting (hash_split_counts)
+    leaks: a test document's near-twin lands in train ~p_train of the
+    time, which for LLM corpora quietly turns held-out eval into
+    memorization measurement — the reason Lee et al. and every serious
+    decontamination pipeline split at the duplicate-GROUP level.
+
+    Returns per-split aggregates (split, n_docs, n_groups); the
+    per-document assignment frame is the obvious intermediate if a
+    pipeline wants to materialize it. Documents in no near-dup pair are
+    their own singleton group (rep = doc_id).
+
+    Scale: components come from the log-round pointer-jumping operator
+    (graph.connected_components) over the banded near-dup pair table —
+    both already bounded at 100 TB; everything added here is one left
+    join against the component map (doc-count rows, 8-byte keys), a
+    map-side md5 bucket, and a 3-group aggregate."""
+    from yamr_spark.functions import hash60
+    from yamr_spark.operators.graph import connected_components
+
+    comps = connected_components(pairs, src=src, dst=dst).select(
+        F.col("node").alias(id_col), F.col("component").alias("rep")
+    )
+    assigned = (
+        docs.select(id_col)
+        .join(comps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("rep"), F.col(id_col)).alias("rep"),
+        )
+        .withColumn(
+            "bucket",
+            hash60(F.concat(F.lit("split:"), F.col("rep").cast("string"))) % 10,
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 8, "train")
+            .when(F.col("bucket") == 8, "valid")
+            .otherwise("test"),
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("rep").cast("long").alias("n_groups"),
+        )
+        .select("split", "n_docs", "n_groups")
+    )
+
+
+def span_dup_stats(docs: DataFrame, width: int = 8) -> DataFrame:
+    """Duplicated-SPAN statistics at rolling-window granularity — the
+    alignment-free refinement of :func:`chunk_dup_stats`, and the
+    practical fixed-width form of cross-document exact-substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better": any duplicated substring of ≥ ``width`` tokens contains a
+    duplicated ``width``-token window, so window detection finds every
+    long duplicate regardless of alignment — the fixed grid of the
+    chunked variant misses duplicates that straddle chunk edges).
+
+    A window is DUPLICATED when it occurs in ≥ 2 distinct documents.
+    Per document, overlapping/contiguous duplicated windows merge into
+    maximal spans (gaps-and-islands: a window starting at s extends the
+    current span iff s ≤ prev_s + width, i.e. coverage stays
+    contiguous); the output row is (doc_id, n_tokens, n_dup_spans,
+    dup_tokens, dup_frac) for every document with ≥ 1 duplicated span.
+
+    Scale design: windows are hashed to 60-bit BIGINTs map-side inside
+    the scan stage (hash60, oracle-reproducible), so the
+    document-frequency groupBy and the recheck join shuffle 8-byte
+    keys at corpus-token cardinality — exactly word_count's shape ×
+    width string-build cost per token (a Rabin-Karp rolling hash would
+    make the build O(1)/token, but then the oracle could not replay
+    md5; the hash-build is map-side CPU, not shuffle, so it scales
+    out). The span merge is a per-document window function — state
+    bounded by document length, never corpus-wide. Distinct-doc counts
+    partial-aggregate on (h, doc_id) before counting."""
+    win_struct = (
+        f"transform(sequence(1, size(__toks) - {width} + 1), "
+        f"s -> struct(s AS s, "
+        f"{hash60_sql(f'concat_ws(chr(32), slice(__toks, s, {width}))')} AS h))"
+    )
+    wins = (
+        docs.select("doc_id", F.expr(_TOKS).alias("__toks"))
+        .filter(F.size("__toks") >= width)
+        .select(
+            "doc_id",
+            F.size("__toks").cast("long").alias("n_tokens"),
+            F.explode(F.expr(win_struct)).alias("w"),
+        )
+        .select("doc_id", "n_tokens", F.col("w.s").alias("s"), F.col("w.h").alias("h"))
+    )
+    dup_h = (
+        wins.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    dups = wins.join(dup_h, "h")
+    w1 = Window.partitionBy("doc_id").orderBy("s")
+    isl = (
+        dups.withColumn("prev", F.lag("s").over(w1))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("s") > F.col("prev") + width), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "isl",
+            F.sum("brk").over(w1.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    spans = isl.groupBy("doc_id", "n_tokens", "isl").agg(
+        (F.max("s") - F.min("s") + width).cast("long").alias("span_tokens")
+    )
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").cast("long").alias("n_dup_spans"),
+            F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_spans",
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_frac"),
+        )
+    )
+
+
 def split_col(
     id_col: str = "doc_id", train_lt: int = 205, val_lt: int = 230
 ):

@@ -441,3 +441,48 @@ def skyline_2d(
         )
         .select(*keys, F.col("mn").alias(minimize), F.col("mx").alias(maximize))
     )
+
+
+def bloom_prefiltered_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    m: int = 4096,
+) -> DataFrame:
+    """Semi-join with an EXPLICIT broadcast bloom prefilter — the
+    100 TB shape for probe ⋉ build when build is selective but too big
+    (or too late in the plan) for Catalyst to broadcast outright:
+
+    1. build side reduces to its distinct hash-bucket SET (single-hash
+       bloom filter: <= m rows of one int, BOUNDED by m regardless of
+       build cardinality),
+    2. that set broadcasts and prefilters the probe scan map-side —
+       probe rows whose key bucket isn't occupied can't have a match
+       and never enter the shuffle,
+    3. the surviving probe rows run the real semi-join (bloom false
+       positives — distinct keys sharing a bucket — die here), so the
+       result is EXACTLY probe ⋉ build.
+
+    With build selectivity s and bucket occupancy p = min(1, |build|/m),
+    the shuffle carries ~(s + (1-s)·p) of the probe instead of all of
+    it. Spark 3.3+ injects the same pattern automatically (runtime
+    bloom filter join) when statistics cooperate; writing it explicitly
+    pins the plan shape and keeps it statistics-independent. hash60
+    bucketing is md5-derived, so an oracle replays membership exactly
+    (a real Bloom's multi-hash bitset would be equivalent here — one
+    hash and m buckets keeps the false-positive algebra visible)."""
+    from yamr_spark.functions import hash60
+
+    def bucket(col: str):
+        return F.pmod(hash60(F.col(col).cast("string")), F.lit(m))
+
+    buckets = build.select(bucket(build_key).alias("__b")).distinct()
+    prefiltered = probe.join(
+        F.broadcast(buckets), bucket(probe_key) == F.col("__b"), "left_semi"
+    )
+    return prefiltered.join(
+        build.select(F.col(build_key).alias(probe_key)).distinct(),
+        probe_key,
+        "left_semi",
+    )

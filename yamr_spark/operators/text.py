@@ -1411,3 +1411,55 @@ def cms_estimates(
         .groupBy(probe_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)).cast("long")).alias("cms_est"))
     )
+
+
+def heavy_hitters_exact(docs: DataFrame, k: int = 200) -> DataFrame:
+    """EXACT heavy hitters — every term with frequency strictly above
+    N/k — via the classic two-pass candidate/recheck plan (the
+    deterministic-exact cousin of Misra-Gries/SpaceSaving summaries):
+
+    Pass 1 (candidates): each Arrow batch counts its own terms locally
+    and emits only those exceeding the batch-local threshold
+    cnt·k > n_batch. Pigeonhole guarantees NO FALSE NEGATIVES: if a
+    term's count were ≤ n_s/k in every slice s, its total would be
+    ≤ N/k — so a global heavy hitter beats the threshold in at least
+    one slice. Each slice emits < k rows, so the candidate table is
+    bounded by slices × k regardless of vocabulary size.
+
+    Pass 2 (recheck): exact global counts for candidates only, via a
+    broadcast semi-join, then the exact global filter cnt·k > N.
+    False positives die here; the result is exactly the brute-force
+    answer the oracle computes.
+
+    Why not just word_count + filter: that shuffles the ENTIRE distinct
+    vocabulary (tail included — the vast majority of a 100 TB corpus's
+    shuffle volume) to answer a question about < k terms. Here the
+    shuffle carries only candidate occurrences; the long tail never
+    leaves the scan stage. The candidate pass is Arrow-batched pandas
+    value_counts (vectorized, no per-row Python)."""
+    toks = docs.select(F.explode(_tokens_col()).alias("term"))
+
+    def _cands(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vc = pdf["term"].value_counts()
+            cand = vc[vc * k > len(pdf)]
+            yield pd.DataFrame({"term": cand.index})
+
+    cands = toks.mapInPandas(_cands, "term string").distinct()
+    tot = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(F.broadcast(cands), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") * k > F.col("n"))
+        .select(
+            "term",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("freq"),
+        )
+    )

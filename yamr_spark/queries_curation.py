@@ -121,6 +121,61 @@ def q_chunk_dup_stats(spark, sf_dir):
 
 
 @register(
+    "span_dup_stats",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    wins AS MATERIALIZED (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             unnest(range(len(t) - 8 + 1)) + 1 AS s, t
+      FROM toks WHERE len(t) >= 8
+    ),
+    hashed AS MATERIALIZED (
+      SELECT doc_id, n_tokens, s,
+             ('0x' || substr(md5(array_to_string(t[s : s+7], ' ')), 1, 15))::BIGINT
+               AS h
+      FROM wins
+    ),
+    duph AS (
+      SELECT h FROM (
+        SELECT h, COUNT(*) AS nd
+        FROM (SELECT DISTINCT h, doc_id FROM hashed) GROUP BY h
+      ) WHERE nd >= 2
+    ),
+    dups AS (
+      SELECT w.doc_id, w.n_tokens, w.s,
+             LAG(w.s) OVER (PARTITION BY w.doc_id ORDER BY w.s) AS prev
+      FROM hashed w JOIN duph USING (h)
+    ),
+    isl AS (
+      SELECT doc_id, n_tokens, s,
+             SUM(CASE WHEN prev IS NULL OR s > prev + 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM dups
+    ),
+    spans AS (
+      SELECT doc_id, n_tokens, isl,
+             CAST(MAX(s) - MIN(s) + 8 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY doc_id, n_tokens, isl
+    )
+    SELECT doc_id, n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+           ROUND(SUM(span_tokens) * 1.0 / n_tokens, 6) AS dup_frac
+    FROM spans GROUP BY doc_id, n_tokens
+    """,
+)
+def q_span_dup_stats(spark, sf_dir):
+    """Cross-document duplicated SPANS at rolling 8-token-window
+    granularity with overlap merging — the alignment-free exact
+    substring dedup (any duplicate of >= 8 tokens is caught at any
+    offset, unlike the fixed chunk grid). Window hashes shuffle as
+    8-byte keys at corpus-token cardinality; the span merge is per-doc
+    window-function work."""
+    return C.span_dup_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
     "hash_split_counts",
     oracle=f"""
     SELECT lang,

@@ -300,6 +300,61 @@ def q_dedup_groups(spark, sf_dir):
 
 
 @register(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_BANDS_CTE}, {_CAND_PAIRS}, {_JACCARD},
+    dups AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes za ON za.doc_id = c.doc_a
+      JOIN sizes zb ON zb.doc_id = c.doc_b
+      WHERE CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM dups
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM dups
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node AS doc_id, MIN(label) AS rep FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    bucketed AS (
+      SELECT doc_id, rep,
+             ('0x' || substr(md5('split:' || CAST(rep AS VARCHAR)), 1, 15))::BIGINT
+               % 10 AS bucket
+      FROM assigned
+    )
+    SELECT CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_groups
+    FROM bucketed GROUP BY 1
+    """,
+)
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/valid/test split: the split hash keys on the
+    near-dup COMPONENT representative, so near-duplicate documents land
+    in the same split by construction (doc-level hash splitting leaks a
+    test doc's near-twin into train ~80% of the time). Composes the
+    shared banded pair table + log-round components; adds one left join
+    and a map-side md5 bucket."""
+    from yamr_spark.operators.curation import leakage_safe_split_stats
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = _near_dup_pairs_shared(spark, sf_dir)
+    return leakage_safe_split_stats(docs, pairs)
+
+
+@register(
     "dedup_incremental",
     oracle="""
     WITH index_digests AS (

@@ -1018,3 +1018,39 @@ def q_supplier_ship_latency(spark, sf_dir):
             F.max(gap).cast("long").alias("max_ship_days"),
         )
     )
+
+
+@register(
+    "bloom_semi_join_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bloom_semi_join_orders(spark, sf_dir):
+    """orders ⋉ BUILDING-segment customers through the explicit
+    broadcast-bloom prefilter: the build side collapses to its <= m
+    hash-bucket set, broadcasts, and drops non-matching probe rows
+    map-side BEFORE the semi-join shuffle; the recheck semi-join kills
+    bucket collisions, so the result is exactly the plain semi-join the
+    oracle runs. Pins the probe-side runtime-filter plan shape Spark's
+    own bloom injection produces only when statistics cooperate."""
+    from yamr_spark.operators.relational import bloom_prefiltered_semi_join
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    qualified = bloom_prefiltered_semi_join(
+        orders, cust, "o_custkey", "c_custkey", m=4096
+    )
+    return qualified.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        R.money_sum("o_totalprice", "revenue"),
+    )

@@ -912,3 +912,24 @@ def q_hashed_doc_embeddings(spark, sf_dir):
     into the similarity family; every bucket/sign/weight replayed by
     the md5 oracle arithmetic."""
     return T.hashed_doc_embeddings(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "heavy_hitter_terms",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    cnts AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term)
+    SELECT term, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(cnt * 1.0 / n, 6) AS freq
+    FROM cnts CROSS JOIN tot WHERE cnt * 200 > n
+    """,
+)
+def q_heavy_hitter_terms(spark, sf_dir):
+    """EXACT heavy hitters (every term with freq > N/200) via the
+    two-pass candidate/recheck plan: per-Arrow-batch local counts emit
+    < k candidates each (pigeonhole => no false negatives), a broadcast
+    recheck computes exact global counts for candidates only — the long
+    vocabulary tail never shuffles. Equals brute force exactly, which
+    is what the oracle computes."""
+    return T.heavy_hitters_exact(table(spark, sf_dir, "documents"), k=200)
