@@ -104,3 +104,92 @@ def test_kmv_store_partitions_bounded(spark, sf_dir, tmp_path):
         spark.read.parquet(store).groupBy("batch_id").count().collect()
     )
     assert per_batch and all(r["count"] <= 16 for r in per_batch)
+
+
+def test_span_dup_detects_unaligned_duplicate(spark):
+    """A 10-token span shared at DIFFERENT offsets is found (the chunk
+    grid misses straddling duplicates); unique docs are absent; the two
+    overlapping dup windows inside each doc merge into ONE span."""
+    from yamr_spark.operators.curation import span_dup_stats
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    rows = [
+        (1, "one two three " + shared + " x1 y1 z1"),
+        (2, "p q " + shared + " r s t u v"),
+        (3, "totally unrelated words only here nothing shared at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in span_dup_stats(docs, width=8).collect()}
+    assert set(got) == {1, 2}
+    for doc_id in (1, 2):
+        r = got[doc_id]
+        # 10 shared tokens -> three 8-token dup windows -> ONE merged
+        # span of exactly 10 tokens
+        assert r.n_dup_spans == 1, r
+        assert r.dup_tokens == 10, r
+
+
+def test_span_dup_within_doc_repeat_not_flagged(spark):
+    """Duplication is CROSS-document (>=2 distinct docs): a doc that
+    repeats its own phrase twice but shares nothing is absent."""
+    from yamr_spark.operators.curation import span_dup_stats
+
+    phrase = "m n o p q r s t"
+    rows = [
+        (1, phrase + " filler " + phrase),
+        (2, "different text with no overlap whatsoever in this doc here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert span_dup_stats(docs, width=8).collect() == []
+
+
+def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
+    """THE invariant: both endpoints of every near-dup pair get the
+    same split. Checked over the real banded pair table."""
+    from yamr_spark.operators.curation import leakage_safe_split_assign
+    from yamr_spark.queries_dedup import _near_dup_pairs_shared
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = _near_dup_pairs_shared(spark, sf_dir)
+    assign = leakage_safe_split_assign(docs, pairs)
+    leaked = (
+        pairs.join(
+            assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert leaked == 0
+    # and the pairs actually exercise the invariant (non-empty graph)
+    assert pairs.count() > 0
+
+
+def test_heavy_hitters_equals_brute_force(spark):
+    """Candidate/recheck == brute-force counts+filter on a skewed
+    synthetic corpus (one term above N/k, tail below)."""
+    from yamr_spark.operators.text import heavy_hitters_exact
+
+    rows = [(i, "hot " * 30 + f"cold{i} " * 2) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    got = {r.term: r.cnt for r in heavy_hitters_exact(docs, k=20).collect()}
+    # N = 50*32 = 1600; threshold N/20 = 80; 'hot'=1500 passes, each
+    # cold term = 2 fails
+    assert got == {"hot": 1500}
+
+
+def test_bloom_semi_join_exact_under_collisions(spark):
+    """m=2 forces heavy bucket collisions; the recheck must still give
+    exactly the plain semi-join result."""
+    from yamr_spark.operators.relational import bloom_prefiltered_semi_join
+
+    probe = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    build = spark.createDataFrame([(i,) for i in range(0, 100, 7)], "bk long")
+    got = sorted(
+        r.k for r in bloom_prefiltered_semi_join(probe, build, "k", "bk", m=2).collect()
+    )
+    assert got == list(range(0, 100, 7))

@@ -110,6 +110,45 @@ def chunk_dup_stats(docs: DataFrame, width: int = 8) -> DataFrame:
     )
 
 
+def leakage_safe_split_assign(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Per-document leakage-safe split assignment (doc_id, rep, split)
+    — the materializable intermediate of
+    :func:`leakage_safe_split_stats`; see there for the why and the
+    scale argument. Both endpoints of any input pair share a ``rep``
+    (same connected component), hence a ``split``, by construction."""
+    from yamr_spark.functions import hash60
+    from yamr_spark.operators.graph import connected_components
+
+    comps = connected_components(pairs, src=src, dst=dst).select(
+        F.col("node").alias(id_col), F.col("component").alias("rep")
+    )
+    return (
+        docs.select(id_col)
+        .join(comps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("rep"), F.col(id_col)).alias("rep"),
+        )
+        .withColumn(
+            "bucket",
+            hash60(F.concat(F.lit("split:"), F.col("rep").cast("string"))) % 10,
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 8, "train")
+            .when(F.col("bucket") == 8, "valid")
+            .otherwise("test"),
+        )
+        .select(id_col, "rep", "split")
+    )
+
+
 def leakage_safe_split_stats(
     docs: DataFrame,
     pairs: DataFrame,
@@ -137,30 +176,7 @@ def leakage_safe_split_stats(
     both already bounded at 100 TB; everything added here is one left
     join against the component map (doc-count rows, 8-byte keys), a
     map-side md5 bucket, and a 3-group aggregate."""
-    from yamr_spark.functions import hash60
-    from yamr_spark.operators.graph import connected_components
-
-    comps = connected_components(pairs, src=src, dst=dst).select(
-        F.col("node").alias(id_col), F.col("component").alias("rep")
-    )
-    assigned = (
-        docs.select(id_col)
-        .join(comps, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("rep"), F.col(id_col)).alias("rep"),
-        )
-        .withColumn(
-            "bucket",
-            hash60(F.concat(F.lit("split:"), F.col("rep").cast("string"))) % 10,
-        )
-        .withColumn(
-            "split",
-            F.when(F.col("bucket") < 8, "train")
-            .when(F.col("bucket") == 8, "valid")
-            .otherwise("test"),
-        )
-    )
+    assigned = leakage_safe_split_assign(docs, pairs, id_col=id_col, src=src, dst=dst)
     return (
         assigned.groupBy("split")
         .agg(
