@@ -49,6 +49,7 @@ FAMILIES: dict[str, list[str]] = {
         "incremental_join_view_refresh",
         "pareto_skyline_parts",
         "supplier_ship_latency",
+        "bloom_semi_join_orders",
     ],
     # temporal joins + event-time windows
     "temporal": [
@@ -74,6 +75,8 @@ FAMILIES: dict[str, list[str]] = {
         "neardup_triangles",
         "containment_pairs",
         "containment_pairs_stratified",
+        "containment_pairs_bidir",
+        "leakage_safe_split",
     ],
     # similarity family
     "similarity": [
@@ -94,6 +97,7 @@ FAMILIES: dict[str, list[str]] = {
         "ann_quantized_ivf_topk",
         "hybrid_rrf_search",
         "mmr_diverse_topk",
+        "pca_top_components",
     ],
     # text-analysis family
     "text": [
@@ -110,6 +114,7 @@ FAMILIES: dict[str, list[str]] = {
         "sparse_cosine_pairs",
         "sparse_cosine_linkage_pairs",
         "hashed_doc_embeddings",
+        "heavy_hitter_terms",
     ],
     # curation family: decontamination, span dedup, split, quota
     # sampling, novelty, packing, mixtures — plus the fused pipelines
@@ -133,6 +138,7 @@ FAMILIES: dict[str, list[str]] = {
         "quality_stratified_sample",
         "weighted_sample_docs",
         "token_budget_pack",
+        "span_dup_stats",
     ],
     # multimodal decode seams (Arrow mapInPandas)
     "multimodal": [

@@ -219,7 +219,14 @@ def span_dup_stats(docs: DataFrame, width: int = 8) -> DataFrame:
         f"s -> struct(s AS s, "
         f"{hash60_sql(f'concat_ws(chr(32), slice(__toks, s, {width}))')} AS h))"
     )
-    wins = (
+    from yamr_spark.materialize import materialize
+
+    # materialized: BOTH consumers below (the doc-frequency aggregate
+    # and the position join) read this corpus-token-sized table — left
+    # lazy, the tokenize + window-build + md5 subtree executes twice
+    # (warm min-of-3 at sf0.1: 2.67 s -> 2.18 s). ~30 bytes/row of
+    # ints/longs, far smaller than the text it derives from.
+    wins = materialize(
         docs.select("doc_id", F.expr(_TOKS).alias("__toks"))
         .filter(F.size("__toks") >= width)
         .select(
