@@ -193,3 +193,39 @@ def test_bloom_semi_join_exact_under_collisions(spark):
         r.k for r in bloom_prefiltered_semi_join(probe, build, "k", "bk", m=2).collect()
     )
     assert got == list(range(0, 100, 7))
+
+
+def test_heavy_hitters_no_forced_corpus_broadcast(spark, sf_dir):
+    """The candidate table is corpus-derived (bounded by slices x k,
+    which grows with the corpus) — it must NOT be force-broadcast (the
+    LM-scorer rule). Only the 1-row total carries a hint; AQE may still
+    broadcast the observed-small candidate set at runtime."""
+    from yamr_spark.plans import forced_broadcast_hint_count
+    from yamr_spark.registry import all_queries
+
+    df = all_queries()["heavy_hitter_terms"](spark, sf_dir)
+    assert forced_broadcast_hint_count(df) == 1
+
+
+def test_bloom_semi_join_hints_only_bounded_bucket_set(spark, sf_dir):
+    """Exactly one forced hint: the <= m-row bucket set (structurally
+    bounded by the constant m, never by data). The recheck semi-join is
+    unhinted. The BUILDING filter reaches the customer scan."""
+    from yamr_spark.plans import forced_broadcast_hint_count, pushed_filters
+    from yamr_spark.registry import all_queries
+
+    df = all_queries()["bloom_semi_join_orders"](spark, sf_dir)
+    assert forced_broadcast_hint_count(df) == 1
+    assert "c_mktsegment" in pushed_filters(df)
+
+
+def test_span_dup_no_forced_hints_partial_agg(spark, sf_dir):
+    """Every table in span_dup_stats is corpus-sized: zero forced
+    broadcast hints; the doc-frequency aggregate must partial-aggregate
+    map-side (8-byte hash keys, not window text, cross the wire)."""
+    from yamr_spark.operators.curation import span_dup_stats
+    from yamr_spark.plans import forced_broadcast_hint_count, has_partial_aggregate
+
+    df = span_dup_stats(table(spark, sf_dir, "documents"))
+    assert forced_broadcast_hint_count(df) == 0
+    assert has_partial_aggregate(df)

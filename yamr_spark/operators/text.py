@@ -1427,9 +1427,16 @@ def heavy_hitters_exact(docs: DataFrame, k: int = 200) -> DataFrame:
     bounded by slices × k regardless of vocabulary size.
 
     Pass 2 (recheck): exact global counts for candidates only, via a
-    broadcast semi-join, then the exact global filter cnt·k > N.
-    False positives die here; the result is exactly the brute-force
-    answer the oracle computes.
+    semi-join against the candidate set, then the exact global filter
+    cnt·k > N. False positives die here; the result is exactly the
+    brute-force answer the oracle computes.
+
+    The candidate join is deliberately NOT force-broadcast (the
+    LM-scorer rule): candidates are bounded by slices × k, which is
+    corpus-derived — adversarial slices can each nominate ~k distinct
+    terms, so at 100 TB the bound is millions of rows. AQE broadcasts
+    it at runtime when it is actually small (the common, skewed case);
+    the only forced hint is the 1-row total.
 
     Why not just word_count + filter: that shuffles the ENTIRE distinct
     vocabulary (tail included — the vast majority of a 100 TB corpus's
@@ -1452,7 +1459,7 @@ def heavy_hitters_exact(docs: DataFrame, k: int = 200) -> DataFrame:
     cands = toks.mapInPandas(_cands, "term string").distinct()
     tot = toks.agg(F.count("*").alias("n"))
     return (
-        toks.join(F.broadcast(cands), "term")
+        toks.join(cands, "term")
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("cnt"))
         .crossJoin(F.broadcast(tot))
