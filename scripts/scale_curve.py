@@ -263,6 +263,47 @@ def r7late_experiment(spark, sf_dir: str, out_dir: str) -> None:
         print(f"| {name} | {cells} | {ratio}x |")
 
 
+def r9_experiment(spark, sf_dir: str, out_dir: str) -> None:
+    """Scaling curve for the round-9 additions over the salted
+    replicas. span_dup_stats: replicas share no windows ACROSS
+    replicas but each replays the base corpus's internal duplicates —
+    per-replica workload constant, the honest linear setup; cost is
+    the window build (corpus-token rows) + two hash-keyed shuffles +
+    per-doc island merge. heavy_hitters_exact: k scales with the
+    factor (200·f) so the per-replica frequency threshold is constant
+    — a fixed k would let the salted replicas dilute every term below
+    N/k and pass 2 would measure an empty recheck, not throughput."""
+    from yamr_spark.operators import curation as C
+    from yamr_spark.operators import text as T
+
+    paths = build_scaled(spark, sf_dir, out_dir)
+    results: dict[str, dict[int, float]] = {}
+    for k in FACTORS:
+        docs = spark.read.parquet(paths[k])
+        docs.count()
+        ops = {
+            "span_dup_stats": lambda df: C.span_dup_stats(df),
+            "heavy_hitters_exact(k=200f)": lambda df, kk=k: T.heavy_hitters_exact(
+                df, k=200 * kk
+            ),
+        }
+        for name, fn in ops.items():
+            best = None
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                fn(docs).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name.split("(")[0], {})[k] = round(best, 2)
+            print(json.dumps({"op": name, "factor": k, "sec": round(best, 2)}))
+    print("\n| operator | " + " | ".join(f"{k}x" for k in FACTORS) + " | t(16x)/t(1x) |")
+    print("|---|" + "---|" * (len(FACTORS) + 1))
+    for name, row in results.items():
+        ratio = round(row[FACTORS[-1]] / row[FACTORS[0]], 1)
+        cells = " | ".join(f"{row[k]:.2f}" for k in FACTORS)
+        print(f"| {name} | {cells} | {ratio}x |")
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = pos[0] if pos else os.environ.get(
@@ -289,6 +330,10 @@ def main() -> None:
         return
     if "--r7late" in sys.argv:
         r7late_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
+    if "--r9" in sys.argv:
+        r9_experiment(spark, sf_dir, out_dir)
         spark.stop()
         return
     paths = build_scaled(spark, sf_dir, out_dir)
