@@ -437,3 +437,85 @@ def test_lm_score_layout_invariance(spark, sf_dir):
     qa = sorted(map(tuple, quality_stratified_sample(docs.repartition(1)).collect()))
     qb = sorted(map(tuple, quality_stratified_sample(docs.repartition(97)).collect()))
     assert qa == qb
+
+
+# round 9: span-dedup merge law and heavy-hitter exactness over random
+# corpora — the brute-force Python replays of the operators' contracts.
+
+_words = st.sampled_from(list("abcdefgh"))
+_doc_texts = st.lists(
+    st.lists(_words, min_size=0, max_size=20).map(lambda ws: " ".join(ws)),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _brute_span_stats(texts: list[str], width: int):
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    wins: dict[int, list[tuple[int, str]]] = {}
+    seen_docs: dict[str, set[int]] = {}
+    for i, ts in toks.items():
+        for s in range(len(ts) - width + 1):
+            w = " ".join(ts[s : s + width])
+            wins.setdefault(i, []).append((s + 1, w))
+            seen_docs.setdefault(w, set()).add(i)
+    out = {}
+    for i, ws in wins.items():
+        dup_pos = sorted(s for s, w in ws if len(seen_docs[w]) >= 2)
+        if not dup_pos:
+            continue
+        spans = []
+        for s in dup_pos:
+            if spans and s <= spans[-1][1] + width:
+                spans[-1][1] = s
+            else:
+                spans.append([s, s])
+        dup_tokens = sum(e - b + width for b, e in spans)
+        out[i] = (len(toks[i]), len(spans), dup_tokens)
+    return out
+
+
+@given(texts=_doc_texts)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_span_dup_stats_matches_brute_force(spark, texts):
+    """For ANY corpus: cross-doc dup windows, island merge, and token
+    accounting equal the quadratic Python replay (width=3 keeps random
+    8-letter-vocab corpora actually producing collisions)."""
+    from yamr_spark.operators.curation import span_dup_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens)
+        for r in span_dup_stats(df, width=3).collect()
+    }
+    assert got == _brute_span_stats(texts, 3)
+
+
+@given(texts=_doc_texts, k=st.sampled_from([2, 3, 5]))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_heavy_hitters_exact_for_any_corpus_and_k(spark, texts, k):
+    """Exactness law: for ANY corpus and threshold parameter k, the
+    two-pass plan returns exactly the terms with cnt*k > N (brute
+    Python counts), regardless of how Arrow batches slice the data."""
+    from collections import Counter
+
+    from yamr_spark.operators.text import heavy_hitters_exact
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(4)
+    got = {r.term: r.cnt for r in heavy_hitters_exact(df, k=k).collect()}
+    counts = Counter(w for t in texts for w in t.split())
+    n = sum(counts.values())
+    want = {t: c for t, c in counts.items() if c * k > n}
+    assert got == want

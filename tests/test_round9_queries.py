@@ -196,15 +196,15 @@ def test_bloom_semi_join_exact_under_collisions(spark):
 
 
 def test_heavy_hitters_no_forced_corpus_broadcast(spark, sf_dir):
-    """The candidate table is corpus-derived (bounded by slices x k,
-    which grows with the corpus) — it must NOT be force-broadcast (the
-    LM-scorer rule). Only the 1-row total carries a hint; AQE may still
-    broadcast the observed-small candidate set at runtime."""
+    """The candidate TERM table is corpus-derived (slices x k) and must
+    never be force-broadcast (the LM-scorer rule). The two hints in the
+    plan are both structurally bounded: the <= m candidate BUCKET set
+    and the 1-row total — nothing data-sized carries a hint."""
     from yamr_spark.plans import forced_broadcast_hint_count
     from yamr_spark.registry import all_queries
 
     df = all_queries()["heavy_hitter_terms"](spark, sf_dir)
-    assert forced_broadcast_hint_count(df) == 1
+    assert forced_broadcast_hint_count(df) == 2
 
 
 def test_bloom_semi_join_hints_only_bounded_bucket_set(spark, sf_dir):

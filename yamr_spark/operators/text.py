@@ -1426,24 +1426,31 @@ def heavy_hitters_exact(docs: DataFrame, k: int = 200) -> DataFrame:
     one slice. Each slice emits < k rows, so the candidate table is
     bounded by slices × k regardless of vocabulary size.
 
-    Pass 2 (recheck): exact global counts for candidates only, via a
-    semi-join against the candidate set, then the exact global filter
-    cnt·k > N. False positives die here; the result is exactly the
-    brute-force answer the oracle computes.
+    Pass 2 (recheck): the candidate set collapses to its ≤ m hash-BUCKET
+    set (the bloom_prefiltered_semi_join discipline — bounded by the
+    CONSTANT m, never by data, so the broadcast is structurally
+    justified), which prefilters the token stream map-side; the
+    survivors partial-aggregate and face the exact global filter
+    cnt·k > N. That filter ALONE is exact: a bucket-collision term that
+    passed the prefilter either fails the threshold (dropped) or is a
+    true global heavy hitter — and pigeonhole says every true hitter
+    was already a candidate, so nothing new can appear and nothing real
+    can be missed.
 
-    The candidate join is deliberately NOT force-broadcast (the
-    LM-scorer rule): candidates are bounded by slices × k, which is
-    corpus-derived — adversarial slices can each nominate ~k distinct
-    terms, so at 100 TB the bound is millions of rows. AQE broadcasts
-    it at runtime when it is actually small (the common, skewed case);
-    the only forced hint is the 1-row total.
+    Why not force-broadcast the candidate TERMS instead: candidates are
+    corpus-derived (slices × k — adversarial slices can each nominate
+    ~k distinct terms), so at 100 TB that broadcast is the LM-scorer
+    OOM, and falling back to an unhinted join re-shuffles the ENTIRE
+    token stream the moment AQE stops broadcasting (measured: 26.5× at
+    16× data before this form; ~linear after). Why not just word_count
+    + filter: that shuffles the whole distinct vocabulary (the tail is
+    most of a 100 TB corpus's shuffle volume) to answer a < k-term
+    question — here the tail dies map-side at the bucket prefilter.
+    The candidate pass is Arrow-batched pandas value_counts
+    (vectorized, no per-row Python)."""
+    from yamr_spark.functions import hash60
 
-    Why not just word_count + filter: that shuffles the ENTIRE distinct
-    vocabulary (tail included — the vast majority of a 100 TB corpus's
-    shuffle volume) to answer a question about < k terms. Here the
-    shuffle carries only candidate occurrences; the long tail never
-    leaves the scan stage. The candidate pass is Arrow-batched pandas
-    value_counts (vectorized, no per-row Python)."""
+    m = 65536
     toks = docs.select(F.explode(_tokens_col()).alias("term"))
 
     def _cands(batches):
@@ -1456,10 +1463,18 @@ def heavy_hitters_exact(docs: DataFrame, k: int = 200) -> DataFrame:
             cand = vc[vc * k > len(pdf)]
             yield pd.DataFrame({"term": cand.index})
 
-    cands = toks.mapInPandas(_cands, "term string").distinct()
+    cand_buckets = (
+        toks.mapInPandas(_cands, "term string")
+        .select(F.pmod(hash60(F.col("term")), F.lit(m)).alias("__b"))
+        .distinct()
+    )
     tot = toks.agg(F.count("*").alias("n"))
     return (
-        toks.join(cands, "term")
+        toks.join(
+            F.broadcast(cand_buckets),
+            F.pmod(hash60(F.col("term")), F.lit(m)) == F.col("__b"),
+            "left_semi",
+        )
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("cnt"))
         .crossJoin(F.broadcast(tot))
