@@ -139,6 +139,7 @@ FAMILIES: dict[str, list[str]] = {
         "weighted_sample_docs",
         "token_budget_pack",
         "span_dup_stats",
+        "weighted_sample_per_lang",
     ],
     # multimodal decode seams (Arrow mapInPandas)
     "multimodal": [

@@ -229,3 +229,32 @@ def test_span_dup_no_forced_hints_partial_agg(spark, sf_dir):
     df = span_dup_stats(table(spark, sf_dir, "documents"))
     assert forced_broadcast_hint_count(df) == 0
     assert has_partial_aggregate(df)
+
+
+def test_weighted_per_group_consistent_with_global(spark, sf_dir):
+    """Per-group A-ES uses the same priorities as the global sampler:
+    restricting the global ranking to one group and cutting at k must
+    equal the per-group winners for that group."""
+    from yamr_spark.operators.curation import (
+        weighted_sample,
+        weighted_sample_per_group,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    per = weighted_sample_per_group(
+        docs, group_col="lang", id_col="doc_id", weight_col="n_chars", k=5
+    ).collect()
+    langs = {r.lang for r in per}
+    assert per and all(
+        sum(1 for r in per if r.lang == lang) <= 5 for lang in langs
+    )
+    for lang in list(langs)[:2]:
+        glob = weighted_sample(
+            docs.where(F.col("lang") == lang),
+            id_col="doc_id", weight_col="n_chars", k=5,
+        ).collect()
+        want = sorted((r.doc_id, r.sample_key) for r in glob)
+        got = sorted(
+            (r.doc_id, r.sample_key) for r in per if r.lang == lang
+        )
+        assert got == want, lang

@@ -1020,6 +1020,50 @@ def weighted_sample(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-GROUP weighted sampling without replacement — A-ES
+    priorities (:func:`weighted_sample`'s deterministic ln(u)/w key)
+    ranked within each group, the quota × importance composition
+    (e.g. "k weighted docs per language") that neither the global
+    weighted sample nor the unweighted per-lang quota covers alone.
+
+    Scale: one map-side key computation, one shuffle by group, and a
+    per-group streaming rank (row_number) — state per group is the
+    rank counter, not the group's rows. For extreme row-per-group
+    counts the standard prefilter applies: per-Arrow-batch per-group
+    top-k retains every global per-group winner (each group's global
+    top-k rows are in their own batch's batch-local top-k by
+    definition), shrinking the shuffle to batches × groups × k rows;
+    at the registered scales the plain window is the better plan (no
+    Python crossing)."""
+    from yamr_spark.functions import hash60
+
+    u = (hash60(F.col(id_col).cast("string")) + 1).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    key = F.round(F.log(u) / F.col(weight_col), 9)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("sample_key"), F.col(id_col)
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            key.alias("sample_key"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
 def quality_stratified_sample(
     docs: DataFrame, rates_pct: tuple[int, ...] = (5, 15, 40, 80)
 ) -> DataFrame:

@@ -1026,3 +1026,34 @@ def q_token_budget_pack(spark, sf_dir):
     return token_budget_pack(
         table(spark, sf_dir, "documents"), budget_tokens=2000
     )
+
+
+@register(
+    "weighted_sample_per_lang",
+    oracle="""
+    WITH keyed AS (
+      SELECT lang, doc_id,
+             n_chars AS weight,
+             ROUND(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       + 1) / 1152921504606846976.0) / n_chars, 9) AS sample_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT lang, doc_id, weight, sample_key, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY sample_key DESC, doc_id) AS rnk
+      FROM keyed
+    ) t WHERE rnk <= 10
+    """,
+)
+def q_weighted_sample_per_lang(spark, sf_dir):
+    """Ten length-weighted docs PER LANGUAGE without replacement —
+    per-group A-ES priorities ranked by a per-lang streaming
+    row_number; the quota × importance composition. Oracle replays
+    every md5-derived priority and the rank tie-break."""
+    from yamr_spark.operators.curation import weighted_sample_per_group
+
+    return weighted_sample_per_group(
+        table(spark, sf_dir, "documents"),
+        group_col="lang", id_col="doc_id", weight_col="n_chars", k=10,
+    )

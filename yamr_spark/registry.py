@@ -203,6 +203,7 @@ _R10_BACKFILL = [
     "leakage_safe_split",
     "heavy_hitter_terms",
     "bloom_semi_join_orders",
+    "weighted_sample_per_lang",
     # hygiene-change restamps (locally ALL-MATCH, r07 stamps valid):
     "unigram_lm_score",
     "bigram_lm_score",
