@@ -1,0 +1,124 @@
+"""Prefix compaction of the per-batch sketch delta stores: served
+results must be IDENTICAL before and after folding a committed prefix,
+and every crash window of the stage->marker->delete->move protocol
+must recover to that same served result (the LSH mid-crash test's
+frame applied to the CMS/KMV stores)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from yamr_spark.streaming.cms import read_cms_store, stream_cms_to_store
+from yamr_spark.streaming.events import stream_events
+from yamr_spark.streaming.kmv import read_kmv_store, stream_kmv_to_store
+from yamr_spark.streaming.sketch_compact import (
+    cms_merge,
+    compact_prefix,
+    kmv_merge,
+    recover,
+)
+
+
+def _batch_ids(store):
+    return sorted(
+        int(d.split("=")[1]) for d in os.listdir(store) if d.startswith("batch_id=")
+    )
+
+
+def _split_into_batches(spark, store, n=3):
+    """The availableNow drain lands one batch at test scale; re-shard
+    the partitions into n synthetic committed batches so compaction has
+    a real prefix to fold."""
+    df = spark.read.parquet(store).drop("batch_id").cache()
+    df.count()
+    shutil.rmtree(store)
+    rows = df.withColumn("__r", F.monotonically_increasing_id())
+    for b in range(n):
+        part = rows.where(F.col("__r") % n == b).drop("__r")
+        (
+            part.withColumn("batch_id", F.lit(b))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(store)
+        )
+    df.unpersist()
+
+
+@pytest.fixture()
+def cms_store(spark, sf_dir, tmp_path):
+    store = os.path.join(str(tmp_path), "store")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    stream_cms_to_store(stream_events(spark, sf_dir), "user_id", store, ckpt)
+    _split_into_batches(spark, store)
+    return store
+
+
+def _served_cms(spark, store):
+    return sorted(
+        map(tuple, read_cms_store(spark, store).collect())
+    )
+
+
+def test_cms_compact_preserves_served_sketch(spark, cms_store):
+    before = _served_cms(spark, cms_store)
+    assert len(_batch_ids(cms_store)) == 3
+    folded = compact_prefix(spark, cms_store, cms_merge, upto=1)
+    assert folded == 2
+    assert _batch_ids(cms_store) == [0, 2]
+    assert _served_cms(spark, cms_store) == before
+    # idempotent: nothing left to fold below upto
+    assert compact_prefix(spark, cms_store, cms_merge, upto=1) == 1
+
+
+def test_kmv_compact_preserves_served_sketch(spark, sf_dir, tmp_path):
+    store = os.path.join(str(tmp_path), "store")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    stream_kmv_to_store(stream_events(spark, sf_dir), "user_id", store, ckpt, k=32)
+    _split_into_batches(spark, store)
+    before = read_kmv_store(spark, store, k=32).collect()
+    compact_prefix(spark, store, kmv_merge(32), upto=1)
+    assert read_kmv_store(spark, store, k=32).collect() == before
+
+
+def test_crash_before_marker_drops_stage(spark, cms_store):
+    before = _served_cms(spark, cms_store)
+    # simulate: staged write completed, crash before the marker commit
+    stage = os.path.join(cms_store, "_compact_stage")
+    cms_merge(spark.read.parquet(*[
+        os.path.join(cms_store, f"batch_id={b}") for b in (0, 1)
+    ])).coalesce(1).write.mode("overwrite").parquet(stage)
+    assert recover(cms_store) == "dropped uncommitted stage"
+    assert not os.path.isdir(stage)
+    assert _batch_ids(cms_store) == [0, 1, 2]
+    assert _served_cms(spark, cms_store) == before
+
+
+def test_crash_after_marker_mid_delete_completes(spark, cms_store):
+    before = _served_cms(spark, cms_store)
+    stage = os.path.join(cms_store, "_compact_stage")
+    cms_merge(spark.read.parquet(*[
+        os.path.join(cms_store, f"batch_id={b}") for b in (0, 1)
+    ])).coalesce(1).write.mode("overwrite").parquet(stage)
+    with open(os.path.join(cms_store, "_compact_commit.json"), "w") as fh:
+        json.dump({"delete": ["batch_id=0", "batch_id=1"], "target": "batch_id=0"}, fh)
+    # crash mid-delete: only one folded partition removed so far
+    shutil.rmtree(os.path.join(cms_store, "batch_id=1"))
+    # the read path runs recovery itself
+    assert _served_cms(spark, cms_store) == before
+    assert _batch_ids(cms_store) == [0, 2]
+
+
+def test_crash_after_move_marker_left(spark, cms_store):
+    before = _served_cms(spark, cms_store)
+    compact_prefix(spark, cms_store, cms_merge, upto=1)
+    # simulate a crash that completed everything except marker removal
+    with open(os.path.join(cms_store, "_compact_commit.json"), "w") as fh:
+        json.dump({"delete": ["batch_id=0", "batch_id=1"], "target": "batch_id=0"}, fh)
+    assert recover(cms_store) == "completed interrupted compaction"
+    assert not os.path.exists(os.path.join(cms_store, "_compact_commit.json"))
+    assert _served_cms(spark, cms_store) == before

@@ -19,10 +19,11 @@ an exactly-once store.
 
 Scale notes: per-batch state shipped to the store is bounded by
 depth x width cells regardless of batch size; the serve-side sum runs
-over batches x (d*w) rows. For unbounded run lengths, partitions
-compact by rewriting any prefix of batch ids as one summed partition
-(same additivity) — the streaming-LSH compaction discipline applies
-unchanged.
+over batches x (d*w) rows. For unbounded run lengths,
+``streaming/sketch_compact.compact_prefix(..., cms_merge, upto)``
+folds any checkpoint-committed prefix of batch partitions into one
+summed partition (same additivity), with the staged-inside-the-store
+crash discipline; serve/ingest paths run its ``recover`` first.
 """
 
 from __future__ import annotations
@@ -68,7 +69,15 @@ def stream_cms_to_store(
     depth: int = 4,
     width: int = 256,
 ) -> None:
-    """Drain the stream (availableNow) into the delta store."""
+    """Drain the stream (availableNow) into the delta store.
+
+    Crash-residue recovery runs ONCE before the first batch (the LSH
+    ingest discipline): a compactor that died mid-swap leaves a commit
+    marker + staged partition that must be resolved before new batch
+    partitions land."""
+    from yamr_spark.streaming.sketch_compact import recover
+
+    recover(store_dir)
     q = (
         sdf.writeStream.foreachBatch(
             lambda b, bid: merge_cms_batch(
@@ -84,6 +93,9 @@ def stream_cms_to_store(
 
 def read_cms_store(spark: SparkSession, store_dir: str) -> DataFrame:
     """The served sketch: cell-wise sum over every batch partition."""
+    from yamr_spark.streaming.sketch_compact import recover
+
+    recover(store_dir)
     return (
         spark.read.parquet(store_dir)
         .groupBy("i", "bucket")

@@ -66,7 +66,15 @@ def stream_kmv_to_store(
     checkpoint_dir: str,
     k: int = 256,
 ) -> None:
-    """Drain the stream (availableNow) into the bottom-k delta store."""
+    """Drain the stream (availableNow) into the bottom-k delta store.
+
+    Crash-residue recovery runs ONCE before the first batch (the LSH
+    ingest discipline): a compactor that died mid-swap leaves a commit
+    marker + staged partition that must be resolved before new batch
+    partitions land."""
+    from yamr_spark.streaming.sketch_compact import recover
+
+    recover(store_dir)
     q = (
         sdf.writeStream.foreachBatch(
             lambda b, bid: merge_kmv_batch(b, bid, col, store_dir, k=k)
@@ -86,6 +94,9 @@ def read_kmv_store(spark: SparkSession, store_dir: str, k: int = 256) -> DataFra
     bottom-k)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    from yamr_spark.streaming.sketch_compact import recover
+
+    recover(store_dir)
     bottom = (
         spark.read.parquet(store_dir)
         .select("h")
