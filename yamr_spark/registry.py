@@ -102,14 +102,17 @@ def _load_query_modules() -> None:
 _LOADED = False
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of
-# queries() per round. Round-8 window = exactly the r07 verdict's
-# plan: (1) quality_stratified_sample first — its r07 hash flake is
-# fixed (decimal-disciplined means) and a changed plan must earn a
-# fresh stamp; (2) the 7 queries registered late in r07 that have
-# never met the driver; (3) the 41-query r02/r03 stale-stamp tail,
-# oldest-first — after r08 NO stamp predates r04; (4) the one new
-# driver-gated query this round (containment_pairs_bidir, verdict
-# item #3) in the last headroom slot. 1 + 7 + 41 + 1 = 50 exactly.
+# queries() per round. This window (planned for r8; r8 ended before
+# the driver ran, so it executes at the END OF ROUND 9) is the r07
+# verdict's plan with the round-9 amendment described below:
+# (1) quality_stratified_sample first — its r07 hash flake is fixed
+# (decimal-disciplined means) and a changed plan must earn a fresh
+# stamp; (2) the 7 queries registered late in r07 that have never met
+# the driver; (3) pca_top_components + streaming_kmv_distinct —
+# planned in r08's registry comments but BUILT in round 9, never
+# stamped; (4) the r02/r03 stale-stamp tail minus the two displaced
+# green-r03 entries; (5) containment_pairs_bidir (r08's one new
+# registration) in the last slot. 1 + 7 + 2 + 39 + 1 = 50 exactly.
 #
 # Stamps NOT refreshed this round, and why that is sound:
 # - unigram_lm_score / bigram_lm_score (r07 green): their mean is now
