@@ -898,6 +898,8 @@ def containment_pairs_stratified(
     max_df: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sh: DataFrame | None = None,
+    rare: DataFrame | None = None,
 ) -> DataFrame:
     """ONE-SIDED containment candidates (VERDICT r06 #3): the variant of
     :func:`containment_pairs` whose candidate generation does not depend
@@ -926,16 +928,19 @@ def containment_pairs_stratified(
     (bounded per-doc state, co-partitioned with the next join's build).
     Recall caveat inherited from the cap: a src doc whose every shingle
     exceeds ``max_df`` (pure boilerplate) emits no probes — exactly the
-    docs the ngram-Jaccard DF-cap already declines to pair."""
-    from yamr_spark.materialize import materialize
+    docs the ngram-Jaccard DF-cap already declines to pair.
 
+    ``sh``/``rare``: optionally pass the precomputed (materialized)
+    hashed-shingle table and its max_df-filtered rare stream so the
+    containment family shares ONE shingle build per (session, corpus)
+    — the pair-table sharing discipline (queries_dedup.
+    _containment_shingles_shared); semantics are identical either
+    way."""
     from pyspark.sql import Window
 
-    sh = word_shingle_hashes(
-        docs, n=n, text_col=text_col, id_col=id_col
-    ).transform(materialize)
-    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    rare = sh.join(dfreq.where(F.col("df") <= max_df).select("sh"), "sh")
+    sh, rare = _shingles_and_rare(
+        docs, n, max_df, text_col, id_col, sh=sh, rare=rare
+    )
     w = Window.partitionBy("doc_id").orderBy("sh")
     probes = (
         rare.withColumn("rn", F.row_number().over(w))
@@ -985,6 +990,30 @@ def containment_pairs_stratified(
     )
 
 
+def _shingles_and_rare(
+    docs: DataFrame,
+    n: int,
+    max_df: int,
+    text_col: str,
+    id_col: str,
+    sh: DataFrame | None = None,
+    rare: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The containment family's shared head: the materialized hashed-
+    shingle table and its max_df-filtered rare stream, either passed in
+    precomputed (the per-session cache) or built here."""
+    from yamr_spark.materialize import materialize
+
+    if sh is None:
+        sh = word_shingle_hashes(
+            docs, n=n, text_col=text_col, id_col=id_col
+        ).transform(materialize)
+    if rare is None:
+        dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        rare = sh.join(dfreq.where(F.col("df") <= max_df).select("sh"), "sh")
+    return sh, rare
+
+
 def containment_pairs_bidir(
     docs: DataFrame,
     threshold: float = 0.7,
@@ -993,6 +1022,8 @@ def containment_pairs_bidir(
     max_df: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sh: DataFrame | None = None,
+    rare: DataFrame | None = None,
 ) -> DataFrame:
     """BIDIRECTIONAL containment (VERDICT r07 #3): one row per
     UNORDERED candidate pair (doc_a < doc_b) carrying BOTH directed
@@ -1014,16 +1045,14 @@ def containment_pairs_bidir(
     over the candidate-pruned shingle stream (shc), sizes from that
     same pruned stream — plus one `least/greatest` canonicalization;
     verifying both directions reuses the SAME intersection count, so
-    bidir costs no second corpus pass."""
-    from yamr_spark.materialize import materialize
-
+    bidir costs no second corpus pass. ``sh``/``rare``: see
+    :func:`containment_pairs_stratified` — the family's shared shingle
+    build."""
     from pyspark.sql import Window
 
-    sh = word_shingle_hashes(
-        docs, n=n, text_col=text_col, id_col=id_col
-    ).transform(materialize)
-    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    rare = sh.join(dfreq.where(F.col("df") <= max_df).select("sh"), "sh")
+    sh, rare = _shingles_and_rare(
+        docs, n, max_df, text_col, id_col, sh=sh, rare=rare
+    )
     w = Window.partitionBy("doc_id").orderBy("sh")
     probes = (
         rare.withColumn("rn", F.row_number().over(w))

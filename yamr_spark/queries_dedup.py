@@ -44,6 +44,39 @@ def _near_dup_pairs_shared(spark, sf_dir: str) -> DataFrame:
         _PAIR_CACHE[key] = df
     return df
 
+
+# One hashed-shingle table + rare (df <= max_df) stream per
+# (session, sf_dir, n, max_df), shared by the containment family
+# (stratified + bidir) — same discipline as the pair table above: both
+# queries open with the identical tokenize → shingle → md5 → distinct
+# build and its document-frequency filter (~the first half of each
+# query's cost at sf0.1); compute it once, run both probe/verify
+# pipelines over the shared materialized frames. Values are identical
+# by construction (the operators take the frames as optional inputs).
+_SHINGLE_CACHE: dict[tuple[str, str, int, int], tuple[DataFrame, DataFrame]] = {}
+
+
+def _containment_shingles_shared(
+    spark, sf_dir: str, n: int = 3, max_df: int = 50
+) -> tuple[DataFrame, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir, n, max_df)
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is None:
+        from yamr_spark.materialize import materialize
+
+        for stale in [k for k in _SHINGLE_CACHE if k[0] != key[0]]:
+            del _SHINGLE_CACHE[stale]
+        sh = materialize(
+            D.word_shingle_hashes(table(spark, sf_dir, "documents"), n=n)
+        )
+        dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        rare = materialize(
+            sh.join(dfreq.where(F.col("df") <= max_df).select("sh"), "sh")
+        )
+        hit = (sh, rare)
+        _SHINGLE_CACHE[key] = hit
+    return hit
+
 # Shared DuckDB CTEs: tokens and distinct word-3-shingles per document.
 _TOKS_CTE = """
 toks AS (
@@ -682,7 +715,10 @@ def q_containment_pairs_stratified(spark, sf_dir):
     so tiny-doc-in-huge-doc pairs (containment ≈ 1, Jaccard ≈ 0 — pairs
     the Jaccard band join provably can miss) become candidates; exact
     |src∩dst|/|src| verification over the full shingle sets."""
-    return D.containment_pairs_stratified(table(spark, sf_dir, "documents"))
+    sh, rare = _containment_shingles_shared(spark, sf_dir)
+    return D.containment_pairs_stratified(
+        table(spark, sf_dir, "documents"), sh=sh, rare=rare
+    )
 
 
 @register(
@@ -734,7 +770,10 @@ def q_containment_pairs_bidir(spark, sf_dir):
     "run twice or union" docstring. Candidates from either side's
     rare-shingle probes; both directions verified from ONE exact
     intersection count (no second corpus pass)."""
-    return D.containment_pairs_bidir(table(spark, sf_dir, "documents"))
+    sh, rare = _containment_shingles_shared(spark, sf_dir)
+    return D.containment_pairs_bidir(
+        table(spark, sf_dir, "documents"), sh=sh, rare=rare
+    )
 
 
 @register(

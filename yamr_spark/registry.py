@@ -207,6 +207,12 @@ _R10_BACKFILL = [
     "heavy_hitter_terms",
     "bloom_semi_join_orders",
     "weighted_sample_per_lang",
+    # plan-change restamp (r9: shared containment shingle cache — the
+    # family's shingle build computed once per session; values verified
+    # identical via drive.py ALL-MATCH, but a changed plan must earn a
+    # fresh stamp; containment_pairs_bidir is in THIS round's window so
+    # it gets stamped on the new plan directly):
+    "containment_pairs_stratified",
     # hygiene-change restamps (locally ALL-MATCH, r07 stamps valid):
     "unigram_lm_score",
     "bigram_lm_score",
