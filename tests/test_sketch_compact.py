@@ -33,20 +33,24 @@ def _batch_ids(store):
 def _split_into_batches(spark, store, n=3):
     """The availableNow drain lands one batch at test scale; re-shard
     the partitions into n synthetic committed batches so compaction has
-    a real prefix to fold."""
-    df = spark.read.parquet(store).drop("batch_id").cache()
-    df.count()
+    a real prefix to fold. Rows go through the DRIVER, not cache():
+    caching is best-effort, and an evicted partition would recompute
+    from the store deleted on the next line (review r09 finding)."""
+    src = spark.read.parquet(store).drop("batch_id")
+    cols = src.columns
+    rows = src.collect()  # sketch stores are tiny (cells / bottom-k)
     shutil.rmtree(store)
-    rows = df.withColumn("__r", F.monotonically_increasing_id())
     for b in range(n):
-        part = rows.where(F.col("__r") % n == b).drop("__r")
+        part = spark.createDataFrame(
+            [r for i, r in enumerate(rows) if i % n == b], src.schema
+        )
         (
-            part.withColumn("batch_id", F.lit(b))
+            part.select(*cols)
+            .withColumn("batch_id", F.lit(b))
             .write.mode("append")
             .partitionBy("batch_id")
             .parquet(store)
         )
-    df.unpersist()
 
 
 @pytest.fixture()

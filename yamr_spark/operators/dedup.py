@@ -936,47 +936,16 @@ def containment_pairs_stratified(
     — the pair-table sharing discipline (queries_dedup.
     _containment_shingles_shared); semantics are identical either
     way."""
-    from pyspark.sql import Window
-
     sh, rare = _shingles_and_rare(
         docs, n, max_df, text_col, id_col, sh=sh, rare=rare
     )
-    w = Window.partitionBy("doc_id").orderBy("sh")
-    probes = (
-        rare.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= probes_per_doc)
-        .select(F.col("doc_id").alias("src"), "sh")
-    )
     cand = (
-        probes.join(
-            rare.select(F.col("doc_id").alias("dst"), "sh"), "sh"
-        )
-        .where(F.col("src") != F.col("dst"))
+        _containment_probe_candidates(rare, probes_per_doc)
         .select("src", "dst")
         .distinct()
         .transform(materialize)
     )
-    cand_ids = (
-        cand.select(F.col("src").alias("doc_id"))
-        .union(cand.select(F.col("dst").alias("doc_id")))
-        .distinct()
-    )
-    shc = sh.join(cand_ids, "doc_id", "left_semi")
-    inter = (
-        cand.join(shc.alias("sa"), F.col("src") == F.col("sa.doc_id"))
-        .join(
-            shc.alias("sb"),
-            (F.col("dst") == F.col("sb.doc_id"))
-            & (F.col("sa.sh") == F.col("sb.sh")),
-        )
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("i"))
-    )
-    # sizes from the candidate-pruned stream (shc), not the corpus: only
-    # src docs' sizes are ever joined, and shc already carries every
-    # candidate id — the full-corpus aggregate would shuffle size state
-    # for documents that can never appear (review r07 finding)
-    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter, sizes = _containment_intersect(cand, sh, "src", "dst")
     return (
         inter.join(
             sizes.select(F.col("doc_id").alias("src"), "sz"), "src"
@@ -988,6 +957,52 @@ def containment_pairs_stratified(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+def _containment_probe_candidates(
+    rare: DataFrame, probes_per_doc: int
+) -> DataFrame:
+    """The family's shared candidate generator: each doc's bottom-k
+    (by hash) rare shingles probe the rare-shingle inverted index.
+    Returns raw directed (src, dst) hits — callers canonicalize."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("sh")
+    probes = (
+        rare.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= probes_per_doc)
+        .select(F.col("doc_id").alias("src"), "sh")
+    )
+    return probes.join(
+        rare.select(F.col("doc_id").alias("dst"), "sh"), "sh"
+    ).where(F.col("src") != F.col("dst"))
+
+
+def _containment_intersect(
+    cand: DataFrame, sh: DataFrame, xcol: str, ycol: str
+) -> tuple[DataFrame, DataFrame]:
+    """The family's shared exact-verify core: prune the shingle stream
+    to candidate docs (left-semi), count each pair's intersection, and
+    aggregate sizes from the SAME pruned stream (never the corpus —
+    review r07). Returns (inter(x, y, i), sizes(doc_id, sz))."""
+    cand_ids = (
+        cand.select(F.col(xcol).alias("doc_id"))
+        .union(cand.select(F.col(ycol).alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(cand_ids, "doc_id", "left_semi")
+    inter = (
+        cand.join(shc.alias("sa"), F.col(xcol) == F.col("sa.doc_id"))
+        .join(
+            shc.alias("sb"),
+            (F.col(ycol) == F.col("sb.doc_id"))
+            & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy(xcol, ycol)
+        .agg(F.count("*").alias("i"))
+    )
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    return inter, sizes
 
 
 def _shingles_and_rare(
@@ -1048,20 +1063,11 @@ def containment_pairs_bidir(
     bidir costs no second corpus pass. ``sh``/``rare``: see
     :func:`containment_pairs_stratified` — the family's shared shingle
     build."""
-    from pyspark.sql import Window
-
     sh, rare = _shingles_and_rare(
         docs, n, max_df, text_col, id_col, sh=sh, rare=rare
     )
-    w = Window.partitionBy("doc_id").orderBy("sh")
-    probes = (
-        rare.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= probes_per_doc)
-        .select(F.col("doc_id").alias("src"), "sh")
-    )
     cand = (
-        probes.join(rare.select(F.col("doc_id").alias("dst"), "sh"), "sh")
-        .where(F.col("src") != F.col("dst"))
+        _containment_probe_candidates(rare, probes_per_doc)
         .select(
             F.least("src", "dst").alias("a"),
             F.greatest("src", "dst").alias("b"),
@@ -1069,23 +1075,7 @@ def containment_pairs_bidir(
         .distinct()
         .transform(materialize)
     )
-    cand_ids = (
-        cand.select(F.col("a").alias("doc_id"))
-        .union(cand.select(F.col("b").alias("doc_id")))
-        .distinct()
-    )
-    shc = sh.join(cand_ids, "doc_id", "left_semi")
-    inter = (
-        cand.join(shc.alias("sa"), F.col("a") == F.col("sa.doc_id"))
-        .join(
-            shc.alias("sb"),
-            (F.col("b") == F.col("sb.doc_id"))
-            & (F.col("sa.sh") == F.col("sb.sh")),
-        )
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("i"))
-    )
-    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter, sizes = _containment_intersect(cand, sh, "a", "b")
     return (
         inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
         .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")

@@ -1449,11 +1449,18 @@ def heavy_hitters_exact(docs: DataFrame, k: int = 200) -> DataFrame:
     The candidate pass is Arrow-batched pandas value_counts
     (vectorized, no per-row Python)."""
     from yamr_spark.functions import hash60
+    from yamr_spark.materialize import materialize
 
     m = 65536
     toks = docs.select(F.explode(_tokens_col()).alias("term"))
 
-    def _cands(batches):
+    # one Arrow pass emits BOTH the batch-local candidates and the
+    # batch's token total (the NULL-term row), so the corpus is scanned
+    # exactly twice — this pass and the recheck; a separate count(*)
+    # aggregate was a third full tokenize+explode (review r09 finding).
+    # The summary is materialized because two consumers (bucket set,
+    # total) read it; it is bounded by slices x k rows.
+    def _scan(batches):
         import pandas as pd
 
         for pdf in batches:
@@ -1461,14 +1468,20 @@ def heavy_hitters_exact(docs: DataFrame, k: int = 200) -> DataFrame:
                 continue
             vc = pdf["term"].value_counts()
             cand = vc[vc * k > len(pdf)]
-            yield pd.DataFrame({"term": cand.index})
+            yield pd.DataFrame(
+                {
+                    "term": list(cand.index) + [None],
+                    "n": [0] * len(cand) + [len(pdf)],
+                }
+            )
 
+    summary = materialize(toks.mapInPandas(_scan, "term string, n long"))
     cand_buckets = (
-        toks.mapInPandas(_cands, "term string")
+        summary.where(F.col("term").isNotNull())
         .select(F.pmod(hash60(F.col("term")), F.lit(m)).alias("__b"))
         .distinct()
     )
-    tot = toks.agg(F.count("*").alias("n"))
+    tot = summary.agg(F.sum("n").alias("n"))
     return (
         toks.join(
             F.broadcast(cand_buckets),

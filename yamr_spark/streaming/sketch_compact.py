@@ -58,6 +58,12 @@ def recover(store_dir: str) -> str | None:
         return None
     marker = os.path.join(store_dir, _MARKER)
     stage = os.path.join(store_dir, _STAGE)
+    # a crash between writing marker.tmp and its rename leaves the .tmp
+    # behind with no marker — uncommitted residue, same class as the
+    # stage below
+    tmp_marker = marker + ".tmp"
+    if os.path.exists(tmp_marker) and not os.path.exists(marker):
+        os.remove(tmp_marker)
     if not os.path.exists(marker):
         if os.path.isdir(stage):
             # staged but never committed: the store is intact, the
@@ -100,14 +106,12 @@ def compact_prefix(
     The read targets ONLY the folded partition directories, so the
     newest (possibly uncommitted, possibly being replayed) batches are
     never touched."""
-    recover(store_dir)
+    recover(store_dir)  # guarantees: no marker, no stage, no .tmp left
     folded = [(b, p) for b, p in _batch_dirs(store_dir) if b <= upto]
     if len(folded) < 2:
         return len(folded)
     target_id = folded[0][0]
     stage = os.path.join(store_dir, _STAGE)
-    if os.path.isdir(stage):
-        shutil.rmtree(stage)
     merged = merge_fn(spark.read.parquet(*[p for _, p in folded]))
     # computation barrier INSIDE the protected window is unnecessary:
     # the write below reads the old partitions and writes the hidden
@@ -140,7 +144,6 @@ def cms_merge(df: DataFrame) -> DataFrame:
 def kmv_merge(k: int = 256) -> Callable[[DataFrame], DataFrame]:
     """Distinct bottom-k — the KMV store's associative reduction
     (bottom-k of a union of bottom-k sets is the union's bottom-k)."""
-    from pyspark.sql import functions as F  # noqa: F401
 
     def _merge(df: DataFrame) -> DataFrame:
         return df.select("h").distinct().orderBy("h").limit(k)
