@@ -140,6 +140,7 @@ FAMILIES: dict[str, list[str]] = {
         "token_budget_pack",
         "span_dup_stats",
         "weighted_sample_per_lang",
+        "llm_prep_pipeline_v4",
     ],
     # multimodal decode seams (Arrow mapInPandas)
     "multimodal": [

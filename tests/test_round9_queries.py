@@ -258,3 +258,22 @@ def test_weighted_per_group_consistent_with_global(spark, sf_dir):
             (r.doc_id, r.sample_key) for r in per if r.lang == lang
         )
         assert got == want, lang
+
+
+def test_llm_prep_v4_budget_and_monotonicity(spark, sf_dir):
+    """v4's packing report respects the budget per lang, and removing
+    the high-span-dup docs + non-train splits can only shrink each
+    lang's totals vs the plain pack over the full corpus."""
+    from yamr_spark.operators.curation import token_budget_pack
+    from yamr_spark.registry import all_queries
+
+    v4 = {r.lang: r for r in
+          all_queries()["llm_prep_pipeline_v4"](spark, sf_dir).collect()}
+    full = {r.lang: r for r in
+            token_budget_pack(table(spark, sf_dir, "documents"), 2000).collect()}
+    assert v4
+    for lang, r in v4.items():
+        assert r.tokens_selected <= 2000
+        assert r.docs_selected <= r.docs_total
+        assert r.docs_total <= full[lang].docs_total
+        assert r.tokens_total <= full[lang].tokens_total

@@ -1057,3 +1057,149 @@ def q_weighted_sample_per_lang(spark, sf_dir):
         table(spark, sf_dir, "documents"),
         group_col="lang", id_col="doc_id", weight_col="n_chars", k=10,
     )
+
+
+def _v4_oracle() -> str:
+    from yamr_spark.queries_dedup import _BANDS_CTE, _CAND_PAIRS, _JACCARD
+
+    return f"""
+    WITH RECURSIVE {_BANDS_CTE}, {_CAND_PAIRS}, {_JACCARD},
+    ndup AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes za ON za.doc_id = c.doc_a
+      JOIN sizes zb ON zb.doc_id = c.doc_b
+      WHERE CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM ndup
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM ndup
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    comp AS (SELECT node AS doc_id, MIN(label) AS rep FROM reach GROUP BY node),
+    wins AS MATERIALIZED (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             unnest(range(len(t) - 8 + 1)) + 1 AS s, t
+      FROM toks WHERE len(t) >= 8
+    ),
+    hashedw AS MATERIALIZED (
+      SELECT doc_id, n_tokens, s,
+             ('0x' || substr(md5(array_to_string(t[s : s+7], ' ')), 1, 15))::BIGINT
+               AS h
+      FROM wins
+    ),
+    duph AS (
+      SELECT h FROM (
+        SELECT h, COUNT(*) AS nd
+        FROM (SELECT DISTINCT h, doc_id FROM hashedw) GROUP BY h
+      ) WHERE nd >= 2
+    ),
+    spandup AS (
+      SELECT w.doc_id, w.n_tokens, w.s,
+             LAG(w.s) OVER (PARTITION BY w.doc_id ORDER BY w.s) AS prev
+      FROM hashedw w JOIN duph USING (h)
+    ),
+    isl AS (
+      SELECT doc_id, n_tokens, s,
+             SUM(CASE WHEN prev IS NULL OR s > prev + 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM spandup
+    ),
+    spans AS (
+      SELECT doc_id, n_tokens, isl,
+             CAST(MAX(s) - MIN(s) + 8 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY doc_id, n_tokens, isl
+    ),
+    spanstats AS (
+      SELECT doc_id,
+             ROUND(SUM(span_tokens) * 1.0 / n_tokens, 6) AS dup_frac
+      FROM spans GROUP BY doc_id, n_tokens
+    ),
+    keptdocs AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d LEFT JOIN spanstats sp USING (doc_id)
+      WHERE sp.dup_frac IS NULL OR sp.dup_frac < 0.8
+    ),
+    assigned AS (
+      SELECT k.doc_id, COALESCE(c.rep, k.doc_id) AS rep
+      FROM keptdocs k LEFT JOIN comp c USING (doc_id)
+    ),
+    train AS (
+      SELECT k.* FROM keptdocs k JOIN assigned a USING (doc_id)
+      WHERE (('0x' || substr(md5('split:' || CAST(a.rep AS VARCHAR)), 1, 15))::BIGINT
+             % 10) < 8
+    ),
+    base AS (
+      SELECT lang, doc_id,
+             GREATEST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> length(x) > 0)), 1) AS n_tok,
+             ('0x' || substr(md5('tbp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS pri
+      FROM train
+    ),
+    sel AS (
+      SELECT lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY pri, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+      FROM base
+    ),
+    tot AS (
+      SELECT lang, COUNT(*) AS docs_total,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens_total
+      FROM base GROUP BY lang
+    ),
+    keptb AS (
+      SELECT lang, COUNT(*) AS docs_selected,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens_selected
+      FROM sel WHERE cum <= 2000 GROUP BY lang
+    )
+    SELECT t.lang, t.docs_total, t.tokens_total,
+           COALESCE(k.docs_selected, 0) AS docs_selected,
+           COALESCE(k.tokens_selected, 0) AS tokens_selected,
+           CAST(2000 AS BIGINT) AS budget_tokens
+    FROM tot t LEFT JOIN keptb k USING (lang)
+    """
+
+
+@register("llm_prep_pipeline_v4", oracle=_v4_oracle())
+def q_llm_prep_pipeline_v4(spark, sf_dir):
+    """The round-9 curation composition, end-to-end: (1) drop documents
+    that are >= 80% duplicated SPANS (alignment-free exact-substring
+    dedup, span_dup_stats); (2) assign leakage-safe splits by near-dup
+    COMPONENT over the shared banded pair table — near-twins can never
+    straddle train/eval; (3) token-budget-pack the TRAIN split per
+    language (two-phase boundary-stratum plan). Returns the per-lang
+    packing report for the cleaned, leakage-safe train corpus — the
+    pipeline a pretraining data team actually ships, composed from the
+    engine's own certified primitives."""
+    from yamr_spark.operators.curation import (
+        leakage_safe_split_assign,
+        span_dup_stats,
+        token_budget_pack,
+    )
+    from yamr_spark.queries_dedup import _near_dup_pairs_shared
+
+    docs = table(spark, sf_dir, "documents")
+    high_dup = (
+        span_dup_stats(docs)
+        .where(F.col("dup_frac") >= 0.8)
+        .select("doc_id")
+    )
+    kept = docs.join(high_dup, "doc_id", "left_anti")
+    assign = leakage_safe_split_assign(
+        kept, _near_dup_pairs_shared(spark, sf_dir)
+    )
+    train = kept.join(
+        assign.where(F.col("split") == "train").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    return token_budget_pack(train, budget_tokens=2000)

@@ -207,6 +207,7 @@ _R10_BACKFILL = [
     "heavy_hitter_terms",
     "bloom_semi_join_orders",
     "weighted_sample_per_lang",
+    "llm_prep_pipeline_v4",
     # plan-change restamp (r9: shared containment shingle cache — the
     # family's shingle build computed once per session; values verified
     # identical via drive.py ALL-MATCH, but a changed plan must earn a
