@@ -530,3 +530,36 @@ def test_rrf_fuse_golden(spark):
     assert rows[11].sparse_rank == 2 and rows[11].dense_rank == 1
     assert rows[13].sparse_rank is None and rows[13].dense_rank == 2
     assert abs(rows[11].rrf_score - round(1 / 62 + 1 / 61, 6)) < 1e-9
+
+
+def test_ivf_shared_cache_matches_uncached(spark, sf_dir):
+    """The shared IVF centroid/assignment cache (queries layer, VERDICT
+    r07 #4) must feed consumers EXACTLY what they would build
+    themselves: ivf_topk / hard_negative_mining_ivf / quantized_ivf_topk
+    with the cached (cents, assign) equal their uncached forms row for
+    row, and the kmeans-refined centroid cache reproduces
+    ivf_topk_kmeans. Also pins that repeat calls hit the cache (same
+    frame objects back)."""
+    from yamr_spark import queries_similarity as QS
+    from yamr_spark.operators import similarity as S
+    from yamr_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, assign = QS._ivf_shared(spark, sf_dir, c=8)
+    c2, a2 = QS._ivf_shared(spark, sf_dir, c=8)
+    assert c2 is cents and a2 is assign  # second call is a cache hit
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(S.ivf_topk(emb, cents=cents, assign=assign)) == rows(S.ivf_topk(emb))
+    assert rows(
+        S.hard_negative_mining_ivf(emb, cents=cents, assign=assign)
+    ) == rows(S.hard_negative_mining_ivf(emb))
+    assert rows(
+        S.quantized_ivf_topk(emb, cents=cents, assign=assign)
+    ) == rows(S.quantized_ivf_topk(emb))
+
+    km = QS._kmeans_cents_shared(spark, sf_dir, c=8, iters=1)
+    assert QS._kmeans_cents_shared(spark, sf_dir, c=8, iters=1) is km
+    assert rows(S.ivf_topk_kmeans(emb, cents=km)) == rows(S.ivf_topk_kmeans(emb))

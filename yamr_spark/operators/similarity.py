@@ -315,13 +315,19 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents: DataFrame | None = None,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-accelerated top-k: each query probes its ``nprobe`` nearest
     centroids and scores ONLY vectors assigned there — |corpus|·nprobe/c
     dot products instead of brute force's |corpus|. Approximate: a true
     neighbor assigned to an unprobed cell is missed (recall ↑ with
     nprobe). At 100 TB the corpus is stored partitioned by centroid_id,
-    so a probe is a partition-pruned scan, not a filter."""
+    so a probe is a partition-pruned scan, not a filter.
+
+    ``assign`` optionally supplies a precomputed (vec_id, centroid_id)
+    assignment table (e.g. a per-session materialized one shared across
+    the IVF family) — it must be the table ``ivf_assign`` would build
+    for the same ``cents``, so results are identical by construction."""
     from pyspark.sql import Window
 
     vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
@@ -332,9 +338,9 @@ def ivf_topk(
     )
 
     # corpus restricted to probed cells
-    assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col, cents=cents).select(
-        "vec_id", "centroid_id"
-    )
+    if assign is None:
+        assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col, cents=cents)
+    assign = assign.select("vec_id", "centroid_id")
     corpus = vecs.join(assign, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"), "centroid_id", F.col("v").alias("vb")
     )
@@ -396,14 +402,16 @@ def write_ivf_store(
     c: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: DataFrame | None = None,
 ) -> None:
     """Materialize the corpus PARTITIONED BY centroid_id — the 100 TB IVF
     layout. Each cell is its own parquet directory, so a probe touching
     ``nprobe`` of ``c`` cells is a directory-pruned scan that never opens
-    the other cells' files (proven by tests/test_plans.py)."""
-    assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col).select(
-        "vec_id", "centroid_id"
-    )
+    the other cells' files (proven by tests/test_plans.py). ``assign``
+    optionally reuses a precomputed (vec_id, centroid_id) table."""
+    if assign is None:
+        assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col)
+    assign = assign.select("vec_id", "centroid_id")
     corpus = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     ).join(assign, "vec_id")
@@ -420,6 +428,7 @@ def ivf_store_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """``ivf_topk`` against the partitioned store: the probed cell ids are
     collected (≤ c integers — metadata, not data) and pushed as a LITERAL
@@ -430,7 +439,8 @@ def ivf_store_topk(
     from pyspark.sql import Window
 
     probes = _query_probes(
-        emb, num_queries=num_queries, c=c, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+        emb, num_queries=num_queries, c=c, nprobe=nprobe, id_col=id_col,
+        vec_col=vec_col, cents=cents,
     ).transform(materialize)
     cells = sorted(
         r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
@@ -551,6 +561,7 @@ def ivf_topk_kmeans(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k over kmeans-REFINED centroids — the production IVF
     'train then search' path (sample-train → assign-all at 100 TB; here
@@ -560,10 +571,13 @@ def ivf_topk_kmeans(
     the corpus along its actual density and recall@k at fixed nprobe is
     ≥ the lowest-id-seed variant's (pinned by tests/test_similarity.py).
     The centroid table is c×dims — materialized once (it feeds both the
-    probe and assign sides), then broadcast everywhere."""
-    cents = kmeans_centroid_vectors(
-        emb, c=c, iters=iters, id_col=id_col, vec_col=vec_col
-    ).transform(materialize)
+    probe and assign sides), then broadcast everywhere. ``cents``
+    optionally supplies the refined centroid table directly (must be
+    ``kmeans_centroid_vectors`` output for the same (c, iters))."""
+    if cents is None:
+        cents = kmeans_centroid_vectors(
+            emb, c=c, iters=iters, id_col=id_col, vec_col=vec_col
+        ).transform(materialize)
     return ivf_topk(
         emb, k=k, num_queries=num_queries, c=c, nprobe=nprobe,
         id_col=id_col, vec_col=vec_col, cents=cents,
@@ -994,6 +1008,8 @@ def hard_negative_mining_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    cents: DataFrame | None = None,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-pruned hard-negative mining — the at-scale variant of
     ``hard_negative_mining`` (VERDICT r05 #2): each anchor query mines
@@ -1013,7 +1029,8 @@ def hard_negative_mining_ivf(
     """
     from pyspark.sql import Window
 
-    cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
+    if cents is None:
+        cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
     qlbl = emb.select(
         F.col(id_col).alias("query_id"), F.col(label_col).alias("query_label")
     ).filter(F.col("query_id") < num_queries)
@@ -1026,9 +1043,9 @@ def hard_negative_mining_ivf(
         .withColumnRenamed("qv", "va")
         .withColumn("na", _norm("va"))
     )
-    assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col, cents=cents).select(
-        F.col("vec_id").alias("negative_id"), "centroid_id"
-    )
+    if assign is None:
+        assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col, cents=cents)
+    assign = assign.select(F.col("vec_id").alias("negative_id"), "centroid_id")
     corpus = (
         emb.select(
             F.col(id_col).alias("negative_id"),
@@ -1502,6 +1519,8 @@ def quantized_ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """IVF × int8 — the composed production ANN shape (what FAISS calls
     IVF-SQ8): the coarse probe runs in fp32 over the TINY centroid
@@ -1528,7 +1547,8 @@ def quantized_ivf_topk(
             )
         )
 
-    cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
+    if cents is None:
+        cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
     probes = _query_probes(
         emb, num_queries=num_queries, c=c, nprobe=nprobe,
         id_col=id_col, vec_col=vec_col, cents=cents,
@@ -1539,9 +1559,9 @@ def quantized_ivf_topk(
         .select(F.col(id_col).alias("query_id"), F.col("qvec").alias("qa"))
         .withColumn("na", qnorm("qa"))
     )
-    assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col, cents=cents).select(
-        F.col("vec_id").alias("neighbor_id"), "centroid_id"
-    )
+    if assign is None:
+        assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col, cents=cents)
+    assign = assign.select(F.col("vec_id").alias("neighbor_id"), "centroid_id")
     corpus = (
         q.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("qb"))
         .join(assign, "neighbor_id")

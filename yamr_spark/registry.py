@@ -214,6 +214,18 @@ _R10_BACKFILL = [
     # fresh stamp; containment_pairs_bidir is in THIS round's window so
     # it gets stamped on the new plan directly):
     "containment_pairs_stratified",
+    # plan-change restamps (r9: shared IVF centroid/assignment cache —
+    # VERDICT r07 #4 — and the entity-resolution materialize barrier,
+    # r07 #7; all locally re-verified ALL-MATCH via drive.py at sf0.01
+    # under local/disk/parquet materialize modes, and pinned equal to
+    # their uncached forms by tests/test_similarity.py;
+    # ivf_probe_partitioned is in THIS round's window so it gets
+    # stamped on the new shared-cache plan directly):
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_quantized_ivf_topk",
+    "hard_negative_mining_ivf",
+    "entity_resolution_parts",
     # hygiene-change restamps (locally ALL-MATCH, r07 stamps valid):
     "unigram_lm_score",
     "bigram_lm_score",
