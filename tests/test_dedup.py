@@ -274,3 +274,20 @@ def test_containment_bidir_finds_tiny_in_huge_both_orientations(spark):
     assert (2, 9) in got2, got2
     ab2, ba2 = got2[(2, 9)]
     assert ba2 == 1.0 and ab2 < 0.7
+
+
+def test_ngram_jaccard_shared_shingles_matches_uncached(spark, sf_dir):
+    """ngram_jaccard_pairs fed the containment family's shared shingle
+    frames (queries_dedup._containment_shingles_shared) must equal its
+    self-built form row for row — the df ≤ cap restriction is the same
+    set whether expressed as a hot-set anti-join or the cache's
+    df-filter semi-join."""
+    from yamr_spark import queries_dedup as QD
+    from yamr_spark.operators import dedup as D
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    sh, rare = QD._containment_shingles_shared(spark, sf_dir, n=3, max_df=50)
+    got = sorted(map(tuple, D.ngram_jaccard_pairs(docs, sh=sh, rare=rare).collect()))
+    want = sorted(map(tuple, D.ngram_jaccard_pairs(docs).collect()))
+    assert got == want and len(want) > 0

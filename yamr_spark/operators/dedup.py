@@ -613,9 +613,17 @@ def ngram_jaccard_pairs(
     max_doc_freq: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sh: DataFrame | None = None,
+    rare: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard ≥ threshold, candidate-blocked
     by sharing ≥1 *rare* shingle (document frequency ≤ ``max_doc_freq``).
+
+    ``sh`` / ``rare`` optionally supply the hashed shingle stream and
+    its df ≤ ``max_doc_freq`` restriction (e.g. the per-session frames
+    the containment family shares) — they must be exactly what this
+    function would build itself, so results are identical by
+    construction.
 
     The DF cap is the scale lever: stop-shingles shared by thousands of
     documents would otherwise square the join. Raising it tightens
@@ -653,15 +661,23 @@ def ngram_jaccard_pairs(
     # checkpoint wrote the n-gram text; the hashed stream is ~10×
     # narrower and re-deriving it costs a full tokenize+explode per
     # consumer. Measured: postings pass 2.3 → 1.8 s at sf0.1.)
-    sh = materialize(word_shingle_hashes(docs, n=n, text_col=text_col, id_col=id_col))
+    if sh is None:
+        sh = materialize(
+            word_shingle_hashes(docs, n=n, text_col=text_col, id_col=id_col)
+        )
     hot = (
         sh.groupBy("sh")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > max_doc_freq)
         .select("sh")
     )
+    # df ≤ cap restriction: identical rows whether expressed as the
+    # hot-set anti-join or the shared cache's df-filter semi-join
+    rare_stream = rare.select("sh", "doc_id") if rare is not None else sh.join(
+        hot, "sh", "left_anti"
+    )
     postings = (
-        sh.join(hot, "sh", "left_anti")
+        rare_stream
         .groupBy("sh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") >= 2)

@@ -292,7 +292,13 @@ def q_simhash_near_dup(spark, sf_dir):
     """,
 )
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    return D.ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
+    """Shares the session's hashed-shingle + rare-stream frames with the
+    containment family (_containment_shingles_shared): same n=3 /
+    df ≤ 50 build, computed once per (session, sf_dir)."""
+    sh, rare = _containment_shingles_shared(spark, sf_dir, n=3, max_df=50)
+    return D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), sh=sh, rare=rare
+    )
 
 
 @register(

@@ -226,6 +226,10 @@ _R10_BACKFILL = [
     "ann_quantized_ivf_topk",
     "hard_negative_mining_ivf",
     "entity_resolution_parts",
+    # plan-change restamp (r9: ngram_jaccard_pairs joins the shared
+    # containment shingle cache — same n=3/df≤50 build; drive.py
+    # ALL-MATCH, cached==uncached pinned by tests/test_dedup.py):
+    "ngram_jaccard_pairs",
     # hygiene-change restamps (locally ALL-MATCH, r07 stamps valid):
     "unigram_lm_score",
     "bigram_lm_score",
