@@ -146,6 +146,7 @@ FAMILIES: dict[str, list[str]] = {
     "multimodal": [
         "multimodal_decode_stats",
         "multimodal_thumbnails",
+        "multimodal_ahash_near_dup",
         "audio_frame_energy",
     ],
     # analytics + warehouse ops: funnel/cohort, SCD2, incremental

@@ -64,3 +64,63 @@ def test_frame_sampling(spark):
     )
     assert [r["frame_idx"] for r in rows] == [0, 2, 4, 6, 8]
     assert bytes(rows[1]["frame"]) == b"cccc"
+
+
+def test_image_ahash_near_dup_goldens(spark):
+    """aHash perceptual dedup on crafted 8-row images (512 ASCII bytes →
+    H=8, W=64; sampled grid positions are r*64 + 9c): identical images
+    pair at hamming 0; a single sampled-pixel edit (far from the mean on
+    both sides) moves exactly one bit → hamming 1 — the pigeonhole
+    banding must find both; an inverted pattern is far beyond
+    max_hamming and must not pair; >max_bucket identical images make
+    every band hot, so the cap drops all their candidates."""
+    from yamr_spark.operators.multimodal import (
+        image_ahash_bands,
+        image_ahash_near_dup,
+    )
+
+    sampled = {r * 64 + 9 * c for r in range(8) for c in range(8)}
+
+    def img(flip_origin=False, invert=False):
+        chars = []
+        for p in range(512):
+            if p in sampled:
+                r, c = p // 64, (p % 64) // 9
+                hi = (r + c) % 2 == 0
+                if invert:
+                    hi = not hi
+                if flip_origin and p == 0:
+                    hi = False
+                chars.append("z" if hi else "0")
+            else:
+                chars.append("0")
+        return "".join(chars)
+
+    rows = [
+        (1, img()),
+        (2, img()),               # identical → hamming 0 with 1
+        (3, img(flip_origin=True)),  # one sampled bit off → hamming 1
+        (4, img(invert=True)),    # complement pattern → far, no pair
+        (5, "short"),             # L<64 path must not error
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in image_ahash_near_dup(docs).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 1 and pairs[(2, 3)] == 1
+    assert not any(4 in p or 5 in p for p in pairs)
+
+    # band packing sanity: 4 ints in [0, 65535]
+    bands = image_ahash_bands(docs).collect()[0].bands
+    assert len(bands) == 4 and all(0 <= b <= 0xFFFF for b in bands)
+
+    # cap: 120 identical images → every band bucket hot → zero pairs
+    many = spark.createDataFrame(
+        [(100 + i, img()) for i in range(120)], "doc_id long, text string"
+    )
+    assert image_ahash_near_dup(many).count() == 0
+    # raising the cap restores the full clique
+    n = image_ahash_near_dup(many, max_bucket=200).count()
+    assert n == 120 * 119 // 2

@@ -279,3 +279,121 @@ def audio_frame_energy(df: DataFrame, frame: int = 64) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, AUDIO_SCHEMA)
+
+
+def image_ahash_bands(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bands: int = 4
+) -> DataFrame:
+    """(doc_id, bands) — a 64-bit average-hash (aHash) of every image,
+    packed as ``n_bands`` 16-bit band integers for LSH blocking.
+
+    The perceptual-dedup primitive: sample the fake-decoded image to the
+    SAME 8×8 nearest-neighbor grid ``resize_thumbnail`` uses (exact
+    integer arithmetic j·(dim−1)//7 — SQL-replayable), threshold each
+    sampled pixel against the grid mean (strictly greater → 1), and pack
+    bits 16b..16b+15 into band b. Two near-identical images (re-encode,
+    small overlay, crop-free edit) differ in few bits; Hamming distance
+    over the 64 bits is the dissimilarity measure.
+
+    Everything is JVM-side codegen (ascii/substr/aggregate expressions)
+    — a real deployment swaps the closed-form fake for a Pandas-UDF
+    pHash over decoded pixels and keeps the identical banding/verify
+    machinery downstream. One corpus scan, fixed-width output rows."""
+    L = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
+    W = F.when(L >= 64, F.lit(64)).otherwise(L)
+    H = F.when(L >= 64, (L / 64).cast("int")).otherwise(F.lit(1))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__t"),
+        W.cast("int").alias("__w"),
+        H.cast("int").alias("__h"),
+    )
+    # 8×8 NN grid sample g=0..63: pos = (g÷8·(H−1)÷7)·W + (g%8)·(W−1)÷7
+    pxs = (
+        "transform(sequence(0, 63), g -> ascii(substr(__t, "
+        "((g div 8) * (__h - 1) div 7) * __w + (g % 8) * (__w - 1) div 7 + 1, "
+        "1)))"
+    )
+    # strict > against the exact grid mean (integer sum / 64.0 is exact
+    # in double, so both engines make identical bit decisions)
+    bands = (
+        f"transform(sequence(0, {n_bands - 1}), b -> "
+        "aggregate(sequence(0, 15), 0, (acc, j) -> acc + "
+        "CASE WHEN element_at(__px, b * 16 + j + 1) > __mean "
+        "THEN shiftleft(1, j) ELSE 0 END))"
+    )
+    return (
+        base.withColumn("__px", F.expr(pxs))
+        .withColumn(
+            "__mean",
+            F.expr("aggregate(__px, 0, (a, x) -> a + x)") / F.lit(64.0),
+        )
+        .select("doc_id", F.expr(bands).alias("bands"))
+    )
+
+
+def image_ahash_near_dup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual image near-dup pairs: (doc_a, doc_b, hamming) for every
+    pair whose 64-bit aHashes differ in ≤ ``max_hamming`` bits.
+
+    LSH banding with a PIGEONHOLE GUARANTEE: the hash splits into 4
+    16-bit bands, so any pair with Hamming ≤ 3 has at least one band
+    byte-identical (3 differing bits touch ≤ 3 of 4 bands) — the
+    band-equality join finds EVERY qualifying pair, it is not a recall
+    heuristic. Verification computes the exact Hamming distance from the
+    band integers (bit_count of xor), never re-touching pixels.
+
+    Scale: one corpus scan builds docs×4 fixed-width (b, band, doc_id)
+    rows; candidates come from an equality join on (b, band) — never
+    all-pairs. ``max_bucket`` is the skew lever (same role as
+    ngram_jaccard's df cap): a degenerate band value shared by thousands
+    of images (e.g. uniform-color assets hash to all-zero bands) would
+    square the join, so buckets over the cap are dropped from candidate
+    generation — the documented recall trade: a pair is missed only if
+    ALL its identical bands are hot. The verify join carries 4 ints per
+    side; no pixel data ever shuffles."""
+    from yamr_spark.materialize import materialize
+
+    hashes = materialize(image_ahash_bands(df, text_col=text_col, id_col=id_col))
+    stream = hashes.select(
+        "doc_id", F.posexplode("bands").alias("b", "band_val")
+    )
+    hot = (
+        stream.groupBy("b", "band_val")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("b", "band_val")
+    )
+    cold = stream.join(hot, ["b", "band_val"], "left_anti")
+    cands = (
+        cold.alias("s1")
+        .join(
+            cold.alias("s2"),
+            (F.col("s1.b") == F.col("s2.b"))
+            & (F.col("s1.band_val") == F.col("s2.band_val"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .select(
+            F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ham = "aggregate(zip_with(__ba, __bb, (x, y) -> bit_count(x ^ y)), 0, (a, p) -> a + p)"
+    return (
+        cands.join(
+            hashes.select(F.col("doc_id").alias("doc_a"), F.col("bands").alias("__ba")),
+            "doc_a",
+        )
+        .join(
+            hashes.select(F.col("doc_id").alias("doc_b"), F.col("bands").alias("__bb")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", F.expr(ham).cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -256,3 +256,70 @@ def q_audio_frame_energy(spark, sf_dir):
     from yamr_spark.operators.multimodal import audio_frame_energy
 
     return audio_frame_energy(_payload(spark, sf_dir))
+
+
+@register(
+    "multimodal_ahash_near_dup",
+    oracle=f"""
+    WITH {_DIM_CTE},
+    grid AS (
+      SELECT doc_id, text, width, height,
+             CAST(unnest(range(64)) AS INT) AS g
+      FROM dim
+    ),
+    samp AS (
+      SELECT doc_id, g,
+             ascii(substr(
+               text,
+               ((g // 8) * (height - 1) // 7) * width
+                 + ((g % 8) * (width - 1) // 7) + 1,
+               1)) AS v
+      FROM grid
+    ),
+    px AS (
+      SELECT doc_id, array_agg(v ORDER BY g) AS pxs FROM samp GROUP BY doc_id
+    ),
+    hashes AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(range(4), b ->
+               list_sum(list_transform(range(16), j ->
+                 CASE WHEN pxs[b * 16 + j + 1] > list_sum(pxs) / 64.0
+                      THEN (1 << j) ELSE 0 END))) AS bands
+      FROM px
+    ),
+    stream AS (
+      SELECT doc_id, CAST(t.b AS INT) AS b, bands[t.b + 1] AS band_val
+      FROM hashes CROSS JOIN (SELECT unnest(range(4)) AS b) t
+    ),
+    cold AS (
+      SELECT b, band_val FROM stream GROUP BY b, band_val
+      HAVING COUNT(*) <= 100
+    ),
+    cand AS (
+      SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM stream s1
+      JOIN cold c ON c.b = s1.b AND c.band_val = s1.band_val
+      JOIN stream s2 ON s2.b = s1.b AND s2.band_val = s1.band_val
+                     AND s1.doc_id < s2.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT c.doc_a, c.doc_b,
+             CAST(list_sum(list_transform(range(4), i ->
+               bit_count(xor(ha.bands[i + 1], hb.bands[i + 1])))) AS BIGINT)
+               AS hamming
+      FROM cand c
+      JOIN hashes ha ON ha.doc_id = c.doc_a
+      JOIN hashes hb ON hb.doc_id = c.doc_b
+    ) t WHERE hamming <= 3
+    """,
+)
+def q_multimodal_ahash_near_dup(spark, sf_dir):
+    """Perceptual image near-dup (multimodal dedup): 64-bit average-hash
+    over the SAME 8×8 nearest-neighbor grid the thumbnail seam samples
+    (exact integer arithmetic), 4×16-bit LSH bands with the pigeonhole
+    guarantee (Hamming ≤ 3 ⇒ some band identical — total recall among
+    un-capped buckets), bucket cap 100 as the skew lever, exact Hamming
+    verify from band ints (bit_count of xor; pixels never shuffle)."""
+    from yamr_spark.operators.multimodal import image_ahash_near_dup
+
+    return image_ahash_near_dup(table(spark, sf_dir, "documents"))
