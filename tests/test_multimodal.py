@@ -124,3 +124,44 @@ def test_image_ahash_near_dup_goldens(spark):
     # raising the cap restores the full clique
     n = image_ahash_near_dup(many, max_bucket=200).count()
     assert n == 120 * 119 // 2
+
+
+def test_audio_fingerprint_near_dup_goldens(spark):
+    """Acoustic fingerprint on crafted 256-byte clips (8 frames × 32
+    bytes): identical clips pair at 0 differing frames; a heavy edit
+    confined to ONE frame moves exactly that frame's symbol → diff 1,
+    found via the pigeonhole bands; edits in 3 frames exceed
+    max_frame_diff=2 and must not pair; clips under 256 bytes are
+    excluded; over-cap identical clips lose all candidates."""
+    from yamr_spark.operators.multimodal import audio_fingerprint_near_dup
+
+    def clip(edit_frames=()):
+        chars = ["0"] * 256
+        for f in edit_frames:
+            for k in range(8):  # +100640 energy in frame f (~24 quanta)
+                chars[f * 32 + k] = "z"
+        return "".join(chars)
+
+    rows = [
+        (1, clip()),
+        (2, clip()),            # identical → diff 0
+        (3, clip((5,))),        # one edited frame → diff 1
+        (4, clip((1, 4, 6))),   # three edited frames → beyond threshold
+        (5, "too short"),       # < 256 bytes → excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b): r.frames_diff
+        for r in audio_fingerprint_near_dup(docs).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 1 and pairs[(2, 3)] == 1
+    assert not any(4 in p or 5 in p for p in pairs)
+
+    many = spark.createDataFrame(
+        [(100 + i, clip()) for i in range(120)], "doc_id long, text string"
+    )
+    assert audio_fingerprint_near_dup(many).count() == 0
+    assert (
+        audio_fingerprint_near_dup(many, max_bucket=200).count() == 120 * 119 // 2
+    )

@@ -323,3 +323,62 @@ def q_multimodal_ahash_near_dup(spark, sf_dir):
     from yamr_spark.operators.multimodal import image_ahash_near_dup
 
     return image_ahash_near_dup(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_audio_fingerprint_dedup",
+    oracle="""
+    WITH clips AS (
+      SELECT doc_id, text FROM documents
+      WHERE octet_length(encode(text)) >= 256
+    ),
+    sigs AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(range(8), f ->
+               list_sum(list_transform(range(32), k ->
+                 ascii(substr(text, f * 32 + k + 1, 1))
+                 * ascii(substr(text, f * 32 + k + 1, 1)))) // 4096) AS syms
+      FROM clips
+    ),
+    banded AS (
+      SELECT doc_id,
+             list_transform(range(4), b ->
+               syms[2 * b + 1] * 127 + syms[2 * b + 2]) AS bands,
+             syms
+      FROM sigs
+    ),
+    stream AS (
+      SELECT doc_id, CAST(t.b AS INT) AS b, bands[t.b + 1] AS band_val
+      FROM banded CROSS JOIN (SELECT unnest(range(4)) AS b) t
+    ),
+    cold AS (
+      SELECT b, band_val FROM stream GROUP BY b, band_val
+      HAVING COUNT(*) <= 100
+    ),
+    cand AS (
+      SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM stream s1
+      JOIN cold c ON c.b = s1.b AND c.band_val = s1.band_val
+      JOIN stream s2 ON s2.b = s1.b AND s2.band_val = s1.band_val
+                     AND s1.doc_id < s2.doc_id
+    )
+    SELECT doc_a, doc_b, frames_diff FROM (
+      SELECT c.doc_a, c.doc_b,
+             CAST(list_sum(list_transform(range(8), i ->
+               CASE WHEN sa.syms[i + 1] = sb.syms[i + 1] THEN 0 ELSE 1 END))
+               AS BIGINT) AS frames_diff
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+    ) t WHERE frames_diff <= 2
+    """,
+)
+def q_multimodal_audio_fingerprint_dedup(spark, sf_dir):
+    """Acoustic-fingerprint near-dup over the audio seam: 8 coarse
+    integer frame-energy symbols per clip ((Σ byte²) div 4096 — pure
+    integer, no float rounding anywhere), 4 two-symbol pigeonhole bands
+    (≤ 2 differing frames ⇒ some band identical), bucket cap 100,
+    exact differing-frame verify from the signature arrays."""
+    from yamr_spark.operators.multimodal import audio_fingerprint_near_dup
+
+    return audio_fingerprint_near_dup(table(spark, sf_dir, "documents"))
