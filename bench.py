@@ -148,6 +148,7 @@ FAMILIES: dict[str, list[str]] = {
         "multimodal_thumbnails",
         "multimodal_ahash_near_dup",
         "multimodal_audio_fingerprint_dedup",
+        "multimodal_video_shift_dedup",
         "audio_frame_energy",
     ],
     # analytics + warehouse ops: funnel/cohort, SCD2, incremental

@@ -165,3 +165,39 @@ def test_audio_fingerprint_near_dup_goldens(spark):
     assert (
         audio_fingerprint_near_dup(many, max_bucket=200).count() == 120 * 119 // 2
     )
+
+
+def test_video_shift_dedup_goldens(spark):
+    """Shift alignment on crafted clips with 8 DISTINCT frame symbols:
+    identical clips → matches 8 at shift 0; a clip trimmed/offset by one
+    frame (B[j] = A[j−1]) aligns 7 of 8 at shift +1 — and the positional
+    audio fingerprint must MISS that same pair (every position differs),
+    which is exactly the gap this operator exists to close; an unrelated
+    clip must not pair."""
+    from yamr_spark.operators.multimodal import (
+        audio_fingerprint_near_dup,
+        video_shift_dedup,
+    )
+
+    def frame(n_hi):
+        return "z" * n_hi + "0" * (32 - n_hi)
+
+    a = "".join(frame(3 * f) for f in range(8))          # symbols strictly rise
+    b = frame(1) + a[: 7 * 32]                            # one-frame offset of A
+    c = "".join(frame(3 * f + 2) for f in range(8))       # disjoint symbols
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, b), (4, c)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.matches, r.shift)
+        for r in video_shift_dedup(docs).collect()
+    }
+    assert got[(1, 2)] == (8, 0)
+    assert got[(1, 3)] == (7, 1) and got[(2, 3)] == (7, 1)
+    assert not any(4 in p for p in got)
+    # the positional fingerprint scores the offset pair 0-for-8: not found
+    audio = {
+        (r.doc_a, r.doc_b)
+        for r in audio_fingerprint_near_dup(docs).collect()
+    }
+    assert (1, 3) not in audio and (1, 2) in audio

@@ -495,3 +495,122 @@ def audio_fingerprint_near_dup(
         .select("doc_a", "doc_b", F.expr(diff).cast("long").alias("frames_diff"))
         .filter(F.col("frames_diff") <= max_frame_diff)
     )
+
+
+def video_shift_dedup(
+    df: DataFrame,
+    frame: int = 32,
+    n_frames: int = 8,
+    qstep: int = 4096,
+    min_matches: int = 6,
+    max_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shift-tolerant video duplicate detection: two clips are
+    duplicates if their frame-signature SEQUENCES align on
+    ≥ ``min_matches`` positions at SOME temporal shift in {−1, 0, +1}
+    — the trimmed-intro / offset-re-encode case that positional
+    Hamming (``audio_fingerprint_near_dup``) structurally misses: a
+    one-frame trim misaligns EVERY position, scoring 0 there while the
+    clips are the same footage.
+
+    Signature = the same pure-integer coarse frame-energy symbols as
+    the audio path ((Σ byte²) div qstep per frame — a stand-in for a
+    per-frame perceptual hash over real decoded frames; the alignment
+    machinery downstream is the real contribution and carries over
+    unchanged).
+
+    Candidates are SET-blocked, not position-blocked (a shift preserves
+    the symbol multiset, not positions): pairs sharing ≥ 1 *rare* frame
+    symbol (document frequency ≤ ``max_df`` — ngram_jaccard's df-cap
+    lever; a shifted duplicate shares ~all symbols as a set, so it is
+    blocked unless every one of its symbols is corpus-hot, the same
+    documented trade). Verify evaluates the three shifts with
+    column-side array slices — score = max over shifts of positional
+    matches — and keeps the best (score, shift) per pair. Scale: one
+    scan builds docs×n_frames (symbol, doc) rows; the candidate join is
+    bounded by C(max_df, 2) per symbol; verify joins carry two 8-int
+    arrays per pair; clip bytes never shuffle."""
+    from yamr_spark.materialize import materialize
+
+    need = frame * n_frames
+    L = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
+    base = df.filter(L >= need).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    )
+    syms = (
+        f"transform(sequence(0, {n_frames - 1}), f -> "
+        f"aggregate(sequence(0, {frame - 1}), 0, (acc, k) -> "
+        f"acc + ascii(substr(__t, f * {frame} + k + 1, 1)) "
+        f"* ascii(substr(__t, f * {frame} + k + 1, 1))) div {qstep})"
+    )
+    sigs = materialize(
+        base.withColumn("__syms", F.expr(syms)).select(
+            "doc_id", F.col("__syms").alias("syms")
+        )
+    )
+    # set-blocking stream: DISTINCT (doc, symbol) so a clip repeating a
+    # symbol doesn't multiply its posting rows
+    stream = sigs.select(
+        "doc_id", F.explode(F.array_distinct("syms")).alias("sym")
+    )
+    rare = (
+        stream.groupBy("sym")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= max_df)
+        .select("sym")
+    )
+    cold = stream.join(rare, "sym")
+    cands = (
+        cold.alias("s1")
+        .join(
+            cold.alias("s2"),
+            (F.col("s1.sym") == F.col("s2.sym"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .select(
+            F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    n = n_frames
+    # positional matches at shift s: compare sa[i] to sb[i+s] over the
+    # overlap; ties between shifts break toward the smaller |shift|
+    # then the smaller shift (0, then -1, then +1)
+    m0 = (
+        "aggregate(zip_with(__sa, __sb, (x, y) -> "
+        "CASE WHEN x = y THEN 1 ELSE 0 END), 0, (a, p) -> a + p)"
+    )
+    mneg = (
+        f"aggregate(zip_with(slice(__sa, 2, {n - 1}), slice(__sb, 1, {n - 1}), "
+        "(x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (a, p) -> a + p)"
+    )
+    mpos = (
+        f"aggregate(zip_with(slice(__sa, 1, {n - 1}), slice(__sb, 2, {n - 1}), "
+        "(x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (a, p) -> a + p)"
+    )
+    return (
+        cands.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("syms").alias("__sa")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("syms").alias("__sb")),
+            "doc_b",
+        )
+        .withColumn("__m0", F.expr(m0).cast("long"))
+        .withColumn("__mn", F.expr(mneg).cast("long"))
+        .withColumn("__mp", F.expr(mpos).cast("long"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.greatest("__m0", "__mn", "__mp").alias("matches"),
+            F.when(F.col("__m0") >= F.greatest("__mn", "__mp"), F.lit(0))
+            .when(F.col("__mn") >= F.col("__mp"), F.lit(-1))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("shift"),
+        )
+        .filter(F.col("matches") >= min_matches)
+    )

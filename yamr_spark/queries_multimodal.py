@@ -382,3 +382,63 @@ def q_multimodal_audio_fingerprint_dedup(spark, sf_dir):
     from yamr_spark.operators.multimodal import audio_fingerprint_near_dup
 
     return audio_fingerprint_near_dup(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_video_shift_dedup",
+    oracle="""
+    WITH clips AS (
+      SELECT doc_id, text FROM documents
+      WHERE octet_length(encode(text)) >= 256
+    ),
+    sigs AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(range(8), f ->
+               list_sum(list_transform(range(32), k ->
+                 ascii(substr(text, f * 32 + k + 1, 1))
+                 * ascii(substr(text, f * 32 + k + 1, 1)))) // 4096) AS syms
+      FROM clips
+    ),
+    stream AS (
+      SELECT DISTINCT doc_id, sym FROM (
+        SELECT doc_id, unnest(syms) AS sym FROM sigs
+      )
+    ),
+    rare AS (
+      SELECT sym FROM stream GROUP BY sym HAVING COUNT(*) <= 50
+    ),
+    cand AS (
+      SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM stream s1
+      JOIN rare r ON r.sym = s1.sym
+      JOIN stream s2 ON s2.sym = s1.sym AND s1.doc_id < s2.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(list_sum(list_transform(range(8), i ->
+               CASE WHEN sa.syms[i + 1] = sb.syms[i + 1] THEN 1 ELSE 0 END))
+               AS BIGINT) AS m0,
+             CAST(list_sum(list_transform(range(7), i ->
+               CASE WHEN sa.syms[i + 2] = sb.syms[i + 1] THEN 1 ELSE 0 END))
+               AS BIGINT) AS mn,
+             CAST(list_sum(list_transform(range(7), i ->
+               CASE WHEN sa.syms[i + 1] = sb.syms[i + 2] THEN 1 ELSE 0 END))
+               AS BIGINT) AS mp
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, greatest(m0, mn, mp) AS matches,
+           CAST(CASE WHEN m0 >= greatest(mn, mp) THEN 0
+                     WHEN mn >= mp THEN -1 ELSE 1 END AS BIGINT) AS shift
+    FROM scored WHERE greatest(m0, mn, mp) >= 6
+    """,
+)
+def q_multimodal_video_shift_dedup(spark, sf_dir):
+    """Shift-tolerant video dedup: frame-signature sequences aligned at
+    shifts {−1, 0, +1} (trimmed-intro/offset duplicates that positional
+    Hamming scores 0), set-blocked candidates on rare frame symbols
+    (df ≤ 50), best (matches, shift) per pair, matches ≥ 6 of 8."""
+    from yamr_spark.operators.multimodal import video_shift_dedup
+
+    return video_shift_dedup(table(spark, sf_dir, "documents"))

@@ -210,6 +210,7 @@ _R10_BACKFILL = [
     "llm_prep_pipeline_v4",
     "multimodal_ahash_near_dup",
     "multimodal_audio_fingerprint_dedup",
+    "multimodal_video_shift_dedup",
     # plan-change restamp (r9: shared containment shingle cache — the
     # family's shingle build computed once per session; values verified
     # identical via drive.py ALL-MATCH, but a changed plan must earn a
