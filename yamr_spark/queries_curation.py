@@ -913,21 +913,20 @@ def q_llm_prep_pipeline_v3(spark, sf_dir):
       FROM toks JOIN uni USING (token) CROSS JOIN corpus
       GROUP BY doc_id
     ),
-    edges AS (
-      SELECT ROUND(quantile_cont(lm_score, 0.25), 6) AS e1,
-             ROUND(quantile_cont(lm_score, 0.5), 6) AS e2,
-             ROUND(quantile_cont(lm_score, 0.75), 6) AS e3
+    ranked AS (
+      SELECT doc_id, lm_score,
+             ROW_NUMBER() OVER (ORDER BY lm_score, doc_id) AS rnk,
+             COUNT(*) OVER () AS n_total
       FROM scores
     ),
     b AS (
-      SELECT s.doc_id, s.lm_score,
-             1 + CAST(s.lm_score > e.e1 AS INT)
-               + CAST(s.lm_score > e.e2 AS INT)
-               + CAST(s.lm_score > e.e3 AS INT) AS bucket
-      FROM scores s CROSS JOIN edges e
+      SELECT doc_id, lm_score,
+             CAST(1 + (4 * (rnk - 1)) // n_total AS INT) AS bucket,
+             CAST(ROUND(lm_score * -1000000, 0) AS BIGINT) AS neg_e6
+      FROM ranked
     ),
     r AS (
-      SELECT bucket, lm_score,
+      SELECT bucket, neg_e6,
              [5, 15, 40, 80][bucket] AS rate_pct,
              (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)
                < [5, 15, 40, 80][bucket] AS kept
@@ -937,17 +936,19 @@ def q_llm_prep_pipeline_v3(spark, sf_dir):
            CAST(rate_pct AS BIGINT) AS rate_pct,
            COUNT(*) AS n_docs,
            SUM(CAST(kept AS BIGINT)) AS n_sampled,
-           ROUND(CAST(SUM(CAST(lm_score AS DECIMAL(28,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS mean_lm
+           -CAST((2 * SUM(neg_e6) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+             / 1000000.0 AS mean_lm
     FROM r GROUP BY bucket, rate_pct
     """,
 )
 def q_quality_stratified_sample(spark, sf_dir):
-    """Quality-stratified sampling report: LM-quality quartile buckets
-    (exact interpolated edges) with deterministic hash-sample rates
-    5/15/40/80% — the post-scoring mixing move of a training-data
-    pipeline, fully replayed by the oracle (edges, buckets, and every
-    per-doc keep decision)."""
+    """Quality-stratified sampling report: RANK-based LM-quality
+    quartile buckets (bucket = 1 + (4·(rank−1)) div n — pure integer
+    arithmetic, no interpolated edges; VERDICT r09 #1) with
+    deterministic hash-sample rates 5/15/40/80% — the post-scoring
+    mixing move of a training-data pipeline, fully replayed by the
+    oracle (rank, buckets, integer-micros means, and every per-doc
+    keep decision)."""
     return C.quality_stratified_sample(table(spark, sf_dir, "documents"))
 
 
