@@ -73,3 +73,44 @@ def test_quality_stratified_tie_golden(spark):
     assert out[1].mean_lm == out[2].mean_lm
     assert out[3].mean_lm == out[4].mean_lm
     assert out[1].mean_lm < out[3].mean_lm
+
+
+def test_percentile_approx_exact_regime_rank_formula(spark):
+    """quality_stratified_sample_approx's oracle replays
+    percentile_approx as the order statistic at 1-based rank ceil(p·n);
+    pin that contract directly against Spark across sizes that exercise
+    every ceil/floor disagreement (n ≡ 0..3 mod 4)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    random.seed(11)
+    for n in (7, 8, 9, 10, 101, 250):
+        vals = [round(random.uniform(-20.0, -5.0), 6) for _ in range(n)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = df.agg(
+            F.percentile_approx(
+                "v", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(100000)
+            ).alias("e")
+        ).collect()[0].e
+        s = sorted(vals)
+        want = [s[math.ceil(p * n) - 1] for p in (0.25, 0.5, 0.75)]
+        assert got == want, (n, got, want)
+
+
+def test_quality_stratified_approx_report(spark, sf_dir):
+    """The approx twin covers the corpus, keeps the rate ladder, and in
+    the sketch's exact regime its edges equal the exact order
+    statistics (value-edge semantics: ties bunch into lower buckets)."""
+    from yamr_spark.operators.curation import quality_stratified_sample_approx
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    rows = {r.bucket: r for r in quality_stratified_sample_approx(docs).collect()}
+    assert sum(r.n_docs for r in rows.values()) == docs.count()
+    for b, r in rows.items():
+        assert r.rate_pct == (5, 15, 40, 80)[b - 1]
+        assert 0 <= r.n_sampled <= r.n_docs
+    means = [rows[b].mean_lm for b in sorted(rows)]
+    assert means == sorted(means)

@@ -1141,6 +1141,83 @@ def quality_stratified_sample(
     )
 
 
+def quality_stratified_sample_approx(
+    docs: DataFrame,
+    rates_pct: tuple[int, ...] = (5, 15, 40, 80),
+    accuracy: int = 100000,
+) -> DataFrame:
+    """The production-scale twin of ``quality_stratified_sample``:
+    quartile edges come from ``percentile_approx`` — ONE pass over the
+    scores, no rank shuffle — so the plan stays map-side-decision-cheap
+    at 10¹² rows where the exact variant's range shuffle is the
+    bottleneck (the docstring promise at curation.py's percentile note,
+    now a certified query; VERDICT r09 #7).
+
+    Certifiability: Spark's GK sketch is EXACT while no compression
+    triggers — for ``accuracy=100000`` (relative error 1e-5) no sample
+    can be dropped below ~50k rows (a drop needs g_i+g_{i+1}+Δ <
+    2·n/accuracy, and every g ≥ 1), and in that regime
+    ``percentile_approx(p)`` returns precisely the order statistic at
+    1-based rank ceil(p·n) (probed over n ∈ {7,8,100,101,603}; pinned
+    by tests/test_ranking.py). The oracle replays that rank formula
+    with integer arithmetic — (n+3)//4, (n+1)//2, (3n+3)//4 — so the
+    certification-scale comparison is EXACT, while the same plan
+    degrades gracefully to rank error n/accuracy beyond the regime.
+    Edges are data VALUES (order statistics, no interpolation) and
+    bucket membership compares stored 6dp lm_scores against them —
+    no computed-float comparison anywhere, the same discipline as the
+    rank-based exact form. Mean is the integer-micros half-up mean.
+
+    Semantics note: value-edge buckets bunch ties (documents equal to
+    an edge all land in the lower bucket), so bucket sizes can differ
+    from the exact variant's n/4 splits; buckets can be empty when
+    edges coincide."""
+    from yamr_spark.functions import hash60
+    from yamr_spark.materialize import materialize
+    from yamr_spark.operators.text import unigram_lm_score
+
+    scores = materialize(unigram_lm_score(docs))
+    edges = scores.agg(
+        F.percentile_approx(
+            "lm_score",
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            F.lit(int(accuracy)),
+        ).alias("e")
+    ).select(
+        F.col("e")[0].alias("e1"),
+        F.col("e")[1].alias("e2"),
+        F.col("e")[2].alias("e3"),
+    )
+    rates = F.array(*[F.lit(int(r)) for r in rates_pct])
+    bucket = (
+        F.lit(1)
+        + (F.col("lm_score") > F.col("e1")).cast("int")
+        + (F.col("lm_score") > F.col("e2")).cast("int")
+        + (F.col("lm_score") > F.col("e3")).cast("int")
+    )
+    keep = F.pmod(hash60(F.col("doc_id").cast("string")), F.lit(100)) < F.element_at(
+        rates, F.col("bucket")
+    )
+    return (
+        scores.crossJoin(F.broadcast(edges))
+        .withColumn("bucket", bucket)
+        .withColumn("kept", keep)
+        .withColumn(
+            "neg_e6", F.round(F.col("lm_score") * F.lit(-1e6), 0).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.element_at(rates, F.first("bucket")).cast("long").alias("rate_pct"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_sampled"),
+            F.expr(
+                "-CAST((2 * sum(neg_e6) + count(*)) div (2 * count(*)) AS DOUBLE)"
+                " / 1000000.0"
+            ).alias("mean_lm"),
+        )
+    )
+
+
 def token_budget_pack(
     docs: DataFrame, budget_tokens: int = 2000, n_buckets: int = 64
 ) -> DataFrame:

@@ -84,17 +84,29 @@ def decode_image_stats(df: DataFrame) -> DataFrame:
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in batches:
             rows = []
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
                 img = _fake_decode(bytes(buf))
+                # integer-exact moments: pixels are uint8, so Σv and
+                # Σv² are exact ints; mean/std become ONE correctly-
+                # rounded IEEE division (+ sqrt) — bit-identical to any
+                # engine using the same closed form, unlike
+                # numpy.std()'s float accumulation which diverged from
+                # stddev_pop in the last ulp (r10 strict-verify find)
+                px = img.astype(np.int64)
+                n = int(px.size)
+                s = int(px.sum())
+                s2 = int((px * px).sum())
                 rows.append(
                     (
                         doc_id,
                         int(img.shape[-1]),
                         int(img.shape[0]),
-                        float(img.mean()),
-                        float(img.std()),
+                        s / n,
+                        math.sqrt((n * s2 - s * s) / (n * n)),
                     )
                 )
             yield pd.DataFrame(

@@ -90,15 +90,21 @@ dim AS (
     )
     SELECT doc_id, CAST(MIN(width) AS INT) AS width,
            CAST(MIN(height) AS INT) AS height,
-           AVG(v) AS mean_px,
-           COALESCE(stddev_pop(v), 0.0) AS std_px
+           CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_px,
+           sqrt(CAST(COUNT(*) * CAST(SUM(v * v) AS BIGINT)
+                     - CAST(SUM(v) AS BIGINT) * CAST(SUM(v) AS BIGINT)
+                     AS DOUBLE)
+                / CAST(COUNT(*) * COUNT(*) AS DOUBLE)) AS std_px
     FROM px GROUP BY doc_id
     """,
 )
 def q_multimodal_decode(spark, sf_dir):
     """Decode seam: per-image shape + pixel stats via mapInPandas. The
-    oracle replays the fake decode byte-for-byte in SQL (ASCII text ⇒
-    ascii(char) = byte value; AVG/stddev_pop = numpy mean/std)."""
+    oracle replays the fake decode byte-for-byte in SQL; both sides
+    compute mean/std from exact integer pixel sums (Σv, Σv²) so the
+    closed form is one IEEE division + sqrt — bit-identical across
+    engines (numpy.std vs stddev_pop diverged in the last ulp)."""
     return decode_image_stats(_payload(spark, sf_dir))
 
 

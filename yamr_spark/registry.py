@@ -239,9 +239,72 @@ _R10_BACKFILL = [
     "streaming_upsert_latest",
     "embedding_covariance_gemm",
 ]
+# ROUND-10 WINDOW (the driver checks the first 50 of queries()):
+# exactly the r09 verdict's #3 plan. Slot 1: quality_stratified_sample
+# — driver-red twice (r07, r09); its float-interpolated quantile edges
+# are now replaced by rank-based integer quartiles (verdict #1), a
+# changed plan AND a red stamp, so it leads the window. Slots 2-23:
+# _R10_BACKFILL verbatim (2 displaced green-r03s, 9 never-stamped
+# round-9 registrations, 11 plan/hygiene-change restamps). Slot 24:
+# quality_stratified_sample_approx — this round's one new registration
+# (verdict #7), never-stamped so it outranks stale restamps but queues
+# BEHIND the planned backfill per the debt rule. Slots 25-50: 26 of
+# the 35 remaining r04 stamps (the two r04 entries already in the
+# backfill — ann_ivf_kmeans_topk, ngram_jaccard_pairs — don't repeat),
+# alphabetical. The 9 r04 leftovers + the 37 r05 stamps head
+# _R11_BACKFILL, oldest-first.
+_R04_RESTAMPS = [
+    "benchmark_decontaminate_n3",
+    "bm25_search",
+    "chunk_documents",
+    "chunk_dup_stats",
+    "corpus_version_diff",
+    "date_features",
+    "dedup_incremental",
+    "discounted_brand_revenue",
+    "excess_supply_suppliers",
+    "fuzzy_part_pairs",
+    "global_shuffle_stats",
+    "important_part_value",
+    "kmv_distinct_orders",
+    "large_volume_customers",
+    "llm_prep_pipeline_v2",
+    "minhash_near_dup",
+    "modality_interleave",
+    "multimodal_decode_stats",
+    "nation_trade_volume",
+    "observed_gate_metrics",
+    "pack_sequences",
+    "promo_revenue_share",
+    "rich_idle_customers",
+    "salted_dim_join",
+    "small_qty_part_revenue",
+    "snapshot_time_travel",
+]
+
+# r04 stamps that did not fit this window + every r05 stamp — the
+# ordered head of next round's window (oldest-stamp-first after these).
+_R11_BACKFILL = [
+    "sql_view_pipeline",
+    "streaming_event_passthrough",
+    "streaming_session_windows",
+    "supplier_attr_counts",
+    "synthetic_source_stats",
+    "top_supplier_revenue",
+    "variant_props_stats",
+    "waiting_suppliers",
+    "window_rank_family",
+]
+
+DRIVER_PRIORITY = (
+    ["quality_stratified_sample"]
+    + _R10_BACKFILL
+    + ["quality_stratified_sample_approx"]
+    + _R04_RESTAMPS
+)
 DRIVER_PRIORITY = DRIVER_PRIORITY + [
-    n for n in _R08_BACKFILL if n not in DRIVER_PRIORITY
-] + [n for n in _R10_BACKFILL if n not in DRIVER_PRIORITY]
+    n for n in _R11_BACKFILL if n not in DRIVER_PRIORITY
+] + [n for n in _R08_BACKFILL if n not in DRIVER_PRIORITY]
 
 
 def _prioritized(d: dict) -> dict:
