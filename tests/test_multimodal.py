@@ -4,6 +4,7 @@ Arrow-batched decode/resize/frame seams (goldens on tiny synthetic docs)."""
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 
@@ -36,8 +37,12 @@ def test_decode_stats_golden(spark):
     row = decode_image_stats(with_binary_payload(_docs(spark, [txt]))).collect()[0]
     px = np.frombuffer(txt.encode()[:128], dtype=np.uint8)
     assert (row["width"], row["height"]) == (64, 2)
-    assert row["mean_px"] == px.mean()
-    assert row["std_px"] == px.std()
+    # integer-exact moments (one IEEE division + sqrt — the engine-
+    # portable closed form; numpy's accumulated std can differ in ulps)
+    n, s, s2 = px.size, int(px.sum()), int((px.astype(np.int64) ** 2).sum())
+    assert row["mean_px"] == s / n
+    assert row["std_px"] == math.sqrt((n * s2 - s * s) / (n * n))
+    assert abs(row["std_px"] - px.std()) < 1e-9
 
 
 def test_decode_short_payload(spark):
@@ -201,3 +206,70 @@ def test_video_shift_dedup_goldens(spark):
         for r in audio_fingerprint_near_dup(docs).collect()
     }
     assert (1, 3) not in audio and (1, 2) in audio
+
+
+def test_audio_shift_near_dup_goldens(spark):
+    """The shift-tolerant ACOUSTIC variant closes the positional
+    fingerprint's one-frame-trim gap: the offset pair scores
+    frames_diff 0 at shift +1; identical clips 0 at shift 0; the
+    disjoint clip never pairs."""
+    from yamr_spark.operators.multimodal import audio_shift_near_dup
+
+    def frame(n_hi):
+        return "z" * n_hi + "0" * (32 - n_hi)
+
+    a = "".join(frame(3 * f) for f in range(8))
+    b = frame(1) + a[: 7 * 32]
+    c = "".join(frame(3 * f + 2) for f in range(8))
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, b), (4, c)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.frames_diff, r.shift)
+        for r in audio_shift_near_dup(docs).collect()
+    }
+    assert got[(1, 2)] == (0, 0)
+    assert got[(1, 3)] == (0, 1) and got[(2, 3)] == (0, 1)
+    assert not any(4 in p for p in got)
+
+
+def test_pigeonhole_parameter_guards(spark):
+    """ADVICE r09: parameters that would silently degrade the 'finds
+    EVERY qualifying pair' pigeonhole guarantee to a heuristic must
+    raise instead."""
+    import pytest
+
+    from yamr_spark.operators.multimodal import (
+        audio_fingerprint_near_dup,
+        image_ahash_near_dup,
+    )
+
+    docs = _docs(spark, ["x" * 300])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_ahash_near_dup(docs, max_hamming=4).collect()
+    with pytest.raises(ValueError, match="pigeonhole"):
+        audio_fingerprint_near_dup(docs, max_frame_diff=4).collect()
+    with pytest.raises(ValueError, match="even"):
+        audio_fingerprint_near_dup(docs, n_frames=7, max_frame_diff=2).collect()
+
+
+def test_ascii_gate_excludes_non_ascii(spark):
+    """ADVICE r09: the fake decoders index characters while gating on
+    bytes, and band packing bounds symbols by byte < 128 — non-ASCII
+    payloads are excluded at the seam rather than silently weakening
+    the guarantees."""
+    from yamr_spark.operators.multimodal import (
+        audio_fingerprint_near_dup,
+        audio_shift_near_dup,
+        image_ahash_bands,
+        video_shift_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 300), (2, "a" * 300), (3, "é" * 300)],
+        "doc_id long, text string",
+    )
+    assert image_ahash_bands(docs).count() == 2
+    for op in (audio_fingerprint_near_dup, audio_shift_near_dup, video_shift_dedup):
+        pairs = {(r.doc_a, r.doc_b) for r in op(docs).collect()}
+        assert pairs == {(1, 2)}, op.__name__

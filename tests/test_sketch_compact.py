@@ -126,3 +126,17 @@ def test_crash_after_move_marker_left(spark, cms_store):
     assert recover(cms_store) == "completed interrupted compaction"
     assert not os.path.exists(os.path.join(cms_store, "_compact_commit.json"))
     assert _served_cms(spark, cms_store) == before
+
+
+def test_compact_guard_rejects_newest_batch(spark, cms_store):
+    """ADVICE r09: the replay contract (never fold a batch foreachBatch
+    may still replay) is enforced structurally — upto at or beyond the
+    newest batch id raises and the store is untouched."""
+    import pytest
+
+    before = _served_cms(spark, cms_store)
+    for bad in (2, 99):
+        with pytest.raises(ValueError, match="newest"):
+            compact_prefix(spark, cms_store, cms_merge, upto=bad)
+    assert _batch_ids(cms_store) == [0, 1, 2]
+    assert _served_cms(spark, cms_store) == before

@@ -293,6 +293,65 @@ def audio_frame_energy(df: DataFrame, frame: int = 64) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, AUDIO_SCHEMA)
 
 
+def _ascii_only(df: DataFrame, text_col: str) -> DataFrame:
+    """The closed-form fake decoders index CHARACTERS (substr/ascii)
+    while size gates count BYTES (octet_length), and the injective band
+    packings bound each symbol by byte < 128 — all three hold only for
+    pure-ASCII payloads (ADVICE r09). Gate structurally instead of
+    assuming: non-ASCII rows are excluded at the seam (the fixture
+    corpora are 100% ASCII, so this excludes nothing there; a real
+    deployment replaces the fake decode AND this gate together)."""
+    return df.filter(~F.col(text_col).rlike("[^\\x00-\\x7F]"))
+
+
+def banded_candidate_pairs(stream: DataFrame, cap: int) -> DataFrame:
+    """The modality-dedup triad's SHARED candidate stage (VERDICT r09
+    #5 — one implementation instead of three copies): ``stream`` is
+    (doc_id, b, band_val) posting rows; buckets with more than ``cap``
+    members are dropped (the skew lever — degenerate band values such
+    as uniform-color images or silence would square the join), the
+    rest self-join within (b, band_val) into DISTINCT ordered pairs.
+
+    Position-banded callers (image aHash, audio fingerprint) pass real
+    band indexes; set-blocked callers (shift-tolerant alignment) pass a
+    constant b with the symbol as band_val and ``cap`` as the symbol
+    df-cap — identical machinery, one code path. Scale: candidates are
+    bounded by Σ_buckets C(|bucket|, 2) ≤ cap²·n_buckets/2; never
+    all-pairs."""
+    hot = (
+        stream.groupBy("b", "band_val")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > cap)
+        .select("b", "band_val")
+    )
+    cold = stream.join(hot, ["b", "band_val"], "left_anti")
+    return (
+        cold.alias("s1")
+        .join(
+            cold.alias("s2"),
+            (F.col("s1.b") == F.col("s2.b"))
+            & (F.col("s1.band_val") == F.col("s2.band_val"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .select(
+            F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _frame_symbols_expr(frame: int, n_frames: int, qstep: int) -> str:
+    """Pure-integer coarse frame-energy symbols over column ``__t``:
+    symbol f = (Σ byte²) div qstep — shared by the audio and video
+    signature builders so the quantization tuning lives in one place."""
+    return (
+        f"transform(sequence(0, {n_frames - 1}), f -> "
+        f"aggregate(sequence(0, {frame - 1}), 0, (acc, k) -> "
+        f"acc + ascii(substr(__t, f * {frame} + k + 1, 1)) "
+        f"* ascii(substr(__t, f * {frame} + k + 1, 1))) div {qstep})"
+    )
+
+
 def image_ahash_bands(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bands: int = 4
 ) -> DataFrame:
@@ -314,7 +373,7 @@ def image_ahash_bands(
     L = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
     W = F.when(L >= 64, F.lit(64)).otherwise(L)
     H = F.when(L >= 64, (L / 64).cast("int")).otherwise(F.lit(1))
-    base = df.select(
+    base = _ascii_only(df, text_col).select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("__t"),
         W.cast("int").alias("__w"),
@@ -358,8 +417,10 @@ def image_ahash_near_dup(
     16-bit bands, so any pair with Hamming ≤ 3 has at least one band
     byte-identical (3 differing bits touch ≤ 3 of 4 bands) — the
     band-equality join finds EVERY qualifying pair, it is not a recall
-    heuristic. Verification computes the exact Hamming distance from the
-    band integers (bit_count of xor), never re-touching pixels.
+    heuristic — which is why ``max_hamming`` ≥ the band count raises
+    instead of silently degrading to a heuristic (ADVICE r09).
+    Verification computes the exact Hamming distance from the band
+    integers (bit_count of xor), never re-touching pixels.
 
     Scale: one corpus scan builds docs×4 fixed-width (b, band, doc_id)
     rows; candidates come from an equality join on (b, band) — never
@@ -372,30 +433,17 @@ def image_ahash_near_dup(
     side; no pixel data ever shuffles."""
     from yamr_spark.materialize import materialize
 
+    n_bands = 4  # image_ahash_bands default — 64-bit hash, 16-bit bands
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole guarantee: "
+            f"need max_hamming < n_bands={n_bands} so some band is identical"
+        )
     hashes = materialize(image_ahash_bands(df, text_col=text_col, id_col=id_col))
     stream = hashes.select(
         "doc_id", F.posexplode("bands").alias("b", "band_val")
     )
-    hot = (
-        stream.groupBy("b", "band_val")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > max_bucket)
-        .select("b", "band_val")
-    )
-    cold = stream.join(hot, ["b", "band_val"], "left_anti")
-    cands = (
-        cold.alias("s1")
-        .join(
-            cold.alias("s2"),
-            (F.col("s1.b") == F.col("s2.b"))
-            & (F.col("s1.band_val") == F.col("s2.band_val"))
-            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
-        )
-        .select(
-            F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cands = banded_candidate_pairs(stream, max_bucket)
     ham = "aggregate(zip_with(__ba, __bb, (x, y) -> bit_count(x ^ y)), 0, (a, p) -> a + p)"
     return (
         cands.join(
@@ -449,19 +497,19 @@ def audio_fingerprint_near_dup(
 
     if n_frames % 2:
         raise ValueError(f"n_frames must be even for 2-symbol bands: {n_frames}")
+    if max_frame_diff >= n_frames // 2:
+        raise ValueError(
+            f"max_frame_diff={max_frame_diff} breaks the pigeonhole "
+            f"guarantee: need max_frame_diff < n_frames//2={n_frames // 2} "
+            "so some 2-symbol band is identical"
+        )
     need = frame * n_frames
     L = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
-    base = df.filter(L >= need).select(
+    base = _ascii_only(df, text_col).filter(L >= need).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
     )
-    syms = (
-        f"transform(sequence(0, {n_frames - 1}), f -> "
-        f"aggregate(sequence(0, {frame - 1}), 0, (acc, k) -> "
-        f"acc + ascii(substr(__t, f * {frame} + k + 1, 1)) "
-        f"* ascii(substr(__t, f * {frame} + k + 1, 1))) div {qstep})"
-    )
-    # injective 2-symbol packing: byte < 128 bounds Σ byte² per frame,
-    # hence the symbol, hence the base
+    # injective 2-symbol packing: byte < 128 (the _ascii_only gate)
+    # bounds Σ byte² per frame, hence the symbol, hence the base
     pack_base = (frame * 127 * 127) // qstep + 1
     bands = (
         f"transform(sequence(0, {n_frames // 2 - 1}), b -> "
@@ -469,31 +517,14 @@ def audio_fingerprint_near_dup(
         "+ element_at(__syms, 2 * b + 2))"
     )
     sigs = materialize(
-        base.withColumn("__syms", F.expr(syms)).select(
+        base.withColumn(
+            "__syms", F.expr(_frame_symbols_expr(frame, n_frames, qstep))
+        ).select(
             "doc_id", F.col("__syms").alias("syms"), F.expr(bands).alias("bands")
         )
     )
     stream = sigs.select("doc_id", F.posexplode("bands").alias("b", "band_val"))
-    hot = (
-        stream.groupBy("b", "band_val")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > max_bucket)
-        .select("b", "band_val")
-    )
-    cold = stream.join(hot, ["b", "band_val"], "left_anti")
-    cands = (
-        cold.alias("s1")
-        .join(
-            cold.alias("s2"),
-            (F.col("s1.b") == F.col("s2.b"))
-            & (F.col("s1.band_val") == F.col("s2.band_val"))
-            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
-        )
-        .select(
-            F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cands = banded_candidate_pairs(stream, max_bucket)
     diff = "aggregate(zip_with(__sa, __sb, (x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, (a, p) -> a + p)"
     return (
         cands.join(
@@ -548,44 +579,24 @@ def video_shift_dedup(
 
     need = frame * n_frames
     L = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
-    base = df.filter(L >= need).select(
+    base = _ascii_only(df, text_col).filter(L >= need).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
     )
-    syms = (
-        f"transform(sequence(0, {n_frames - 1}), f -> "
-        f"aggregate(sequence(0, {frame - 1}), 0, (acc, k) -> "
-        f"acc + ascii(substr(__t, f * {frame} + k + 1, 1)) "
-        f"* ascii(substr(__t, f * {frame} + k + 1, 1))) div {qstep})"
-    )
     sigs = materialize(
-        base.withColumn("__syms", F.expr(syms)).select(
-            "doc_id", F.col("__syms").alias("syms")
-        )
+        base.withColumn(
+            "__syms", F.expr(_frame_symbols_expr(frame, n_frames, qstep))
+        ).select("doc_id", F.col("__syms").alias("syms"))
     )
-    # set-blocking stream: DISTINCT (doc, symbol) so a clip repeating a
-    # symbol doesn't multiply its posting rows
+    # set-blocking through the SHARED candidate stage: DISTINCT
+    # (doc, symbol) postings with a constant band index — the symbol
+    # df-cap is exactly the bucket cap (a shift preserves the symbol
+    # multiset, not positions, so position bands can't block here)
     stream = sigs.select(
-        "doc_id", F.explode(F.array_distinct("syms")).alias("sym")
+        "doc_id",
+        F.lit(0).alias("b"),
+        F.explode(F.array_distinct("syms")).alias("band_val"),
     )
-    rare = (
-        stream.groupBy("sym")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") <= max_df)
-        .select("sym")
-    )
-    cold = stream.join(rare, "sym")
-    cands = (
-        cold.alias("s1")
-        .join(
-            cold.alias("s2"),
-            (F.col("s1.sym") == F.col("s2.sym"))
-            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
-        )
-        .select(
-            F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cands = banded_candidate_pairs(stream, max_df)
     n = n_frames
     # positional matches at shift s: compare sa[i] to sb[i+s] over the
     # overlap; ties between shifts break toward the smaller |shift|
@@ -625,4 +636,91 @@ def video_shift_dedup(
             .alias("shift"),
         )
         .filter(F.col("matches") >= min_matches)
+    )
+
+
+def audio_shift_near_dup(
+    df: DataFrame,
+    frame: int = 32,
+    n_frames: int = 8,
+    qstep: int = 4096,
+    max_frame_diff: int = 2,
+    max_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shift-tolerant ACOUSTIC near-dup (VERDICT r09 #5): pairs whose
+    frame-energy signatures differ in ≤ ``max_frame_diff`` positions at
+    the BEST temporal shift in {−1, 0, +1} — the one-frame-trim case
+    ``audio_fingerprint_near_dup`` structurally misses (its positional
+    bands score a trimmed clip 0 everywhere; its own docstring names
+    this gap).
+
+    Same pure-integer signatures as the positional path (ONE symbol
+    builder, ``_frame_symbols_expr``), same set-blocked candidates as
+    the video aligner through the SHARED ``banded_candidate_pairs``
+    stage (a shift preserves the symbol multiset, so candidates block
+    on rare symbols with df ≤ ``max_df``, constant band index — the
+    documented recall trade: a shifted pair is missed only if every
+    shared symbol is corpus-hot). Verify takes the MINIMUM mismatch
+    count over the three alignments on each alignment's overlap
+    (n positions at shift 0, n−1 at ±1), tie toward shift 0 then −1 —
+    so a one-frame trim with otherwise identical frames scores diff 0
+    at shift ±1 instead of ~n at shift 0. Scale identical to
+    video_shift_dedup: fixed-width signature rows, df-bounded candidate
+    join, clip bytes never shuffle."""
+    from yamr_spark.materialize import materialize
+
+    need = frame * n_frames
+    L = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
+    base = _ascii_only(df, text_col).filter(L >= need).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    )
+    sigs = materialize(
+        base.withColumn(
+            "__syms", F.expr(_frame_symbols_expr(frame, n_frames, qstep))
+        ).select("doc_id", F.col("__syms").alias("syms"))
+    )
+    stream = sigs.select(
+        "doc_id",
+        F.lit(0).alias("b"),
+        F.explode(F.array_distinct("syms")).alias("band_val"),
+    )
+    cands = banded_candidate_pairs(stream, max_df)
+    n = n_frames
+    d0 = (
+        "aggregate(zip_with(__sa, __sb, (x, y) -> "
+        "CASE WHEN x = y THEN 0 ELSE 1 END), 0, (a, p) -> a + p)"
+    )
+    dneg = (
+        f"aggregate(zip_with(slice(__sa, 2, {n - 1}), slice(__sb, 1, {n - 1}), "
+        "(x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, (a, p) -> a + p)"
+    )
+    dpos = (
+        f"aggregate(zip_with(slice(__sa, 1, {n - 1}), slice(__sb, 2, {n - 1}), "
+        "(x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, (a, p) -> a + p)"
+    )
+    return (
+        cands.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("syms").alias("__sa")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("syms").alias("__sb")),
+            "doc_b",
+        )
+        .withColumn("__d0", F.expr(d0).cast("long"))
+        .withColumn("__dn", F.expr(dneg).cast("long"))
+        .withColumn("__dp", F.expr(dpos).cast("long"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.least("__d0", "__dn", "__dp").alias("frames_diff"),
+            F.when(F.col("__d0") <= F.least("__dn", "__dp"), F.lit(0))
+            .when(F.col("__dn") <= F.col("__dp"), F.lit(-1))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("shift"),
+        )
+        .filter(F.col("frames_diff") <= max_frame_diff)
     )

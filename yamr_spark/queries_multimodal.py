@@ -271,7 +271,7 @@ def q_audio_frame_energy(spark, sf_dir):
     grid AS (
       SELECT doc_id, text, width, height,
              CAST(unnest(range(64)) AS INT) AS g
-      FROM dim
+      FROM dim WHERE NOT regexp_matches(text, '[^\\x00-\\x7F]')
     ),
     samp AS (
       SELECT doc_id, g,
@@ -337,6 +337,7 @@ def q_multimodal_ahash_near_dup(spark, sf_dir):
     WITH clips AS (
       SELECT doc_id, text FROM documents
       WHERE octet_length(encode(text)) >= 256
+        AND NOT regexp_matches(text, '[^\\x00-\\x7F]')
     ),
     sigs AS MATERIALIZED (
       SELECT doc_id,
@@ -396,6 +397,7 @@ def q_multimodal_audio_fingerprint_dedup(spark, sf_dir):
     WITH clips AS (
       SELECT doc_id, text FROM documents
       WHERE octet_length(encode(text)) >= 256
+        AND NOT regexp_matches(text, '[^\\x00-\\x7F]')
     ),
     sigs AS MATERIALIZED (
       SELECT doc_id,
@@ -448,3 +450,65 @@ def q_multimodal_video_shift_dedup(spark, sf_dir):
     from yamr_spark.operators.multimodal import video_shift_dedup
 
     return video_shift_dedup(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_audio_shift_dedup",
+    oracle="""
+    WITH clips AS (
+      SELECT doc_id, text FROM documents
+      WHERE octet_length(encode(text)) >= 256
+        AND NOT regexp_matches(text, '[^\\x00-\\x7F]')
+    ),
+    sigs AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(range(8), f ->
+               list_sum(list_transform(range(32), k ->
+                 ascii(substr(text, f * 32 + k + 1, 1))
+                 * ascii(substr(text, f * 32 + k + 1, 1)))) // 4096) AS syms
+      FROM clips
+    ),
+    stream AS (
+      SELECT DISTINCT doc_id, sym FROM (
+        SELECT doc_id, unnest(syms) AS sym FROM sigs
+      )
+    ),
+    rare AS (
+      SELECT sym FROM stream GROUP BY sym HAVING COUNT(*) <= 50
+    ),
+    cand AS (
+      SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+      FROM stream s1
+      JOIN rare r ON r.sym = s1.sym
+      JOIN stream s2 ON s2.sym = s1.sym AND s1.doc_id < s2.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(list_sum(list_transform(range(8), i ->
+               CASE WHEN sa.syms[i + 1] = sb.syms[i + 1] THEN 0 ELSE 1 END))
+               AS BIGINT) AS d0,
+             CAST(list_sum(list_transform(range(7), i ->
+               CASE WHEN sa.syms[i + 2] = sb.syms[i + 1] THEN 0 ELSE 1 END))
+               AS BIGINT) AS dn,
+             CAST(list_sum(list_transform(range(7), i ->
+               CASE WHEN sa.syms[i + 1] = sb.syms[i + 2] THEN 0 ELSE 1 END))
+               AS BIGINT) AS dp
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, least(d0, dn, dp) AS frames_diff,
+           CAST(CASE WHEN d0 <= least(dn, dp) THEN 0
+                     WHEN dn <= dp THEN -1 ELSE 1 END AS BIGINT) AS shift
+    FROM scored WHERE least(d0, dn, dp) <= 2
+    """,
+)
+def q_multimodal_audio_shift_dedup(spark, sf_dir):
+    """Shift-tolerant acoustic near-dup (VERDICT r09 #5): minimum
+    differing-frame count over alignments {−1, 0, +1} ≤ 2 — catches
+    the one-frame-trim duplicates the positional fingerprint scores
+    ~8/8 different. Same symbol builder as the audio/video paths, same
+    shared set-blocked candidate stage (rare-symbol df ≤ 50)."""
+    from yamr_spark.operators.multimodal import audio_shift_near_dup
+
+    return audio_shift_near_dup(table(spark, sf_dir, "documents"))

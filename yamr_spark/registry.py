@@ -279,12 +279,12 @@ _R04_RESTAMPS = [
     "rich_idle_customers",
     "salted_dim_join",
     "small_qty_part_revenue",
-    "snapshot_time_travel",
 ]
 
 # r04 stamps that did not fit this window + every r05 stamp — the
 # ordered head of next round's window (oldest-stamp-first after these).
 _R11_BACKFILL = [
+    "snapshot_time_travel",
     "sql_view_pipeline",
     "streaming_event_passthrough",
     "streaming_session_windows",
@@ -296,10 +296,14 @@ _R11_BACKFILL = [
     "window_rank_family",
 ]
 
+# Second new registration this round (multimodal_audio_shift_dedup,
+# verdict #5): never-stamped outranks stale-stamped, so it takes the
+# slot of the alphabetically-last r04 restamp (snapshot_time_travel →
+# _R11_BACKFILL head). 1 + 22 + 2 + 25 = 50.
 DRIVER_PRIORITY = (
     ["quality_stratified_sample"]
     + _R10_BACKFILL
-    + ["quality_stratified_sample_approx"]
+    + ["quality_stratified_sample_approx", "multimodal_audio_shift_dedup"]
     + _R04_RESTAMPS
 )
 DRIVER_PRIORITY = DRIVER_PRIORITY + [

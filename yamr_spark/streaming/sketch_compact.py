@@ -105,9 +105,20 @@ def compact_prefix(
 
     The read targets ONLY the folded partition directories, so the
     newest (possibly uncommitted, possibly being replayed) batches are
-    never touched."""
+    never touched — and that contract is ENFORCED, not just documented
+    (ADVICE r09): ``upto`` >= the newest batch id raises, because
+    foreachBatch may still replay the newest batch and its dynamic-
+    overwrite would re-create a ``batch_id=`` partition on top of the
+    merged prefix, double-counting its cells."""
     recover(store_dir)  # guarantees: no marker, no stage, no .tmp left
-    folded = [(b, p) for b, p in _batch_dirs(store_dir) if b <= upto]
+    dirs = _batch_dirs(store_dir)
+    if dirs and upto >= dirs[-1][0]:
+        raise ValueError(
+            f"upto={upto} would fold the newest batch (id {dirs[-1][0]}), "
+            "which foreachBatch may still replay; pass upto strictly "
+            "below the newest batch id"
+        )
+    folded = [(b, p) for b, p in dirs if b <= upto]
     if len(folded) < 2:
         return len(folded)
     target_id = folded[0][0]
