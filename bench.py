@@ -136,6 +136,7 @@ FAMILIES: dict[str, list[str]] = {
         "pii_redaction_stats",
         "temperature_mixture_sample",
         "quality_stratified_sample",
+        "quality_stratified_sample_approx",
         "weighted_sample_docs",
         "token_budget_pack",
         "span_dup_stats",
@@ -149,6 +150,7 @@ FAMILIES: dict[str, list[str]] = {
         "multimodal_ahash_near_dup",
         "multimodal_audio_fingerprint_dedup",
         "multimodal_video_shift_dedup",
+        "multimodal_audio_shift_dedup",
         "audio_frame_energy",
     ],
     # analytics + warehouse ops: funnel/cohort, SCD2, incremental

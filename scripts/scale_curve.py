@@ -304,6 +304,51 @@ def r9_experiment(spark, sf_dir: str, out_dir: str) -> None:
         print(f"| {name} | {cells} | {ratio}x |")
 
 
+def r10_experiment(spark, sf_dir: str, out_dir: str) -> None:
+    """VERDICT r09 #4: separate span_dup_stats' MATERIALIZE cost from
+    its PLAN cost. The r9 curve's 16× cell (23.6 s, ~11×) was
+    attributed to localCheckpoint block pressure (SCALE.md) — if that
+    attribution is right, the same salted-replica curve under the
+    parquet/disk materialize modes (whose barrier cost is a columnar
+    write + scan instead of in-JVM block replication) should flatten
+    toward the plan's own ~linear cost; if it stays superlinear under
+    every mode, the window table's two consumers need a cheaper
+    barrier."""
+    from yamr_spark.materialize import set_mode
+    from yamr_spark.operators import curation as C
+
+    paths = build_scaled(spark, sf_dir, out_dir)
+    results: dict[str, dict[int, float]] = {}
+    for mode in ("local", "disk", "parquet"):
+        for k in FACTORS:
+            docs = spark.read.parquet(paths[k])
+            docs.count()
+            set_mode(mode)
+            try:
+                best = None
+                for _ in range(REPS):
+                    t0 = time.perf_counter()
+                    C.span_dup_stats(docs).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+            finally:
+                set_mode(None)
+            results.setdefault(f"span_dup_stats[{mode}]", {})[k] = round(best, 2)
+            print(
+                json.dumps(
+                    {"op": f"span_dup_stats[{mode}]", "factor": k, "sec": round(best, 2)}
+                )
+            )
+    print("\n| operator | " + " | ".join(f"{k}x" for k in FACTORS) + " | t(16x)/t(1x) |")
+    print("|---|" + "---|" * (len(FACTORS) + 1))
+    for name, row in results.items():
+        ratio = round(row[FACTORS[-1]] / row[FACTORS[0]], 1)
+        cells = " | ".join(f"{row[k]:.2f}" for k in FACTORS)
+        print(f"| {name} | {cells} | {ratio}x |")
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = pos[0] if pos else os.environ.get(
@@ -334,6 +379,10 @@ def main() -> None:
         return
     if "--r9" in sys.argv:
         r9_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
+    if "--r10" in sys.argv:
+        r10_experiment(spark, sf_dir, out_dir)
         spark.stop()
         return
     paths = build_scaled(spark, sf_dir, out_dir)
