@@ -273,3 +273,25 @@ def test_ascii_gate_excludes_non_ascii(spark):
     for op in (audio_fingerprint_near_dup, audio_shift_near_dup, video_shift_dedup):
         pairs = {(r.doc_a, r.doc_b) for r in op(docs).collect()}
         assert pairs == {(1, 2)}, op.__name__
+
+
+def test_shared_sigs_cache_matches_uncached(spark, sf_dir):
+    """The session frame-signature cache feeds all three acoustic/video
+    dedup queries; cached and uncached plans must return identical rows
+    (same pin the shingle/IVF caches carry)."""
+    from yamr_spark.operators.multimodal import (
+        audio_fingerprint_near_dup,
+        audio_shift_near_dup,
+        video_shift_dedup,
+    )
+    from yamr_spark.queries_multimodal import _sigs_shared
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    sigs = _sigs_shared(spark, sf_dir)
+    for op in (audio_fingerprint_near_dup, audio_shift_near_dup, video_shift_dedup):
+        cached = sorted(map(tuple, op(docs, sigs=sigs).collect()))
+        uncached = sorted(map(tuple, op(docs).collect()))
+        assert cached == uncached, op.__name__
+    # second call returns the same cached frame (no rebuild)
+    assert _sigs_shared(spark, sf_dir) is sigs

@@ -352,6 +352,32 @@ def _frame_symbols_expr(frame: int, n_frames: int, qstep: int) -> str:
     )
 
 
+def frame_signatures(
+    df: DataFrame,
+    frame: int = 32,
+    n_frames: int = 8,
+    qstep: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, syms) — the pure-integer frame-energy signature table
+    the acoustic/video dedup family shares (ASCII-gated, length-gated,
+    one corpus scan). UNmaterialized: the caller materializes (and may
+    session-cache) it; the three consumers
+    (audio_fingerprint_near_dup, audio_shift_near_dup,
+    video_shift_dedup) accept it via their ``sigs`` parameter so one
+    signature build serves the whole family per session."""
+    need = frame * n_frames
+    L = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
+    return (
+        _ascii_only(df, text_col)
+        .filter(L >= need)
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        .withColumn("__syms", F.expr(_frame_symbols_expr(frame, n_frames, qstep)))
+        .select("doc_id", F.col("__syms").alias("syms"))
+    )
+
+
 def image_ahash_bands(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bands: int = 4
 ) -> DataFrame:
@@ -468,6 +494,7 @@ def audio_fingerprint_near_dup(
     max_bucket: int = 100,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Acoustic-fingerprint near-dup (the Shazam-lite shape over the
     audio seam): per-clip signature = ``n_frames`` coarse frame-energy
@@ -503,27 +530,22 @@ def audio_fingerprint_near_dup(
             f"guarantee: need max_frame_diff < n_frames//2={n_frames // 2} "
             "so some 2-symbol band is identical"
         )
-    need = frame * n_frames
-    L = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
-    base = _ascii_only(df, text_col).filter(L >= need).select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
-    )
+    if sigs is None:
+        sigs = materialize(
+            frame_signatures(df, frame, n_frames, qstep, text_col, id_col)
+        )
     # injective 2-symbol packing: byte < 128 (the _ascii_only gate)
-    # bounds Σ byte² per frame, hence the symbol, hence the base
+    # bounds Σ byte² per frame, hence the symbol, hence the base.
+    # Banding is a PROJECTION of the shared signature table — a
+    # caller-provided sigs (session cache) is never re-scanned from text
     pack_base = (frame * 127 * 127) // qstep + 1
     bands = (
         f"transform(sequence(0, {n_frames // 2 - 1}), b -> "
-        f"element_at(__syms, 2 * b + 1) * {pack_base} "
-        "+ element_at(__syms, 2 * b + 2))"
+        f"element_at(syms, 2 * b + 1) * {pack_base} "
+        "+ element_at(syms, 2 * b + 2))"
     )
-    sigs = materialize(
-        base.withColumn(
-            "__syms", F.expr(_frame_symbols_expr(frame, n_frames, qstep))
-        ).select(
-            "doc_id", F.col("__syms").alias("syms"), F.expr(bands).alias("bands")
-        )
-    )
-    stream = sigs.select("doc_id", F.posexplode("bands").alias("b", "band_val"))
+    banded = sigs.select("doc_id", "syms", F.expr(bands).alias("bands"))
+    stream = banded.select("doc_id", F.posexplode("bands").alias("b", "band_val"))
     cands = banded_candidate_pairs(stream, max_bucket)
     diff = "aggregate(zip_with(__sa, __sb, (x, y) -> CASE WHEN x = y THEN 0 ELSE 1 END), 0, (a, p) -> a + p)"
     return (
@@ -549,6 +571,7 @@ def video_shift_dedup(
     max_df: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Shift-tolerant video duplicate detection: two clips are
     duplicates if their frame-signature SEQUENCES align on
@@ -577,16 +600,10 @@ def video_shift_dedup(
     arrays per pair; clip bytes never shuffle."""
     from yamr_spark.materialize import materialize
 
-    need = frame * n_frames
-    L = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
-    base = _ascii_only(df, text_col).filter(L >= need).select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
-    )
-    sigs = materialize(
-        base.withColumn(
-            "__syms", F.expr(_frame_symbols_expr(frame, n_frames, qstep))
-        ).select("doc_id", F.col("__syms").alias("syms"))
-    )
+    if sigs is None:
+        sigs = materialize(
+            frame_signatures(df, frame, n_frames, qstep, text_col, id_col)
+        )
     # set-blocking through the SHARED candidate stage: DISTINCT
     # (doc, symbol) postings with a constant band index — the symbol
     # df-cap is exactly the bucket cap (a shift preserves the symbol
@@ -648,6 +665,7 @@ def audio_shift_near_dup(
     max_df: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Shift-tolerant ACOUSTIC near-dup (VERDICT r09 #5): pairs whose
     frame-energy signatures differ in ≤ ``max_frame_diff`` positions at
@@ -671,16 +689,10 @@ def audio_shift_near_dup(
     join, clip bytes never shuffle."""
     from yamr_spark.materialize import materialize
 
-    need = frame * n_frames
-    L = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
-    base = _ascii_only(df, text_col).filter(L >= need).select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
-    )
-    sigs = materialize(
-        base.withColumn(
-            "__syms", F.expr(_frame_symbols_expr(frame, n_frames, qstep))
-        ).select("doc_id", F.col("__syms").alias("syms"))
-    )
+    if sigs is None:
+        sigs = materialize(
+            frame_signatures(df, frame, n_frames, qstep, text_col, id_col)
+        )
     stream = sigs.select(
         "doc_id",
         F.lit(0).alias("b"),

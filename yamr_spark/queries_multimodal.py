@@ -24,6 +24,33 @@ def _payload(spark, sf_dir):
     return with_binary_payload(table(spark, sf_dir, "documents"))
 
 
+# Shared frame-signature table for the acoustic/video dedup family
+# (same session-cache pattern as the containment shingle cache and the
+# IVF centroid cache): the three consumers — audio fingerprint, audio
+# shift, video shift — share ONE ASCII-gated corpus scan + symbol build
+# per (application, sf_dir, frame, n_frames, qstep). Stale-application
+# keys are evicted so dead sessions never pin frames.
+_SIGS_CACHE: dict[tuple[str, str, int, int, int], object] = {}
+
+
+def _sigs_shared(spark, sf_dir, frame=32, n_frames=8, qstep=4096):
+    key = (spark.sparkContext.applicationId, sf_dir, frame, n_frames, qstep)
+    sigs = _SIGS_CACHE.get(key)
+    if sigs is None:
+        from yamr_spark.materialize import materialize
+        from yamr_spark.operators.multimodal import frame_signatures
+
+        for stale in [k for k in _SIGS_CACHE if k[0] != key[0]]:
+            del _SIGS_CACHE[stale]
+        sigs = materialize(
+            frame_signatures(
+                table(spark, sf_dir, "documents"), frame, n_frames, qstep
+            )
+        )
+        _SIGS_CACHE[key] = sigs
+    return sigs
+
+
 @register(
     "multimodal_meta",
     oracle="""
@@ -388,7 +415,9 @@ def q_multimodal_audio_fingerprint_dedup(spark, sf_dir):
     exact differing-frame verify from the signature arrays."""
     from yamr_spark.operators.multimodal import audio_fingerprint_near_dup
 
-    return audio_fingerprint_near_dup(table(spark, sf_dir, "documents"))
+    return audio_fingerprint_near_dup(
+        table(spark, sf_dir, "documents"), sigs=_sigs_shared(spark, sf_dir)
+    )
 
 
 @register(
@@ -449,7 +478,9 @@ def q_multimodal_video_shift_dedup(spark, sf_dir):
     (df ≤ 50), best (matches, shift) per pair, matches ≥ 6 of 8."""
     from yamr_spark.operators.multimodal import video_shift_dedup
 
-    return video_shift_dedup(table(spark, sf_dir, "documents"))
+    return video_shift_dedup(
+        table(spark, sf_dir, "documents"), sigs=_sigs_shared(spark, sf_dir)
+    )
 
 
 @register(
@@ -511,4 +542,6 @@ def q_multimodal_audio_shift_dedup(spark, sf_dir):
     shared set-blocked candidate stage (rare-symbol df ≤ 50)."""
     from yamr_spark.operators.multimodal import audio_shift_near_dup
 
-    return audio_shift_near_dup(table(spark, sf_dir, "documents"))
+    return audio_shift_near_dup(
+        table(spark, sf_dir, "documents"), sigs=_sigs_shared(spark, sf_dir)
+    )
