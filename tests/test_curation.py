@@ -308,3 +308,24 @@ def test_weighted_sample_properties(spark, sf_dir):
     got = weighted_sample(df, "doc_id", "w", k=20).collect()
     heavy = sum(1 for r in got if r.doc_id >= 100)
     assert heavy >= 15, heavy
+
+
+def test_flagged_cache_matches_uncached(spark, sf_dir):
+    """The shared decontamination flag-set feeds pipeline v1/v2/v3;
+    cached and uncached plans must return identical rows (same pin the
+    shingle/IVF/frame-signature caches carry)."""
+    from yamr_spark.operators.curation import (
+        llm_prep_pipeline,
+        llm_prep_pipeline_v2,
+        llm_prep_pipeline_v3,
+    )
+    from yamr_spark.queries_curation import _flagged_shared
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    flagged = _flagged_shared(spark, sf_dir)
+    for op in (llm_prep_pipeline, llm_prep_pipeline_v2, llm_prep_pipeline_v3):
+        cached = sorted(map(tuple, op(docs, flagged=flagged).collect()))
+        uncached = sorted(map(tuple, op(docs).collect()))
+        assert cached == uncached, op.__name__
+    assert _flagged_shared(spark, sf_dir) is flagged

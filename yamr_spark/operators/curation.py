@@ -338,6 +338,7 @@ def llm_prep_pipeline(
     min_words: int = 5,
     min_chars: int = 30,
     bench_mod: int = 97,
+    flagged: DataFrame | None = None,
 ) -> DataFrame:
     """The flagship end-to-end training-data prep, ONE declarative plan:
 
@@ -367,7 +368,10 @@ def llm_prep_pipeline(
         .agg(F.min(F.struct("doc_id", "lang")).alias("k"))
         .select(F.col("k.doc_id").alias("doc_id"), F.col("k.lang").alias("lang"))
     )
-    flagged = benchmark_decontaminate(docs, bench_mod=bench_mod).select("doc_id")
+    if flagged is None:
+        flagged = benchmark_decontaminate(docs, bench_mod=bench_mod).select(
+            "doc_id"
+        )
     clean = surv.join(flagged, "doc_id", "left_anti")
     return (
         clean.select("lang", split_col().alias("split"))
@@ -741,6 +745,7 @@ def llm_prep_pipeline_v2(
     min_words: int = 5,
     min_chars: int = 30,
     bench_mod: int = 97,
+    flagged: DataFrame | None = None,
 ) -> DataFrame:
     """The flagship pipeline, COMPLETE: v1's gate → benchmark carve-out
     → exact dedup → decontamination → split → report, with the missing
@@ -778,7 +783,10 @@ def llm_prep_pipeline_v2(
     non_canonical = comp.where(F.col("component") != F.col("node")).select(
         F.col("node").alias("doc_id")
     )
-    flagged = benchmark_decontaminate(docs, bench_mod=bench_mod).select("doc_id")
+    if flagged is None:
+        flagged = benchmark_decontaminate(docs, bench_mod=bench_mod).select(
+            "doc_id"
+        )
     clean = surv.join(non_canonical, "doc_id", "left_anti").join(
         flagged, "doc_id", "left_anti"
     )
@@ -909,7 +917,9 @@ def temperature_sample(
     )
 
 
-def llm_prep_pipeline_v3(docs: DataFrame, bench_mod: int = 97) -> DataFrame:
+def llm_prep_pipeline_v3(
+    docs: DataFrame, bench_mod: int = 97, flagged: DataFrame | None = None
+) -> DataFrame:
     """The RefinedWeb/Dolma-shaped curation FUNNEL — every round-5/6
     quality stage fused into one DAG, reported as per-(stage, lang)
     survivor counts (the number an operator actually watches: where do
@@ -951,7 +961,10 @@ def llm_prep_pipeline_v3(docs: DataFrame, bench_mod: int = 97) -> DataFrame:
         .select("doc_id")
     )
     s5 = s4.join(canon, "doc_id", "left_semi")
-    flagged = benchmark_decontaminate(docs, bench_mod=bench_mod).select("doc_id")
+    if flagged is None:
+        flagged = benchmark_decontaminate(docs, bench_mod=bench_mod).select(
+            "doc_id"
+        )
     s6 = s5.join(flagged, "doc_id", "left_anti").transform(materialize)
     q = quality_score(docs).select("doc_id", "quality").join(
         s6.select("doc_id"), "doc_id", "left_semi"

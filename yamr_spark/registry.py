@@ -283,7 +283,15 @@ _R04_RESTAMPS = [
 
 # r04 stamps that did not fit this window + every r05 stamp — the
 # ordered head of next round's window (oldest-stamp-first after these).
+# Plan-change restamps first (r10: llm_prep_pipeline v1/v3 joined the
+# shared decontamination flag-set cache — values pinned equal to the
+# uncached forms by tests/test_curation.py and locally re-verified
+# ALL-MATCH under strict drive.py; v2 is stamped on the new plan in
+# THIS round's window; the three multimodal dedup queries likewise get
+# their first stamps on the shared frame-signature-cache plan directly):
 _R11_BACKFILL = [
+    "llm_prep_pipeline",
+    "llm_prep_pipeline_v3",
     "snapshot_time_travel",
     "sql_view_pipeline",
     "streaming_event_passthrough",
@@ -306,9 +314,9 @@ DRIVER_PRIORITY = (
     + ["quality_stratified_sample_approx", "multimodal_audio_shift_dedup"]
     + _R04_RESTAMPS
 )
-DRIVER_PRIORITY = DRIVER_PRIORITY + [
-    n for n in _R11_BACKFILL if n not in DRIVER_PRIORITY
-] + [n for n in _R08_BACKFILL if n not in DRIVER_PRIORITY]
+for _n in _R11_BACKFILL + _R08_BACKFILL:
+    if _n not in DRIVER_PRIORITY:
+        DRIVER_PRIORITY.append(_n)
 
 
 def _prioritized(d: dict) -> dict:
