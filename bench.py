@@ -50,6 +50,7 @@ FAMILIES: dict[str, list[str]] = {
         "pareto_skyline_parts",
         "supplier_ship_latency",
         "bloom_semi_join_orders",
+        "order_priority_check",
     ],
     # temporal joins + event-time windows
     "temporal": [

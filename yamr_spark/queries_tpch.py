@@ -1,5 +1,6 @@
-"""TPC-H tail coverage — the eight query shapes not yet represented in
-``queries_relational.py``: Q2, Q11, Q12, Q14, Q16, Q19, Q20, Q21.
+"""TPC-H tail coverage — the nine query shapes not represented in
+``queries_relational.py``: Q2, Q4, Q11, Q12, Q14, Q16, Q19, Q20, Q21 —
+completing analogues for all 22 TPC-H queries across the two modules.
 
 The fixture schema has no ``partsupp`` table and ``lineitem`` lacks
 shipmode/commitdate/receiptdate, so the partsupp- and
@@ -189,6 +190,56 @@ def q_important_part_value(spark, sf_dir):
             F.col("l_partkey").alias("partkey"),
             F.col("value").cast("double").alias("value"),
         )
+    )
+
+
+@register(
+    "order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= DATE '1995-01-01'
+      AND o_orderdate < DATE '1995-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking) — the last of the 22
+    shapes previously unrepresented: a date-windowed fact filtered by
+    EXISTS over the other fact, grouped by priority. The fixture lacks
+    l_commitdate/receiptdate, so "a late lineitem exists" is the same
+    shipdate > orderdate + 60 days proxy Q12 uses.
+
+    Scale plan: the EXISTS becomes a LEFT SEMI hash join on orderkey
+    (equi key) with the cross-table date predicate as the join filter —
+    each order ships once however many late lineitems it has, no
+    distinct needed; the date window prunes the orders scan first, and
+    the 5-group count partial-aggregates map-side."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    windowed = o.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    return (
+        windowed.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
     )
 
 

@@ -292,6 +292,10 @@ _R04_RESTAMPS = [
 _R11_BACKFILL = [
     "llm_prep_pipeline",
     "llm_prep_pipeline_v3",
+    # new r10 registration beyond the two verdict-ordered window slots
+    # (TPC-H Q4 analogue — completes all 22 shapes); never-stamped, so
+    # it heads the stale restamps below:
+    "order_priority_check",
     "snapshot_time_travel",
     "sql_view_pipeline",
     "streaming_event_passthrough",
