@@ -776,3 +776,20 @@ def test_token_budget_pack_windows_only_the_boundary_stratum(spark, sf_dir):
     ]
     assert len(doc_windows) >= 1
     assert "CartesianProduct" not in txt
+
+
+def test_exact_global_rank_window_is_partition_parallel(spark, sf_dir):
+    """The distributed rank behind quality_stratified_sample must plan
+    its row_number window PARTITIONED by the captured range-partition
+    id — never the single-partition global window Spark plans for an
+    unpartitioned orderBy. The only SinglePartition exchange allowed in
+    the whole stratified plan is the 1-row count broadcast."""
+    from yamr_spark.operators.curation import quality_stratified_sample
+
+    df = quality_stratified_sample(table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert windows, "expected a Window node in the stratified plan"
+    assert all("_rank_pid" in ln for ln in windows), windows
+    singles = [ln for ln in plan.splitlines() if "Exchange SinglePartition" in ln]
+    assert len(singles) <= 1, singles
