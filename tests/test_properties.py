@@ -519,3 +519,28 @@ def test_heavy_hitters_exact_for_any_corpus_and_k(spark, texts, k):
     n = sum(counts.values())
     want = {t: c for t, c in counts.items() if c * k > n}
     assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=80),
+    n_parts=st.sampled_from([1, 3, 13]),
+)
+@_SETTINGS
+def test_exact_global_rank_is_sorted_position(spark, vals, n_parts):
+    """Property (r10): exact_global_rank == the row's 1-based position
+    in the Python-sorted list, for ANY multiset of values (tie runs,
+    hot keys, single element) and ANY range-partition count — the
+    brute-force replay of the distributed rank's contract."""
+    from yamr_spark.operators.ranking import exact_global_rank
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.rnk
+        for r in exact_global_rank(df, ["v", "id"], n_parts=n_parts).collect()
+    }
+    want = {
+        id_: pos + 1
+        for pos, (v, id_) in enumerate(sorted((v, i) for i, v in rows))
+    }
+    assert got == want
