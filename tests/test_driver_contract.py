@@ -44,3 +44,16 @@ def test_every_oracle_has_query_and_no_empty_sql():
     assert set(os_) <= set(qs)
     for name, sql in os_.items():
         assert sql.strip(), name
+
+
+def test_driver_priority_names_resolve(spark):
+    """Every DRIVER_PRIORITY entry (the certification-window plan) must
+    name a registered query — a typo here silently burns a driver
+    window slot — and the 50-slot window must be duplicate-free."""
+    from yamr_spark.registry import DRIVER_PRIORITY, all_queries
+
+    qs = all_queries()
+    missing = [n for n in DRIVER_PRIORITY if n not in qs]
+    assert not missing, missing
+    window = DRIVER_PRIORITY[:50]
+    assert len(set(window)) == 50, "window has duplicates"
