@@ -51,6 +51,7 @@ FAMILIES: dict[str, list[str]] = {
         "supplier_ship_latency",
         "bloom_semi_join_orders",
         "order_priority_check",
+        "global_rank_documents",
     ],
     # temporal joins + event-time windows
     "temporal": [

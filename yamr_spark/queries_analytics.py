@@ -1253,3 +1253,25 @@ def q_cms_user_frequency(spark, sf_dir):
     return cms_point_estimates(
         table(spark, sf_dir, "events"), "user_id", n_probes=10
     ).withColumnRenamed("probe_val", "user_id")
+
+
+@register(
+    "global_rank_documents",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rnk
+    FROM documents
+    """,
+)
+def q_global_rank_documents(spark, sf_dir):
+    """Direct certification of the distributed exact global rank
+    (operators/ranking.py, the primitive behind rank-based quartile
+    bucketing): rank every document by (n_chars, doc_id) and match
+    ROW_NUMBER() OVER a global ORDER BY bit-for-bit — computed WITHOUT
+    a single-partition window (range partition + bounded offset collect
+    + partition-parallel window; plan-test-pinned)."""
+    from yamr_spark.operators.ranking import exact_global_rank
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return exact_global_rank(docs, ["n_chars", "doc_id"], rank_col="rnk")

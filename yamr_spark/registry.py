@@ -292,10 +292,12 @@ _R04_RESTAMPS = [
 _R11_BACKFILL = [
     "llm_prep_pipeline",
     "llm_prep_pipeline_v3",
-    # new r10 registration beyond the two verdict-ordered window slots
-    # (TPC-H Q4 analogue — completes all 22 shapes); never-stamped, so
-    # it heads the stale restamps below:
+    # new r10 registrations beyond the two verdict-ordered window slots
+    # (TPC-H Q4 analogue completing all 22 shapes; the direct
+    # distributed-rank certification); never-stamped, so they head the
+    # stale restamps below:
     "order_priority_check",
+    "global_rank_documents",
     "snapshot_time_travel",
     "sql_view_pipeline",
     "streaming_event_passthrough",
