@@ -349,6 +349,41 @@ def r10_experiment(spark, sf_dir: str, out_dir: str) -> None:
         print(f"| {name} | {cells} | {ratio}x |")
 
 
+def r10b_experiment(spark, sf_dir: str, out_dir: str) -> None:
+    """Scaling curve for the round-10 stratified-sampling pair: the
+    rank-based EXACT form (range shuffle + partition-parallel window +
+    bounded offset collect) vs the percentile_approx twin (one pass,
+    no rank shuffle). Expectation: both ~linear; the approx twin
+    cheaper by the rank shuffle's cost — the measured basis for 'exact
+    is certified, approx is the 10¹²-row path'."""
+    from yamr_spark.operators import curation as C
+
+    paths = build_scaled(spark, sf_dir, out_dir)
+    results: dict[str, dict[int, float]] = {}
+    ops = {
+        "quality_stratified_sample": C.quality_stratified_sample,
+        "quality_stratified_sample_approx": C.quality_stratified_sample_approx,
+    }
+    for k in FACTORS:
+        docs = spark.read.parquet(paths[k])
+        docs.count()
+        for name, fn in ops.items():
+            best = None
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                fn(docs).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[k] = round(best, 2)
+            print(json.dumps({"op": name, "factor": k, "sec": round(best, 2)}))
+    print("\n| operator | " + " | ".join(f"{k}x" for k in FACTORS) + " | t(16x)/t(1x) |")
+    print("|---|" + "---|" * (len(FACTORS) + 1))
+    for name, row in results.items():
+        ratio = round(row[FACTORS[-1]] / row[FACTORS[0]], 1)
+        cells = " | ".join(f"{row[k]:.2f}" for k in FACTORS)
+        print(f"| {name} | {cells} | {ratio}x |")
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = pos[0] if pos else os.environ.get(
@@ -383,6 +418,10 @@ def main() -> None:
         return
     if "--r10" in sys.argv:
         r10_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
+    if "--r10b" in sys.argv:
+        r10b_experiment(spark, sf_dir, out_dir)
         spark.stop()
         return
     paths = build_scaled(spark, sf_dir, out_dir)
