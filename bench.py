@@ -97,6 +97,7 @@ FAMILIES: dict[str, list[str]] = {
         "embedding_covariance_gemm",
         "pca_top_component",
         "ann_quantized_ivf_topk",
+        "ann_pq_adc_topk",
         "hybrid_rrf_search",
         "mmr_diverse_topk",
         "pca_top_components",

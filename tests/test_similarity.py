@@ -563,3 +563,50 @@ def test_ivf_shared_cache_matches_uncached(spark, sf_dir):
     km = QS._kmeans_cents_shared(spark, sf_dir, c=8, iters=1)
     assert QS._kmeans_cents_shared(spark, sf_dir, c=8, iters=1) is km
     assert rows(S.ivf_topk_kmeans(emb, cents=km)) == rows(S.ivf_topk_kmeans(emb))
+
+
+def test_pq_adc_topk_goldens_and_recall(spark, sf_dir):
+    """PQ/ADC sanity: an exact duplicate of a query vector encodes to
+    the identical codes, so it ranks first with adist 0; and at the
+    fixture scale PQ's top-5 must overlap exact-L2 top-5 well above
+    chance. The certified codebooks are deterministic lowest-id seeds
+    (NOT trained k-means — the centroids() trade), so absolute recall
+    is the coarse floor: measured 0.16-0.38 across (m, k) configs and
+    fixture scales vs a ~0.01 chance rate; the gate pins >= 0.12."""
+    from pyspark.sql import functions as F
+
+    from yamr_spark.operators.similarity import pq_adc_topk
+    from yamr_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    # plant an exact duplicate of query vec_id=3 at a fresh id
+    dup = emb.where(F.col("vec_id") == 3).select(
+        F.lit(900000).cast("long").alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    got = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adist)
+        for r in pq_adc_topk(emb.unionByName(dup)).collect()
+    }
+    assert got[(3, 1)] == (900000, 0.0)
+
+    # recall@5 vs exact squared-L2 on the raw vectors
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: r.embedding for r in rows}
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    pq = {r.query_id: set() for r in pq_adc_topk(emb).collect()}
+    for r in pq_adc_topk(emb).collect():
+        pq[r.query_id].add(r.neighbor_id)
+    hits = total = 0
+    for q in pq:
+        exact = sorted(
+            ((l2(vecs[q], v), i) for i, v in vecs.items() if i != q)
+        )[:5]
+        exact_ids = {i for _, i in exact}
+        hits += len(exact_ids & pq[q])
+        total += 5
+    assert hits / total >= 0.12, hits / total

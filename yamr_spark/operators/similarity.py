@@ -1672,3 +1672,171 @@ def mmr_topk(
     return spark.createDataFrame(
         picked, "rank bigint, vec_id bigint, relevance double, mmr_score double"
     )
+
+
+# ── Product quantization (PQ) — the memory-bound ANN path ────────────
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    d: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub, code_id, cvec) — deterministic per-subspace codebooks: the
+    ``k`` lowest-id vectors' subvectors (the ``centroids()`` discipline:
+    a production system trains per-subspace k-means, the engine keeps
+    seeding deterministic so every code assignment is reproducible and
+    oracle-checkable; the encode/ADC machinery downstream is identical
+    either way). The ROW_NUMBER code ids run over a ``limit(k)``-bounded
+    table — the benign constant-size global-window case."""
+    from pyspark.sql import Window
+
+    if d % m:
+        raise ValueError(f"d={d} not divisible into m={m} subspaces")
+    dsub = d // m
+    seeds = (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col), _vec_double(vec_col).alias("v"))
+        .withColumn(
+            "code_id", F.row_number().over(Window.orderBy(id_col)) - F.lit(1)
+        )
+    )
+    subs = F.explode(
+        F.expr(
+            f"transform(sequence(0, {m - 1}), s -> "
+            f"struct(s AS sub, slice(v, s * {dsub} + 1, {dsub}) AS cvec))"
+        )
+    ).alias("sc")
+    return seeds.select("code_id", subs).select(
+        F.col("sc.sub").alias("sub"), "code_id", F.col("sc.cvec").alias("cvec")
+    )
+
+
+def _pq_subspace_dists(
+    emb: DataFrame,
+    books: DataFrame,
+    m: int,
+    d: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vec_id, sub, code_id, l2) — every vector's subvector scored
+    (squared L2) against every codebook entry of its subspace. The
+    fold runs in array-index order on both engines, so the doubles are
+    bit-identical cross-engine (the cosine discipline)."""
+    dsub = d // m
+    vsubs = emb.select(
+        F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
+    ).select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s -> "
+                f"struct(s AS sub, slice(v, s * {dsub} + 1, {dsub}) AS vsub))"
+            )
+        ).alias("sv"),
+    ).select("vec_id", F.col("sv.sub").alias("sub"), F.col("sv.vsub").alias("vsub"))
+    l2 = (
+        "aggregate(zip_with(vsub, cvec, (x, y) -> (x - y) * (x - y)), "
+        "0D, (a, p) -> a + p)"
+    )
+    return (
+        vsubs.join(F.broadcast(books), "sub")
+        .withColumn("l2", F.expr(l2))
+        .select("vec_id", "sub", "code_id", "l2")
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: DataFrame,
+    m: int = 4,
+    d: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sub, code_id) — PQ codes: each subvector's nearest
+    codebook entry by squared L2 (ties → lower code id). The argmin is
+    a partial-aggregated ``min_by`` (map side reduces each vector's
+    m×k scored rows before any exchange); at 10¹² rows the vectors
+    never move — only codes (m small ints per vector) ship."""
+    dists = _pq_subspace_dists(emb, books, m, d, id_col, vec_col)
+    return (
+        dists.groupBy("vec_id", "sub")
+        .agg(
+            F.min_by(
+                "code_id", F.struct(F.col("l2"), F.col("code_id"))
+            ).alias("code_id")
+        )
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    m: int = 4,
+    k: int = 16,
+    d: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the
+    memory-bound production ANN path (Jégou et al., TPAMI 2011 shape):
+    the corpus is m small integer codes per vector; a query builds an
+    m×k lookup table of exact subspace distances ONCE, and every
+    approximate distance is m table lookups + adds, never touching the
+    original vectors.
+
+    Determinism/oracle: per-subspace distances round to 9dp and sum as
+    DECIMAL(28,9) — exact, aggregation-order-independent — so ranking
+    (adist asc, neighbor_id) replays identically in DuckDB; adist is
+    the decimal cast to double (one deterministic conversion).
+
+    Scale: codes = vecs×m rows of 3 small ints (ONE broadcast-scored
+    encode pass; the d-dim vectors never shuffle); the LUT is
+    n_queries·m·k rows — parameter-bounded, broadcast; the
+    ADC join partial-aggregates map-side so the exchange carries
+    (query, neighbor) partials, and the top-k window partitions by
+    query. For corpus-scale query sets, co-partition codes and LUT on
+    sub — same plan shape, no broadcast."""
+    from pyspark.sql import Window
+
+    books = pq_codebooks(emb, m=m, k=k, d=d, id_col=id_col, vec_col=vec_col)
+    dists = materialize(
+        _pq_subspace_dists(emb, books, m, d, id_col, vec_col)
+    )
+    codes = dists.groupBy("vec_id", "sub").agg(
+        F.min_by("code_id", F.struct(F.col("l2"), F.col("code_id"))).alias(
+            "code_id"
+        )
+    )
+    lut = (
+        dists.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub",
+            "code_id",
+            F.round(F.col("l2"), 9).cast("decimal(28,9)").alias("l2r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adist_dec", "neighbor_id")
+    return (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(lut), ["sub", "code_id"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("l2r").alias("adist_dec"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= topk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("adist_dec").cast("double").alias("adist"),
+            "rnk",
+        )
+    )

@@ -1172,3 +1172,69 @@ def q_mmr_diverse_topk(spark, sf_dir):
     Greedy and sequential by definition; the oracle replays the
     unrolled recursion exactly (all arithmetic rounded at 6 dp)."""
     return S.mmr_topk(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle="""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (
+      SELECT vec_id, v,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code_id
+      FROM vecs ORDER BY vec_id LIMIT 16
+    ),
+    books AS (
+      SELECT CAST(t.s AS INT) AS sub, code_id,
+             v[t.s*16+1 : t.s*16+16] AS cvec
+      FROM seeds CROSS JOIN (SELECT unnest(range(4)) AS s) t
+    ),
+    vsubs AS (
+      SELECT vec_id, CAST(t.s AS INT) AS sub,
+             v[t.s*16+1 : t.s*16+16] AS vsub
+      FROM vecs CROSS JOIN (SELECT unnest(range(4)) AS s) t
+    ),
+    dists AS MATERIALIZED (
+      SELECT vec_id, sub, code_id,
+             list_sum(list_transform(range(16), i ->
+               (vsub[i+1] - cvec[i+1]) * (vsub[i+1] - cvec[i+1]))) AS l2
+      FROM vsubs JOIN books USING (sub)
+    ),
+    codes AS (
+      SELECT vec_id AS neighbor_id, sub, code_id FROM (
+        SELECT vec_id, sub, code_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY l2, code_id) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, sub, code_id,
+             CAST(ROUND(l2, 9) AS DECIMAL(28,9)) AS l2r
+      FROM dists WHERE vec_id < 10
+    ),
+    adc AS (
+      SELECT query_id, neighbor_id, SUM(l2r) AS adist_dec
+      FROM codes JOIN lut USING (sub, code_id)
+      WHERE neighbor_id != query_id
+      GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(adist_dec AS DOUBLE) AS adist,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT query_id, neighbor_id, adist_dec,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist_dec, neighbor_id) AS rnk
+      FROM adc
+    ) t WHERE rnk <= 5
+    """,
+)
+def q_ann_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. ADC shape): per-subspace
+    deterministic codebooks (lowest-id seeds — the centroids()
+    discipline), vectors encoded as m=4 small-int codes, queries build
+    an m×k exact-subspace-distance lookup table, and every approximate
+    distance is m lookups + an exact DECIMAL sum — the memory-bound
+    production path where the corpus shuffles codes, never vectors.
+    Oracle replays seeding, encoding (tie → lower code), the LUT, and
+    the decimal-exact ADC ranking bit-for-bit."""
+    return S.pq_adc_topk(table(spark, sf_dir, "embeddings"))

@@ -298,6 +298,7 @@ _R11_BACKFILL = [
     # stale restamps below:
     "order_priority_check",
     "global_rank_documents",
+    "ann_pq_adc_topk",
     "snapshot_time_travel",
     "sql_view_pipeline",
     "streaming_event_passthrough",
