@@ -1,6 +1,10 @@
-"""TPC-H tail coverage — the nine query shapes not represented in
-``queries_relational.py``: Q2, Q4, Q11, Q12, Q14, Q16, Q19, Q20, Q21 —
-completing analogues for all 22 TPC-H queries across the two modules.
+"""TPC-H tail coverage — the query shapes not (or not fully)
+represented in ``queries_relational.py``: Q2, Q4, Q11, Q12, Q14, Q16,
+Q19, Q20, Q21 — completing analogues for all 22 TPC-H queries across
+the two modules. (Q4: ``order_priority_counts`` in the relational
+module already had the EXISTS-semi-join core; ``order_priority_check``
+here adds Q4's date-windowed orders scan — the pushdown dimension the
+unwindowed form doesn't exercise.)
 
 The fixture schema has no ``partsupp`` table and ``lineitem`` lacks
 shipmode/commitdate/receiptdate, so the partsupp- and
@@ -209,9 +213,12 @@ def q_important_part_value(spark, sf_dir):
     """,
 )
 def q_order_priority_check(spark, sf_dir):
-    """TPC-H Q4 shape (order priority checking) — the last of the 22
-    shapes previously unrepresented: a date-windowed fact filtered by
-    EXISTS over the other fact, grouped by priority. The fixture lacks
+    """TPC-H Q4 proper (order priority checking): a DATE-WINDOWED fact
+    filtered by EXISTS over the other fact, grouped by priority. The
+    EXISTS core already exists unwindowed as ``order_priority_counts``
+    (queries_relational.py); this registration adds Q4's quarter
+    window — the dimension that exercises parquet date-predicate
+    pushdown ahead of the semi join. The fixture lacks
     l_commitdate/receiptdate, so "a late lineitem exists" is the same
     shipdate > orderdate + 60 days proxy Q12 uses.
 
