@@ -1,0 +1,91 @@
+"""Unit pins for the round-11 additions (IVF×PQ composition, certified
+ANN recall). Both have registered driver queries with exact DuckDB
+oracles; these tests pin the semantic invariants the oracle hash alone
+doesn't explain: IVF×PQ ⊆ flat-ADC-on-probed-cells equivalence, the
+pq_encode(dists=) refactor identity, and the recall frame's laws.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yamr_spark.operators import similarity as S
+from yamr_spark.tables import table
+
+
+def test_ivf_pq_equals_flat_adc_restricted_to_probed_cells(spark, sf_dir):
+    """IVF×PQ must return exactly the flat-ADC ranking recomputed over
+    the probed-cell corpus: pruning changes WHICH codes are scanned,
+    never how a scanned code scores. Re-derive the expected set from
+    flat ADC with topk=corpus (no cut), filtered to each query's probed
+    cells, re-ranked."""
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    got = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adist)
+        for r in S.ivf_pq_topk(emb).collect()
+    }
+    probes = S._query_probes(emb, num_queries=10, c=8, nprobe=2).select(
+        "query_id", "centroid_id"
+    )
+    assign = S.ivf_assign(emb, c=8).select(
+        F.col("vec_id").alias("neighbor_id"), "centroid_id"
+    )
+    allowed = probes.join(assign, "centroid_id").select(
+        "query_id", "neighbor_id"
+    )
+    from pyspark.sql import Window
+
+    flat = S.pq_adc_topk(emb, topk=n).drop("rnk")
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    exp = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adist)
+        for r in flat.join(allowed, ["query_id", "neighbor_id"])
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_pq_encode_precomputed_dists_identity(spark, sf_dir):
+    """pq_encode(dists=precomputed) must equal pq_encode(books=...) —
+    the ADVICE r10 refactor moved the argmin/tie-break into one place;
+    pin that both entry points produce identical codes."""
+    emb = table(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks(emb)
+    via_books = {
+        (r.vec_id, r.sub): r.code_id
+        for r in S.pq_encode(emb, books).collect()
+    }
+    dists = S._pq_subspace_dists(emb, books, 4, 64, "vec_id", "embedding")
+    via_dists = {
+        (r.vec_id, r.sub): r.code_id
+        for r in S.pq_encode(emb, dists=dists).collect()
+    }
+    assert via_books == via_dists and len(via_books) > 0
+
+
+def test_pq_encode_requires_books_or_dists(spark, sf_dir):
+    import pytest
+
+    emb = table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="books or a precomputed dists"):
+        S.pq_encode(emb)
+
+
+def test_ann_recall_frame_laws(spark, sf_dir):
+    """The recall frame's invariants: one row per method; retrieved =
+    n_queries×k for every method (every path returns a full top-k at
+    fixture density); 0 ≤ hits ≤ min(retrieved, truth_total); recall is
+    exactly hits/truth_total. (No ordering law between ivf_pq and
+    pq_adc: pruning a false positive out of flat ADC's top-k can let a
+    true neighbor IN, so IVF×PQ may legitimately beat flat PQ.)"""
+    from yamr_spark.queries_similarity import q_ann_recall_at_k
+
+    rows = {r.method: r for r in q_ann_recall_at_k(spark, sf_dir).collect()}
+    assert set(rows) == {"ivf", "ivf_pq", "pq_adc", "quantized"}
+    for r in rows.values():
+        assert r.retrieved == 50 and r.truth_total == 50
+        assert 0 <= r.hits <= 50
+        assert r.recall_at_k == r.hits / r.truth_total

@@ -1753,18 +1753,26 @@ def _pq_subspace_dists(
 
 def pq_encode(
     emb: DataFrame,
-    books: DataFrame,
+    books: DataFrame | None = None,
     m: int = 4,
     d: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dists: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, sub, code_id) — PQ codes: each subvector's nearest
     codebook entry by squared L2 (ties → lower code id). The argmin is
     a partial-aggregated ``min_by`` (map side reduces each vector's
     m×k scored rows before any exchange); at 10¹² rows the vectors
-    never move — only codes (m small ints per vector) ship."""
-    dists = _pq_subspace_dists(emb, books, m, d, id_col, vec_col)
+    never move — only codes (m small ints per vector) ship.
+
+    ``dists`` optionally supplies a precomputed ``_pq_subspace_dists``
+    frame (e.g. one materialized and shared with the ADC LUT build) so
+    the argmin/tie-break lives in exactly one place for every caller."""
+    if dists is None:
+        if books is None:
+            raise ValueError("pq_encode needs books or a precomputed dists")
+        dists = _pq_subspace_dists(emb, books, m, d, id_col, vec_col)
     return (
         dists.groupBy("vec_id", "sub")
         .agg(
@@ -1810,11 +1818,7 @@ def pq_adc_topk(
     dists = materialize(
         _pq_subspace_dists(emb, books, m, d, id_col, vec_col)
     )
-    codes = dists.groupBy("vec_id", "sub").agg(
-        F.min_by("code_id", F.struct(F.col("l2"), F.col("code_id"))).alias(
-            "code_id"
-        )
-    )
+    codes = pq_encode(emb, dists=dists)
     lut = (
         dists.where(F.col("vec_id") < n_queries)
         .select(
@@ -1828,6 +1832,96 @@ def pq_adc_topk(
     return (
         codes.withColumnRenamed("vec_id", "neighbor_id")
         .join(F.broadcast(lut), ["sub", "code_id"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("l2r").alias("adist_dec"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= topk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("adist_dec").cast("double").alias("adist"),
+            "rnk",
+        )
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    c: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    d: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+    assign: DataFrame | None = None,
+) -> DataFrame:
+    """IVF×PQ top-k — the IVFADC composition (Jégou et al., TPAMI 2011
+    §V shape): the coarse IVF quantizer prunes the corpus to each
+    query's ``nprobe`` nearest cells, and ONLY those cells' PQ codes
+    are ADC-scanned. Flat ADC (``pq_adc_topk``) is memory-cheap but
+    still touches every code per query; this composition touches
+    ``nprobe/c`` of them — the actual production ANN memory/latency
+    point at 100 TB, where codes are stored partitioned by
+    ``centroid_id`` (the ``write_ivf_store`` layout) so a probe is a
+    directory-pruned scan of integer codes.
+
+    Engineering deltas vs textbook IVFADC, chosen for oracle-exact
+    determinism (plan shape is unchanged by either):
+    - codes encode the RAW vectors, not residuals (v − centroid):
+      residual encoding is a codebook-TRAINING refinement; the probe /
+      prune / LUT / ADC machinery is identical.
+    - codebooks/centroids are the deterministic lowest-id seeds (the
+      ``centroids()`` discipline) instead of k-means-trained.
+
+    Determinism/oracle: identical to ``pq_adc_topk`` — per-subspace
+    distances round to 9 dp and sum as DECIMAL(28,9) (exact,
+    aggregation-order-independent), ranking is (adist asc,
+    neighbor_id), adist is one decimal→double conversion.
+
+    Scale: the subspace-distance table is built ONCE and shared by the
+    encode argmin and the query LUT; codes (vecs×m rows of 3 small
+    ints) join the (vec_id → centroid_id) assignment — at 10¹² rows
+    both sides are pre-bucketed on vec_id in the stored layout. The
+    probe×LUT table is n_queries·nprobe·m·k rows — parameter-bounded,
+    broadcast. The ADC join partial-aggregates map-side; the top-k
+    window partitions by query_id.
+
+    ``cents``/``assign`` optionally reuse the session-shared IVF
+    centroid/assignment frames (identical by construction to what this
+    would build)."""
+    from pyspark.sql import Window
+
+    probes = _query_probes(
+        emb, num_queries=n_queries, c=c, nprobe=nprobe, id_col=id_col,
+        vec_col=vec_col, cents=cents,
+    )
+    if assign is None:
+        assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col, cents=cents)
+    assign = assign.select("vec_id", "centroid_id")
+
+    books = pq_codebooks(emb, m=m, k=k, d=d, id_col=id_col, vec_col=vec_col)
+    dists = materialize(_pq_subspace_dists(emb, books, m, d, id_col, vec_col))
+    codes = pq_encode(emb, dists=dists)
+    lut = dists.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        "sub",
+        "code_id",
+        F.round(F.col("l2"), 9).cast("decimal(28,9)").alias("l2r"),
+    )
+    # each query's LUT replicated onto its probed cells: n_q·nprobe·m·k
+    # rows — parameter-bounded, broadcast
+    qlut = probes.select("query_id", "centroid_id").join(lut, "query_id")
+    celled = codes.withColumnRenamed("vec_id", "neighbor_id").join(
+        assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    )
+    w = Window.partitionBy("query_id").orderBy("adist_dec", "neighbor_id")
+    return (
+        celled.join(F.broadcast(qlut), ["centroid_id", "sub", "code_id"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("l2r").alias("adist_dec"))

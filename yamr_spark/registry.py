@@ -311,17 +311,73 @@ _R11_BACKFILL = [
     "window_rank_family",
 ]
 
-# Second new registration this round (multimodal_audio_shift_dedup,
-# verdict #5): never-stamped outranks stale-stamped, so it takes the
-# slot of the alphabetically-last r04 restamp (snapshot_time_travel →
-# _R11_BACKFILL head). 1 + 22 + 2 + 25 = 50.
+# The 33 oldest remaining stale stamps (all r05; equal age →
+# alphabetical), filling the r11 window after the backfill head and
+# the two verdict-ordered new registrations.
+_R05_RESTAMPS = [
+    "bpe_encode_stats",
+    "bpe_learn_merges",
+    "bpe_learn_merges_batched",
+    "cohort_retention",
+    "compacted_store_counts",
+    "compat_word_count",
+    "compat_year_max_region",
+    "constraint_check_report",
+    "csv_roundtrip_stats",
+    "cust_order_distribution",
+    "ewma_user_value",
+    "export_manifest",
+    "funnel_stages",
+    "incremental_agg_refresh",
+    "lang_id_eval",
+    "late_shipment_priority",
+    "market_share",
+    "min_cost_supplier",
+    "minhash_near_dup_parquet_staged",
+    "moving_stats_per_user",
+    "nation_profit",
+    "orc_roundtrip_stats",
+    "pricing_summary",
+    "revenue_per_nation",
+    "schema_evolution_stats",
+    "shipping_priority",
+    "simhash",
+    "simhash_near_dup",
+    "sorted_store_stats",
+    "stats_moments",
+    "string_features",
+    "table_profile",
+    "temperature_mixture_sample",
+]
+
+# The 4 r05 stamps that did not fit the r11 window — the ordered head
+# of the r12 window (then the r06 tail, oldest-stamp-first, as usual).
+_R12_BACKFILL = [
+    "try_function_features",
+    "value_histogram",
+    "word_count",
+    "zorder_store_stats",
+]
+
+# ROUND-11 WINDOW (the driver checks the first 50 of queries()):
+# exactly the r10 verdict's #1 plan. Slots 1-2: the two r10
+# plan-change restamps (llm_prep v1/v3 joined the shared
+# decontamination flag-set cache; locally ALL-MATCH, but a changed
+# plan must earn a fresh stamp — "restamp REQUIRED before anything
+# else rides that cache"). Slots 3-5: the three never-stamped r10
+# registrations. Slots 6-15: the 10 remaining r04-stale stamps.
+# Slots 16-17: this round's two verdict-ORDERED new registrations
+# (ivf×PQ composition, certified ANN recall — verdict #2/#3, both
+# "queued for a stamp"); never-stamped outranks stale restamps, and
+# they queue behind the planned backfill per the debt rule. Slots
+# 18-50: the 33 oldest stale stamps (r05, alphabetical).
+# 15 + 2 + 33 = 50 exactly.
 DRIVER_PRIORITY = (
-    ["quality_stratified_sample"]
-    + _R10_BACKFILL
-    + ["quality_stratified_sample_approx", "multimodal_audio_shift_dedup"]
-    + _R04_RESTAMPS
+    _R11_BACKFILL
+    + ["ann_ivf_pq_topk", "ann_recall_at_k"]
+    + _R05_RESTAMPS
 )
-for _n in _R11_BACKFILL + _R08_BACKFILL:
+for _n in _R12_BACKFILL + _R10_BACKFILL + _R04_RESTAMPS + _R08_BACKFILL:
     if _n not in DRIVER_PRIORITY:
         DRIVER_PRIORITY.append(_n)
 
