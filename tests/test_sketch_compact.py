@@ -140,3 +140,16 @@ def test_compact_guard_rejects_newest_batch(spark, cms_store):
             compact_prefix(spark, cms_store, cms_merge, upto=bad)
     assert _batch_ids(cms_store) == [0, 1, 2]
     assert _served_cms(spark, cms_store) == before
+
+
+def test_compact_stream_stopped_folds_newest(spark, cms_store):
+    """ADVICE r10: after a clean stream stop no replay is possible, so
+    stream_stopped=True may fold the FULL prefix including the newest
+    batch — and the served sketch is unchanged by the fold."""
+    before = _served_cms(spark, cms_store)
+    folded = compact_prefix(
+        spark, cms_store, cms_merge, upto=2, stream_stopped=True
+    )
+    assert folded == 3
+    assert _batch_ids(cms_store) == [0]
+    assert _served_cms(spark, cms_store) == before

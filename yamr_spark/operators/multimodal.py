@@ -100,13 +100,20 @@ def decode_image_stats(df: DataFrame) -> DataFrame:
                 n = int(px.size)
                 s = int(px.sum())
                 s2 = int((px * px).sum())
+                # numerator/denominator each round to double ONCE, then
+                # one IEEE division — the same cast/cast/divide order
+                # the oracle's CAST(<hugeint> AS DOUBLE)/CAST(...) does,
+                # so the bit-identity bound is "doubles don't overflow",
+                # not 2^53 (python int/int true-division would single-
+                # round the exact rational and diverge past 2^53 —
+                # ADVICE r10)
                 rows.append(
                     (
                         doc_id,
                         int(img.shape[-1]),
                         int(img.shape[0]),
-                        s / n,
-                        math.sqrt((n * s2 - s * s) / (n * n)),
+                        float(s) / float(n),
+                        math.sqrt(float(n * s2 - s * s) / float(n * n)),
                     )
                 )
             yield pd.DataFrame(
@@ -378,8 +385,17 @@ def frame_signatures(
     )
 
 
+# 64-bit aHash split into 4 16-bit bands. image_ahash_near_dup's
+# pigeonhole guard derives from THIS constant (ADVICE r10: a hardcoded
+# copy could silently drift from image_ahash_bands's default).
+AHASH_N_BANDS = 4
+
+
 def image_ahash_bands(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bands: int = 4
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = AHASH_N_BANDS,
 ) -> DataFrame:
     """(doc_id, bands) — a 64-bit average-hash (aHash) of every image,
     packed as ``n_bands`` 16-bit band integers for LSH blocking.
@@ -459,13 +475,16 @@ def image_ahash_near_dup(
     side; no pixel data ever shuffles."""
     from yamr_spark.materialize import materialize
 
-    n_bands = 4  # image_ahash_bands default — 64-bit hash, 16-bit bands
+    # guard and band build share AHASH_N_BANDS so they cannot drift
+    n_bands = AHASH_N_BANDS
     if max_hamming >= n_bands:
         raise ValueError(
             f"max_hamming={max_hamming} breaks the pigeonhole guarantee: "
             f"need max_hamming < n_bands={n_bands} so some band is identical"
         )
-    hashes = materialize(image_ahash_bands(df, text_col=text_col, id_col=id_col))
+    hashes = materialize(
+        image_ahash_bands(df, text_col=text_col, id_col=id_col, n_bands=n_bands)
+    )
     stream = hashes.select(
         "doc_id", F.posexplode("bands").alias("b", "band_val")
     )

@@ -50,7 +50,11 @@ def exact_global_rank(
     tie-breaker). Equal to ``row_number() over (order by order_cols)``
     but computed with a fully partition-parallel plan (module
     docstring); pinned equal to the naive global window by
-    tests/test_ranking.py under all three materialize modes."""
+    tests/test_ranking.py under all three materialize modes.
+
+    NULL ordering: Spark ASC places NULLS FIRST; engines defaulting to
+    NULLS LAST (DuckDB, PostgreSQL) need explicit ``NULLS FIRST`` in a
+    replaying ORDER BY (ADVICE r10 — the registered oracle pins it)."""
     spark = df.sparkSession
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

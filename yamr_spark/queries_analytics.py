@@ -1259,7 +1259,8 @@ def q_cms_user_frequency(spark, sf_dir):
     "global_rank_documents",
     oracle="""
     SELECT doc_id, n_chars,
-           CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rnk
+           CAST(ROW_NUMBER() OVER (ORDER BY n_chars NULLS FIRST,
+                                            doc_id NULLS FIRST) AS BIGINT) AS rnk
     FROM documents
     """,
 )

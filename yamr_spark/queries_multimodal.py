@@ -117,12 +117,15 @@ dim AS (
     )
     SELECT doc_id, CAST(MIN(width) AS INT) AS width,
            CAST(MIN(height) AS INT) AS height,
-           CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE)
+           -- SUM(v) is HUGEINT: moments stay EXACT integers (no BIGINT
+           -- overflow at ~3.4M pixels — ADVICE r10), each side of the
+           -- division casts to DOUBLE once, mirroring the python side's
+           -- float(num)/float(den)
+           CAST(SUM(v) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS mean_px,
-           sqrt(CAST(COUNT(*) * CAST(SUM(v * v) AS BIGINT)
-                     - CAST(SUM(v) AS BIGINT) * CAST(SUM(v) AS BIGINT)
-                     AS DOUBLE)
-                / CAST(COUNT(*) * COUNT(*) AS DOUBLE)) AS std_px
+           sqrt(CAST(COUNT(*) * SUM(v * v) - SUM(v) * SUM(v) AS DOUBLE)
+                / CAST(CAST(COUNT(*) AS HUGEINT) * COUNT(*) AS DOUBLE))
+             AS std_px
     FROM px GROUP BY doc_id
     """,
 )

@@ -96,6 +96,7 @@ def compact_prefix(
     store_dir: str,
     merge_fn: Callable[[DataFrame], DataFrame],
     upto: int,
+    stream_stopped: bool = False,
 ) -> int:
     """Fold every ``batch_id`` partition with id <= ``upto`` into one
     merged partition (the smallest folded id), using ``merge_fn`` to
@@ -109,14 +110,21 @@ def compact_prefix(
     (ADVICE r09): ``upto`` >= the newest batch id raises, because
     foreachBatch may still replay the newest batch and its dynamic-
     overwrite would re-create a ``batch_id=`` partition on top of the
-    merged prefix, double-counting its cells."""
+    merged prefix, double-counting its cells.
+
+    ``stream_stopped=True`` is the shutdown-compaction opt-in (ADVICE
+    r10): after the query is cleanly STOPPED no replay of the newest
+    batch is possible, so the caller may fold the full prefix including
+    the newest partition. The caller asserts the stop — the store has
+    no way to observe it."""
     recover(store_dir)  # guarantees: no marker, no stage, no .tmp left
     dirs = _batch_dirs(store_dir)
-    if dirs and upto >= dirs[-1][0]:
+    if dirs and upto >= dirs[-1][0] and not stream_stopped:
         raise ValueError(
             f"upto={upto} would fold the newest batch (id {dirs[-1][0]}), "
             "which foreachBatch may still replay; pass upto strictly "
-            "below the newest batch id"
+            "below the newest batch id (or stream_stopped=True after a "
+            "clean stop)"
         )
     folded = [(b, p) for b, p in dirs if b <= upto]
     if len(folded) < 2:
