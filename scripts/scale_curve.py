@@ -384,6 +384,198 @@ def r10b_experiment(spark, sf_dir: str, out_dir: str) -> None:
         print(f"| {name} | {cells} | {ratio}x |")
 
 
+
+
+def build_scaled_parts(spark, sf_dir: str, out_dir: str) -> dict[int, str]:
+    """k-replica PART tables for the entity-resolution curve. Brand is
+    replica-salted so fuzzy-match BLOCKS stay replica-local (unsalted
+    brands would merge blocks across replicas and grow the banded
+    Levenshtein work as k² by construction — the skew path, not
+    throughput); names get a constant per-replica suffix, which keeps
+    within-replica edit distances comparable while making replicas
+    distinct corpora."""
+    base = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    n = base.count()
+    paths = {}
+    for k in FACTORS:
+        path = os.path.join(out_dir, f"part_x{k}.parquet")
+        if not os.path.exists(path):
+            parts = []
+            for r in range(k):
+                rep = base.select(
+                    (F.col("p_partkey") + F.lit(r * n)).alias("p_partkey"),
+                    (
+                        F.col("p_name")
+                        if r == 0
+                        else F.concat(F.col("p_name"), F.lit(f" rep{r}"))
+                    ).alias("p_name"),
+                    (
+                        F.col("p_brand")
+                        if r == 0
+                        else F.concat(F.col("p_brand"), F.lit(f"_{r}"))
+                    ).alias("p_brand"),
+                    "p_size",
+                    "p_retailprice",
+                )
+                parts.append(rep)
+            out = parts[0]
+            for p2 in parts[1:]:
+                out = out.unionByName(p2)
+            out.repartition(max(4, 2 * k)).write.mode("overwrite").parquet(path)
+        paths[k] = path
+    return paths
+
+
+def r11_experiment(spark, sf_dir: str, out_dir: str) -> None:
+    """VERDICT r10 #2/#4: (a) the IVF×PQ composition vs flat ADC over
+    the jittered embedding replicas — flat ADC touches every code per
+    query (linear, cheap, corpus-wide); IVF×PQ touches nprobe/c of
+    them, so its curve should grow SLOWER than flat ADC's as the
+    corpus scales (c = √n keeps the probed fraction shrinking);
+    (b) the two most expensive registered COMPOSITIONS, never curved
+    as wholes: llm_prep_pipeline_v4 (span-dedup → leakage-safe split →
+    token-budget pack; budget FIXED across k — a token budget does not
+    grow with the corpus) and entity_resolution_parts (blocked fuzzy
+    match → connected components → golden records) — composition is
+    where barrier/cache interactions bite (the r7 ER double-execution
+    class)."""
+    import math
+
+    from yamr_spark.materialize import materialize
+    from yamr_spark.operators import curation as C
+    from yamr_spark.operators import dedup as D
+    from yamr_spark.operators import similarity as S
+    from yamr_spark.operators.graph import connected_components
+
+    results: dict[str, dict[int, float]] = {}
+
+    def timed(name, k, fn):
+        best = None
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        results.setdefault(name, {})[k] = round(best, 2)
+        print(json.dumps({"op": name, "factor": k, "sec": round(best, 2)}))
+
+    epaths = build_scaled_emb(spark, sf_dir, out_dir)
+    for k in FACTORS:
+        emb = spark.read.parquet(epaths[k])
+        n = emb.count()
+        c = max(8, math.isqrt(n))
+        timed("ann_pq_adc_topk(q=50)", k,
+              lambda: S.pq_adc_topk(emb, n_queries=50))
+        timed(f"ann_ivf_pq_topk(q=50,c=sqrt_n,np=2)", k,
+              lambda: S.ivf_pq_topk(emb, n_queries=50, c=c, nprobe=2))
+
+    dpaths = build_scaled(spark, sf_dir, out_dir)
+    for k in FACTORS:
+        docs = spark.read.parquet(dpaths[k])
+        docs.count()
+
+        def v4():
+            high_dup = (
+                C.span_dup_stats(docs)
+                .where(F.col("dup_frac") >= 0.8)
+                .select("doc_id")
+            )
+            kept = docs.join(high_dup, "doc_id", "left_anti")
+            pairs = materialize(D.minhash_near_dup(docs))
+            assign = C.leakage_safe_split_assign(kept, pairs)
+            train = kept.join(
+                assign.where(F.col("split") == "train").select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            return C.token_budget_pack(train, budget_tokens=20_000)
+
+        timed("llm_prep_pipeline_v4(budget=20k)", k, v4)
+
+    ppaths = build_scaled_parts(spark, sf_dir, out_dir)
+    for k in FACTORS:
+        parts = spark.read.parquet(ppaths[k]).withColumn(
+            "size_band", (F.col("p_size") / 10).cast("int")
+        )
+        parts.count()
+
+        def er():
+            pairs = materialize(
+                D.fuzzy_match_pairs(
+                    parts,
+                    block_cols=["p_brand", "size_band"],
+                    name_col="p_name",
+                    id_col="p_partkey",
+                )
+            )
+            groups = connected_components(pairs, src="id_a", dst="id_b")
+            return (
+                groups.join(
+                    parts.select(
+                        F.col("p_partkey").alias("node"), "p_name"
+                    ),
+                    "node",
+                )
+                .groupBy(F.col("component").cast("long").alias("entity_id"))
+                .agg(
+                    F.count("*").alias("n_members"),
+                    F.min_by("p_name", "node").alias("canonical_name"),
+                )
+            )
+
+        timed("entity_resolution_parts", k, er)
+
+    print("\n| operator | " + " | ".join(f"{k}x" for k in FACTORS) + " | t(16x)/t(1x) |")
+    print("|---|" + "---|" * (len(FACTORS) + 1))
+    for name, row in results.items():
+        ratio = round(row[FACTORS[-1]] / row[FACTORS[0]], 1)
+        cells = " | ".join(f"{row[k]:.2f}" for k in FACTORS)
+        print(f"| {name} | {cells} | {ratio}x |")
+
+
+def recall_vs_params(spark, sf_dir: str) -> None:
+    """VERDICT r10 #3 SCALE.md row: measured recall@5 of IVF×PQ vs
+    brute-force truth at sf0.1, sweeping nprobe (cell coverage) and m
+    (subspace count — finer-grained codes) around the registered
+    (c=8, nprobe=2, m=4, k=16) point. Deterministic: fixed queries,
+    exact hit counts."""
+    from pyspark.sql import functions as F2
+
+    from yamr_spark.operators import similarity as S
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    truth = S.brute_force_topk(emb).select("query_id", "neighbor_id")
+    truth = truth.persist()
+    total = truth.count()
+    print("| variant | hits | recall@5 |")
+    print("|---|---|---|")
+    for nprobe in (1, 2, 4, 8):
+        hits = (
+            S.ivf_pq_topk(emb, nprobe=nprobe)
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"])
+            .count()
+        )
+        print(f"| ivf_pq nprobe={nprobe} m=4 | {hits} | {hits / total:.2f} |")
+    for m in (8, 16):
+        hits = (
+            S.ivf_pq_topk(emb, m=m)
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"])
+            .count()
+        )
+        print(f"| ivf_pq nprobe=2 m={m} | {hits} | {hits / total:.2f} |")
+    for m in (4, 8, 16):
+        hits = (
+            S.pq_adc_topk(emb, m=m)
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"])
+            .count()
+        )
+        print(f"| flat pq_adc m={m} | {hits} | {hits / total:.2f} |")
+    truth.unpersist()
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = pos[0] if pos else os.environ.get(
@@ -422,6 +614,14 @@ def main() -> None:
         return
     if "--r10b" in sys.argv:
         r10b_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
+    if "--r11" in sys.argv:
+        r11_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
+    if "--recall" in sys.argv:
+        recall_vs_params(spark, sf_dir)
         spark.stop()
         return
     paths = build_scaled(spark, sf_dir, out_dir)

@@ -793,3 +793,52 @@ def test_exact_global_rank_window_is_partition_parallel(spark, sf_dir):
     assert all("_rank_pid" in ln for ln in windows), windows
     singles = [ln for ln in plan.splitlines() if "Exchange SinglePartition" in ln]
     assert len(singles) <= 1, singles
+
+
+def test_single_partition_window_detector(spark):
+    """Unit behavior of the 1p-window detector (VERDICT r10 #3): a
+    global (unpartitioned) window counts 1; a partitioned window counts
+    0; a limit-capped window (structurally bounded input) counts 0."""
+    from pyspark.sql import Window
+
+    from yamr_spark.plans import single_partition_window_count
+
+    df = spark.range(100).withColumn("v", F.col("id") % 7)
+    glob = df.withColumn("r", F.row_number().over(Window.orderBy("v", "id")))
+    part = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("v").orderBy("id"))
+    )
+    capped = (
+        df.orderBy("id")
+        .limit(16)
+        .withColumn("r", F.row_number().over(Window.orderBy("id")))
+    )
+    assert single_partition_window_count(glob) == 1
+    assert single_partition_window_count(part) == 0
+    assert single_partition_window_count(capped) == 0
+
+
+def test_headline_single_partition_windows_are_audited(spark, sf_dir):
+    """Sweep EVERY bench headline plan: the set of queries with a
+    Window fed by Exchange SinglePartition must equal the human-audited
+    grain-bounded allowlist exactly — a new unbounded global window
+    sneaking into a headline plan fails here, and so does a stale
+    allowlist entry whose plan no longer windows on one partition."""
+    import bench
+    from yamr_spark.plans import (
+        ALLOWED_SINGLE_PARTITION_WINDOWS,
+        single_partition_window_count,
+    )
+    from yamr_spark.registry import all_queries
+
+    qs = all_queries()
+    hits = {
+        name
+        for name in bench.HEADLINE
+        if single_partition_window_count(qs[name](spark, sf_dir)) > 0
+    }
+    expected = set(ALLOWED_SINGLE_PARTITION_WINDOWS) & set(bench.HEADLINE)
+    assert hits == expected, (
+        f"unaudited 1p-windows: {sorted(hits - expected)}; "
+        f"stale allowlist: {sorted(expected - hits)}"
+    )

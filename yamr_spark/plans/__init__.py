@@ -96,3 +96,66 @@ def shuffle_count(df: DataFrame) -> int:
         for line in plan_text(df, "simple").splitlines()
         if "Exchange" in line and "Reused" not in line
     )
+
+
+def single_partition_window_count(df: DataFrame) -> int:
+    """Number of Window operators fed by an ``Exchange SinglePartition``
+    — i.e. windows that funnel their whole input through ONE task.
+
+    The Exchange-SinglePartition counter alone under-counts the risk
+    class: a 1-row scalar aggregate and a global window both plan a
+    SinglePartition exchange, but only the window sorts/streams an
+    unbounded input through one task. This walks each Window node's
+    unary input chain (Sort/Project/Filter/WindowGroupLimit/codegen
+    wrappers) to the first non-pass-through child; a hit means the
+    window is global and its input cardinality must be bounded by
+    construction (every sanctioned site is pinned in
+    ALLOWED_SINGLE_PARTITION_WINDOWS)."""
+    import re
+
+    lines = plan_text(df, "simple").splitlines()
+    parsed = []
+    for ln in lines:
+        m = re.match(r"^([ :+\-]*)(?:\*\(\d+\)\s*)?(.*)$", ln)
+        parsed.append((len(m.group(1)), m.group(2)))
+    passthrough = ("Sort ", "Sort[", "Project ", "Project[", "Filter ",
+                   "Filter[", "WindowGroupLimit ", "ColumnarToRow",
+                   "InputAdapter")
+    count = 0
+    for i, (depth, node) in enumerate(parsed):
+        if not node.startswith("Window "):
+            continue
+        for d2, n2 in parsed[i + 1:]:
+            if d2 <= depth and n2:
+                break  # left the window's subtree
+            if not n2:
+                continue
+            if n2.startswith(passthrough):
+                continue
+            if n2.startswith("Exchange SinglePartition"):
+                count += 1
+            break  # first non-pass-through child decides
+    return count
+
+
+# Sanctioned single-partition-window sites (VERDICT r10 #3): every
+# bench-headline query whose plan runs a Window fed by an Exchange
+# SinglePartition, each audited cardinality-BOUNDED by construction.
+# tests/test_plans.py pins the sweep to exactly this set, so an
+# unbounded global window cannot sneak into a headline plan unnoticed.
+# NOTE the detector deliberately does NOT flag windows fed by
+# GlobalLimit/TakeOrdered (limit-capped seed/candidate tables — the
+# vocab_coverage / codebook / mmr class): a limit bounds the input
+# STRUCTURALLY, which is exactly the guarantee this audit exists to
+# check. Only windows whose single-partition input has no structural
+# bound — i.e. "bounded by aggregation grain" arguments — need the
+# human-audited allowlist below.
+ALLOWED_SINGLE_PARTITION_WINDOWS: dict[str, str] = {
+    # month/day aggregate outputs ranked/lagged globally: input is the
+    # GROUP-BY output, bounded by the calendar grain, not corpus size
+    "revenue_mom_growth": "one row per month (queries_analytics)",
+    "daily_value_median_trend": "one row per day (queries_analytics)",
+    # cross-band running max over the band-aggregate table: one row per
+    # price band (value-range / band_width), not per part
+    "pareto_skyline_parts": "one row per price band (skyline_2d)",
+}
