@@ -573,6 +573,18 @@ def recall_vs_params(spark, sf_dir: str) -> None:
             .count()
         )
         print(f"| flat pq_adc m={m} | {hits} | {hits / total:.2f} |")
+    for m, iters in ((4, 1), (4, 2), (8, 1)):
+        books = S.pq_codebooks_kmeans(emb, m=m, iters=iters)
+        hits = (
+            S.ivf_pq_topk(emb, m=m, books=books)
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"])
+            .count()
+        )
+        print(
+            f"| ivf_pq KMEANS(iters={iters}) nprobe=2 m={m} "
+            f"| {hits} | {hits / total:.2f} |"
+        )
     truth.unpersist()
 
 

@@ -89,3 +89,72 @@ def test_ann_recall_frame_laws(spark, sf_dir):
         assert r.retrieved == 50 and r.truth_total == 50
         assert 0 <= r.hits <= 50
         assert r.recall_at_k == r.hits / r.truth_total
+
+
+def test_pq_codebooks_kmeans_are_member_means(spark, sf_dir):
+    """Each refined codeword must be the 6dp-rounded mean of exactly
+    the subvectors its seed codeword attracted — recompute the
+    assignment + means driver-side and compare."""
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = S.pq_codebooks(emb)
+    refined = {
+        (r.sub, r.code_id): list(r.cvec)
+        for r in S.pq_codebooks_kmeans(emb, iters=1).collect()
+    }
+    codes = {
+        (r.vec_id, r.sub): r.code_id for r in S.pq_encode(emb, seeds).collect()
+    }
+    from pyspark.sql import functions as F2
+
+    vsubs = {
+        (r.vec_id, r.sub): list(r.vsub)
+        for r in emb.select(
+            F2.col("vec_id"), F2.expr("CAST(embedding AS array<double>)").alias("v")
+        )
+        .select(
+            "vec_id",
+            F2.explode(
+                F2.expr(
+                    "transform(sequence(0, 3), s -> "
+                    "struct(s AS sub, slice(v, s * 16 + 1, 16) AS vsub))"
+                )
+            ).alias("sv"),
+        )
+        .select("vec_id", "sv.sub", "sv.vsub")
+        .collect()
+    }
+    groups: dict = {}
+    for (vec_id, sub), code in codes.items():
+        groups.setdefault((sub, code), []).append(vsubs[(vec_id, sub)])
+    assert set(refined) == set(groups)
+    for key, members in groups.items():
+        mean = [
+            round(sum(col) / len(col), 6) for col in zip(*members)
+        ]
+        assert all(
+            abs(a - b) < 1e-9 for a, b in zip(mean, refined[key])
+        ), key
+
+
+def test_pq_kmeans_reduces_quantization_sse(spark, sf_dir):
+    """Lloyd's actual guarantee (recall lift is statistical — measured
+    0.10 → 0.26 at sf0.1 but NOT monotone per-fixture): one
+    assign-then-mean step never increases total within-codeword squared
+    error. Assert SSE(refined) <= SSE(seeds) + eps (eps absorbs the
+    6dp mean rounding)."""
+    from pyspark.sql import functions as F2
+
+    emb = table(spark, sf_dir, "embeddings")
+
+    def sse(books):
+        dists = S._pq_subspace_dists(emb, books, 4, 64, "vec_id", "embedding")
+        return (
+            dists.groupBy("vec_id", "sub")
+            .agg(F2.min("l2").alias("best"))
+            .agg(F2.sum("best").alias("sse"))
+            .collect()[0]["sse"]
+        )
+
+    seed_sse = sse(S.pq_codebooks(emb))
+    refined_sse = sse(S.pq_codebooks_kmeans(emb, iters=1))
+    assert refined_sse <= seed_sse + 1e-6 * max(1.0, seed_sse)

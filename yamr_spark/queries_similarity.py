@@ -1508,3 +1508,105 @@ def q_ann_recall_at_k(spark, sf_dir):
         )
         .select("method", "retrieved", "hits", "truth_total", "recall_at_k")
     )
+
+
+# PQ chain with ONE Lloyd refinement of the codebooks (train step):
+# seed books → assign (argmin, tie → lower code) → per-(sub, code, dim)
+# mean rounded to 6 dp (the kmeans_refine discipline) → re-encode with
+# the refined books. Defines the same final names (books/dists/codes/
+# lut) as _PQ_CTES so _IVF_PQ_ADC_CTES composes unchanged.
+_PQ_KMEANS_CTES = """
+    seeds AS (
+      SELECT vec_id, v,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code_id
+      FROM vecs ORDER BY vec_id LIMIT 16
+    ),
+    books0 AS (
+      SELECT CAST(t.s AS INT) AS sub, code_id,
+             v[t.s*16+1 : t.s*16+16] AS cvec
+      FROM seeds CROSS JOIN (SELECT unnest(range(4)) AS s) t
+    ),
+    vsubs AS MATERIALIZED (
+      SELECT vec_id, CAST(t.s AS INT) AS sub,
+             v[t.s*16+1 : t.s*16+16] AS vsub
+      FROM vecs CROSS JOIN (SELECT unnest(range(4)) AS s) t
+    ),
+    dists0 AS MATERIALIZED (
+      SELECT vec_id, sub, code_id,
+             list_sum(list_transform(range(16), i ->
+               (vsub[i+1] - cvec[i+1]) * (vsub[i+1] - cvec[i+1]))) AS l2
+      FROM vsubs JOIN books0 USING (sub)
+    ),
+    codes0 AS (
+      SELECT vec_id, sub, code_id FROM (
+        SELECT vec_id, sub, code_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY l2, code_id) AS rn
+        FROM dists0
+      ) WHERE rn = 1
+    ),
+    kdim AS (
+      SELECT c.sub, c.code_id, vs.vsub, CAST(t.dim AS INT) AS dim
+      FROM codes0 c
+      JOIN vsubs vs ON vs.vec_id = c.vec_id AND vs.sub = c.sub
+      CROSS JOIN (SELECT unnest(range(16)) AS dim) t
+    ),
+    kmeans AS (
+      SELECT sub, code_id, dim, ROUND(AVG(vsub[dim + 1]), 6) AS value
+      FROM kdim GROUP BY sub, code_id, dim
+    ),
+    books AS MATERIALIZED (
+      SELECT sub, code_id, list(value ORDER BY dim) AS cvec
+      FROM kmeans GROUP BY sub, code_id
+    ),
+    dists AS MATERIALIZED (
+      SELECT vec_id, sub, code_id,
+             list_sum(list_transform(range(16), i ->
+               (vsub[i+1] - cvec[i+1]) * (vsub[i+1] - cvec[i+1]))) AS l2
+      FROM vsubs JOIN books USING (sub)
+    ),
+    codes AS (
+      SELECT vec_id AS neighbor_id, sub, code_id FROM (
+        SELECT vec_id, sub, code_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY l2, code_id) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, sub, code_id,
+             CAST(ROUND(l2, 9) AS DECIMAL(28,9)) AS l2r
+      FROM dists WHERE vec_id < 10
+    )"""
+
+
+@register(
+    "ann_ivf_pq_kmeans_topk",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    {_IVF_CTES},
+    {_PQ_KMEANS_CTES},
+    {_IVF_PQ_ADC_CTES}
+    SELECT query_id, neighbor_id, CAST(adist_dec AS DOUBLE) AS adist,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT query_id, neighbor_id, adist_dec,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist_dec, neighbor_id) AS rnk
+      FROM ivfadc
+    ) t WHERE rnk <= 5
+    """,
+)
+def q_ann_ivf_pq_kmeans_topk(spark, sf_dir):
+    """IVF×PQ with TRAINED codebooks (train→search, Jégou et al. §II):
+    one per-subspace Lloyd refinement of the seed codebooks before
+    encoding — the step that turns PQ from a plumbing demo into a
+    usable recall point (untrained seeds: recall@5 0.10-0.34 on the
+    fixtures; refined: see SCALE.md r11 recall table). Coarse IVF
+    cells/assignment come from the shared cache; the oracle rebuilds
+    the 6dp-rounded refined codebooks and replays encode + decimal ADC
+    bit-for-bit."""
+    cents, assign = _ivf_shared(spark, sf_dir, c=8)
+    emb = table(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks_kmeans(emb)
+    return S.ivf_pq_topk(emb, cents=cents, assign=assign, books=books)

@@ -350,9 +350,13 @@ _R05_RESTAMPS = [
     "temperature_mixture_sample",
 ]
 
-# The 4 r05 stamps that did not fit the r11 window — the ordered head
-# of the r12 window (then the r06 tail, oldest-stamp-first, as usual).
+# The r12 window head: this round's one post-window registration
+# (never-stamped outranks stale restamps; registered AFTER the r11
+# window was sequenced, so it queues here rather than displacing the
+# verdict-ordered plan), then the 4 r05 stamps that did not fit the
+# r11 window (then the r06 tail, oldest-stamp-first, as usual).
 _R12_BACKFILL = [
+    "ann_ivf_pq_kmeans_topk",
     "try_function_features",
     "value_histogram",
     "word_count",
