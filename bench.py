@@ -98,6 +98,9 @@ FAMILIES: dict[str, list[str]] = {
         "pca_top_component",
         "ann_quantized_ivf_topk",
         "ann_pq_adc_topk",
+        "ann_ivf_pq_topk",
+        "ann_ivf_pq_kmeans_topk",
+        "ann_recall_at_k",
         "hybrid_rrf_search",
         "mmr_diverse_topk",
         "pca_top_components",

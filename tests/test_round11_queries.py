@@ -158,3 +158,40 @@ def test_pq_kmeans_reduces_quantization_sse(spark, sf_dir):
     seed_sse = sse(S.pq_codebooks(emb))
     refined_sse = sse(S.pq_codebooks_kmeans(emb, iters=1))
     assert refined_sse <= seed_sse + 1e-6 * max(1.0, seed_sse)
+
+
+def test_ivf_pq_store_probe_matches_in_memory(spark, sf_dir, tmp_path):
+    """The partitioned-code-store probe must reproduce ivf_pq_topk
+    exactly (same centroids/assignment/codebooks/decimal ranking) —
+    the store roundtrip changes WHERE codes are read, never a value."""
+    import os
+
+    emb = table(spark, sf_dir, "embeddings")
+    store = os.path.join(str(tmp_path), "pqstore")
+    S.write_ivf_pq_store(emb, store)
+    got = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adist)
+        for r in S.ivf_pq_store_topk(spark, store, emb).collect()
+    }
+    exp = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adist)
+        for r in S.ivf_pq_topk(emb).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_ivf_pq_store_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The serving-path scan must carry the probed cells as PARTITION
+    filters (directory pruning) and read code rows, not vectors."""
+    import os
+
+    from yamr_spark.operators.similarity import probe_store_cells
+    from yamr_spark.plans import plan_text
+
+    emb = table(spark, sf_dir, "embeddings")
+    store = os.path.join(str(tmp_path), "pqstore")
+    S.write_ivf_pq_store(emb, store)
+    scan = probe_store_cells(spark, store, [0, 3])
+    txt = plan_text(scan, "formatted")
+    assert "PartitionFilters" in txt and "centroid_id" in txt
+    assert "embedding" not in txt  # codes only — vectors never stored

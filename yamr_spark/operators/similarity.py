@@ -2001,3 +2001,109 @@ def pq_codebooks_kmeans(
             )
         )
     return books
+
+
+def write_ivf_pq_store(
+    emb: DataFrame,
+    out_dir: str,
+    c: int = 8,
+    m: int = 4,
+    k: int = 16,
+    d: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: DataFrame | None = None,
+    books: DataFrame | None = None,
+) -> None:
+    """Materialize the PQ CODES partitioned by centroid_id — the full
+    IVFADC serving layout (Jégou et al. §V: inverted lists of codes).
+    Each cell directory holds m small ints per vector (here 4 codes vs
+    64 floats: 64× smaller than the raw-vector IVF store), so a probe
+    is a directory-pruned scan of compressed codes and the original
+    vectors are never read on the serving path at all.
+
+    Codes are stored WIDE (one row per vector, array indexed by
+    subspace — collect_list sorted by sub) to keep rows fixed-width and
+    files small; the probe explodes them back to (sub, code_id)."""
+    if assign is None:
+        assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col)
+    assign = assign.select("vec_id", "centroid_id")
+    if books is None:
+        books = pq_codebooks(emb, m=m, k=k, d=d, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(emb, books, m=m, d=d, id_col=id_col, vec_col=vec_col)
+    wide = (
+        codes.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code_id"))).alias("sc"))
+        .select("vec_id", F.expr("transform(sc, s -> s.code_id)").alias("codes"))
+    )
+    wide.join(assign, "vec_id").write.partitionBy("centroid_id").mode(
+        "overwrite"
+    ).parquet(out_dir)
+
+
+def ivf_pq_store_topk(
+    spark,
+    store_dir: str,
+    emb: DataFrame,
+    topk: int = 5,
+    n_queries: int = 10,
+    c: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    d: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+    books: DataFrame | None = None,
+) -> DataFrame:
+    """``ivf_pq_topk`` against the partitioned CODE store: probed cell
+    ids are collected (≤ c ints — metadata) and pushed as a literal
+    partition filter, so Spark directory-prunes before listing a single
+    unprobed cell's files; the scan reads m-int code rows, never
+    vectors. The query-side LUT is built from the QUERY vectors only
+    (n_queries·m·k exact subspace distances — the same rows
+    ``ivf_pq_topk`` takes from its full dists table). Results are
+    identical to ``ivf_pq_topk`` by construction (same centroids,
+    assignment, codebooks, decimal ADC ranking)."""
+    from pyspark.sql import Window
+
+    probes = _query_probes(
+        emb, num_queries=n_queries, c=c, nprobe=nprobe, id_col=id_col,
+        vec_col=vec_col, cents=cents,
+    ).transform(materialize)
+    cells = sorted(
+        r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
+    )
+    if books is None:
+        books = pq_codebooks(emb, m=m, k=k, d=d, id_col=id_col, vec_col=vec_col)
+    qdists = _pq_subspace_dists(
+        emb.filter(F.col(id_col) < n_queries), books, m, d, id_col, vec_col
+    )
+    lut = qdists.select(
+        F.col("vec_id").alias("query_id"),
+        "sub",
+        "code_id",
+        F.round(F.col("l2"), 9).cast("decimal(28,9)").alias("l2r"),
+    )
+    qlut = probes.select("query_id", "centroid_id").join(lut, "query_id")
+    celled = probe_store_cells(spark, store_dir, cells).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "centroid_id",
+        F.posexplode("codes").alias("sub", "code_id"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adist_dec", "neighbor_id")
+    return (
+        celled.join(F.broadcast(qlut), ["centroid_id", "sub", "code_id"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("l2r").alias("adist_dec"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= topk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("adist_dec").cast("double").alias("adist"),
+            "rnk",
+        )
+    )

@@ -1328,9 +1328,10 @@ _IVF_PQ_ADC_CTES = """
     )"""
 
 
-@register(
-    "ann_ivf_pq_topk",
-    oracle=f"""
+# Shared by ann_ivf_pq_topk and its partitioned-code-store twin (the
+# store roundtrip is results-identical by construction, so the replay
+# is the same SQL).
+_IVF_PQ_TOPK_ORACLE = f"""
     WITH {_VECS_CTE},
     {_IVF_CTES},
     {_PQ_CTES},
@@ -1343,8 +1344,10 @@ _IVF_PQ_ADC_CTES = """
                                 ORDER BY adist_dec, neighbor_id) AS rnk
       FROM ivfadc
     ) t WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@register("ann_ivf_pq_topk", oracle=_IVF_PQ_TOPK_ORACLE)
 def q_ann_ivf_pq_topk(spark, sf_dir):
     """IVF×PQ (IVFADC, Jégou et al. TPAMI 2011 §V): coarse IVF prunes
     each query to nprobe=2 of 8 cells; ONLY those cells' PQ codes are
@@ -1610,3 +1613,28 @@ def q_ann_ivf_pq_kmeans_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     books = S.pq_codebooks_kmeans(emb)
     return S.ivf_pq_topk(emb, cents=cents, assign=assign, books=books)
+
+
+@register("ivf_pq_store_probe", oracle=_IVF_PQ_TOPK_ORACLE)
+def q_ivf_pq_store_probe(spark, sf_dir):
+    """The full IVFADC SERVING layout end-to-end: PQ codes written
+    partitioned by centroid_id (m=4 small ints per vector — 64× smaller
+    than the raw-vector IVF store), then top-k answered by directory-
+    pruned ADC over ONLY the probed cells' code files; the original
+    vectors are never read on the serving path (query-side LUT comes
+    from the 10 query vectors alone). Must produce exactly
+    ann_ivf_pq_topk's answer — same oracle."""
+    import os
+
+    from yamr_spark.tmpdirs import session_dir, store_complete
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, assign = _ivf_shared(spark, sf_dir, c=8)
+    store = os.path.join(
+        session_dir(f"ivfpq:{sf_dir}", "yamr_ivfpq_store_"), "store"
+    )
+    if not store_complete(store):
+        S.write_ivf_pq_store(emb, store, c=8, assign=assign)
+    return S.ivf_pq_store_topk(
+        spark, store, emb, topk=5, n_queries=10, c=8, nprobe=2, cents=cents
+    )

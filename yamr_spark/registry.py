@@ -357,6 +357,7 @@ _R05_RESTAMPS = [
 # r11 window (then the r06 tail, oldest-stamp-first, as usual).
 _R12_BACKFILL = [
     "ann_ivf_pq_kmeans_topk",
+    "ivf_pq_store_probe",
     "try_function_features",
     "value_histogram",
     "word_count",
