@@ -1436,9 +1436,65 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
         FROM ivfadc
       ) t WHERE rnk <= 5
     ),
+    kdim AS (
+      SELECT c.sub, c.code_id, vs.vsub, CAST(t.dim AS INT) AS dim
+      FROM codes c
+      JOIN vsubs vs ON vs.vec_id = c.neighbor_id AND vs.sub = c.sub
+      CROSS JOIN (SELECT unnest(range(16)) AS dim) t
+    ),
+    kmeans AS (
+      SELECT sub, code_id, dim, ROUND(AVG(vsub[dim + 1]), 6) AS value
+      FROM kdim GROUP BY sub, code_id, dim
+    ),
+    kbooks AS MATERIALIZED (
+      SELECT sub, code_id, list(value ORDER BY dim) AS cvec
+      FROM kmeans GROUP BY sub, code_id
+    ),
+    kdists AS MATERIALIZED (
+      SELECT vec_id, sub, code_id,
+             list_sum(list_transform(range(16), i ->
+               (vsub[i+1] - cvec[i+1]) * (vsub[i+1] - cvec[i+1]))) AS l2
+      FROM vsubs JOIN kbooks USING (sub)
+    ),
+    kcodes AS (
+      SELECT vec_id AS neighbor_id, sub, code_id FROM (
+        SELECT vec_id, sub, code_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY l2, code_id) AS rn
+        FROM kdists
+      ) WHERE rn = 1
+    ),
+    klut AS (
+      SELECT vec_id AS query_id, sub, code_id,
+             CAST(ROUND(l2, 9) AS DECIMAL(28,9)) AS l2r
+      FROM kdists WHERE vec_id < 10
+    ),
+    kqlut AS (
+      SELECT p.query_id, p.centroid_id, l.sub, l.code_id, l.l2r
+      FROM probes p JOIN klut l USING (query_id)
+    ),
+    kcelled AS (
+      SELECT c.neighbor_id, a.centroid_id, c.sub, c.code_id
+      FROM kcodes c JOIN assign a ON a.vec_id = c.neighbor_id
+    ),
+    kivfadc AS (
+      SELECT query_id, neighbor_id, SUM(l2r) AS adist_dec
+      FROM kcelled JOIN kqlut USING (centroid_id, sub, code_id)
+      WHERE neighbor_id != query_id
+      GROUP BY query_id, neighbor_id
+    ),
+    kivfpqtop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist_dec, neighbor_id) AS rnk
+        FROM kivfadc
+      ) t WHERE rnk <= 5
+    ),
     appr AS (
       SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
       UNION ALL SELECT 'ivf_pq', query_id, neighbor_id FROM ivfpqtop
+      UNION ALL SELECT 'ivf_pq_kmeans', query_id, neighbor_id FROM kivfpqtop
       UNION ALL SELECT 'pq_adc', query_id, neighbor_id FROM pqtop
       UNION ALL SELECT 'quantized', query_id, neighbor_id FROM qtop
     ),
@@ -1458,8 +1514,10 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
     """,
 )
 def q_ann_recall_at_k(spark, sf_dir):
-    """Certified recall@5 of every approximate ANN path against the
-    brute-force ground truth over the 10 fixture queries — turns the
+    """Certified recall@5 of every approximate ANN path — including
+    the kmeans-TRAINED-codebook IVF×PQ, so the training lift is a
+    driver-certified number — against the brute-force ground truth
+    over the 10 fixture queries — turns the
     family's docstring recall bounds into a measured, driver-certified,
     regression-guarded number (VERDICT r10 #3). Deterministic by
     construction: fixed query set (vec_id < 10), every method's ranking
@@ -1483,6 +1541,13 @@ def q_ann_recall_at_k(spark, sf_dir):
     methods = [
         ("ivf", S.ivf_topk(emb, cents=cents, assign=assign)),
         ("ivf_pq", S.ivf_pq_topk(emb, cents=cents, assign=assign)),
+        (
+            "ivf_pq_kmeans",
+            S.ivf_pq_topk(
+                emb, cents=cents, assign=assign,
+                books=S.pq_codebooks_kmeans(emb),
+            ),
+        ),
         ("pq_adc", S.pq_adc_topk(emb)),
         ("quantized", S.quantized_topk(emb)),
     ]
