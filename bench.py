@@ -100,6 +100,8 @@ FAMILIES: dict[str, list[str]] = {
         "ann_pq_adc_topk",
         "ann_ivf_pq_topk",
         "ann_ivf_pq_kmeans_topk",
+        "ann_ivfadc_residual_topk",
+        "ivf_pq_store_probe",
         "ann_recall_at_k",
         "hybrid_rrf_search",
         "mmr_diverse_topk",
@@ -217,7 +219,11 @@ def main() -> None:
     # process (one-time layout cost); an untimed warmup invocation makes
     # the timed pass measure the steady-state probe, which is what the
     # 100 TB comparison cares about.
-    for name in ("ivf_probe_partitioned", "split_store_train_counts"):
+    for name in (
+        "ivf_probe_partitioned",
+        "split_store_train_counts",
+        "ivf_pq_store_probe",
+    ):
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Min-of-N (default 3, SPARK_GRAFT_BENCH_REPS): whole-list passes,

@@ -195,3 +195,26 @@ def test_ivf_pq_store_probe_prunes_partitions(spark, sf_dir, tmp_path):
     txt = plan_text(scan, "formatted")
     assert "PartitionFilters" in txt and "centroid_id" in txt
     assert "embedding" not in txt  # codes only — vectors never stored
+
+
+def test_ivfadc_residual_laws(spark, sf_dir):
+    """Residual-form IVFADC structural laws: full top-5 per query,
+    non-negative decimal distances, and bit-identical output across two
+    invocations (residual subtraction + decimal ADC is deterministic)."""
+    emb = table(spark, sf_dir, "embeddings")
+    a = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adist)
+        for r in S.ivf_pq_residual_topk(emb).collect()
+    }
+    b = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adist)
+        for r in S.ivf_pq_residual_topk(emb).collect()
+    }
+    assert a == b and len(a) > 0
+    per_query: dict = {}
+    for (q, rnk), (n, adist) in a.items():
+        per_query.setdefault(q, []).append(rnk)
+        assert adist >= 0.0 and n != q
+    for q, rnks in per_query.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) == 5

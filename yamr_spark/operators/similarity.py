@@ -2107,3 +2107,130 @@ def ivf_pq_store_topk(
             "rnk",
         )
     )
+
+
+def ivf_pq_residual_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    topk: int = 5,
+    c: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    d: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+    assign: DataFrame | None = None,
+) -> DataFrame:
+    """TEXTBOOK IVFADC (Jégou et al., TPAMI 2011 §V, residual form):
+    PQ encodes each vector's RESIDUAL from its coarse centroid
+    (v − c(v)), not the raw vector — residuals concentrate near the
+    origin, so a fixed code budget spends its resolution on the
+    within-cell displacement instead of re-describing cell location.
+    The query side mirrors it per probed cell: the LUT for (query q,
+    cell c) scores q's residual q − cvec(c) against the codebooks, so
+    ADC distances approximate ||q − c − code|| within each cell.
+
+    This completes the PQ family's paper parity: raw-vector IVF×PQ
+    (``ivf_pq_topk``) isolates the cell-pruning composition; this
+    operator adds the residual trick. (Here the LUT cost is
+    n_q·nprobe·m·k — nprobe× the raw variant's, the textbook trade.)
+
+    Determinism/oracle: residual subtraction is exact IEEE double
+    arithmetic on both engines; everything downstream reuses the
+    decimal ADC discipline (9dp-rounded subspace distances summed as
+    DECIMAL(28,9), rank by (adist asc, neighbor_id)).
+
+    Scale: residuals are computed map-side under the broadcast centroid
+    table and exist only inside the one materialized subspace-distance
+    build; codes (m small ints) are what shuffles. The per-cell LUT is
+    parameter-bounded and broadcast."""
+    from pyspark.sql import Window
+
+    if cents is None:
+        cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
+    if assign is None:
+        assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col, cents=cents)
+    assign = assign.select("vec_id", "centroid_id")
+
+    vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+    resid = (
+        vecs.join(assign, "vec_id")
+        .join(F.broadcast(cents), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.expr("zip_with(v, cvec, (x, y) -> x - y)").alias("rv"),
+        )
+    )
+    books = pq_codebooks(
+        resid.select("vec_id", "rv"), m=m, k=k, d=d, id_col="vec_id", vec_col="rv"
+    )
+    dists = materialize(
+        _pq_subspace_dists(
+            resid.select("vec_id", "rv"), books, m, d, "vec_id", "rv"
+        )
+    )
+    codes = pq_encode(emb, dists=dists)
+
+    probes = _query_probes(
+        emb, num_queries=n_queries, c=c, nprobe=nprobe, id_col=id_col,
+        vec_col=vec_col, cents=cents,
+    )
+    dsub = d // m
+    qsubs = (
+        probes.join(F.broadcast(cents), "centroid_id")
+        .select(
+            "query_id",
+            "centroid_id",
+            F.expr("zip_with(qv, cvec, (x, y) -> x - y)").alias("qr"),
+        )
+        .select(
+            "query_id",
+            "centroid_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), s -> "
+                    f"struct(s AS sub, slice(qr, s * {dsub} + 1, {dsub}) AS vsub))"
+                )
+            ).alias("sv"),
+        )
+        .select(
+            "query_id", "centroid_id",
+            F.col("sv.sub").alias("sub"), F.col("sv.vsub").alias("vsub"),
+        )
+    )
+    l2 = (
+        "aggregate(zip_with(vsub, cvec, (x, y) -> (x - y) * (x - y)), "
+        "0D, (a, p) -> a + p)"
+    )
+    qlut = (
+        qsubs.join(F.broadcast(books), "sub")
+        .withColumn("l2", F.expr(l2))
+        .select(
+            "query_id",
+            "centroid_id",
+            "sub",
+            "code_id",
+            F.round(F.col("l2"), 9).cast("decimal(28,9)").alias("l2r"),
+        )
+    )
+    celled = codes.withColumnRenamed("vec_id", "neighbor_id").join(
+        assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    )
+    w = Window.partitionBy("query_id").orderBy("adist_dec", "neighbor_id")
+    return (
+        celled.join(F.broadcast(qlut), ["centroid_id", "sub", "code_id"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("l2r").alias("adist_dec"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= topk)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("adist_dec").cast("double").alias("adist"),
+            "rnk",
+        )
+    )

@@ -1703,3 +1703,95 @@ def q_ivf_pq_store_probe(spark, sf_dir):
     return S.ivf_pq_store_topk(
         spark, store, emb, topk=5, n_queries=10, c=8, nprobe=2, cents=cents
     )
+
+
+@register(
+    "ann_ivfadc_residual_topk",
+    oracle=f"""
+    WITH {_VECS_CTE},
+    {_IVF_CTES},
+    resid AS MATERIALIZED (
+      SELECT a.vec_id, a.centroid_id,
+             list_transform(range(64), i -> v.v[i+1] - c.cvec[i+1]) AS rv
+      FROM assign a
+      JOIN vecs v ON v.vec_id = a.vec_id
+      JOIN cents c ON c.centroid_id = a.centroid_id
+    ),
+    rseeds AS (
+      SELECT vec_id, rv,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code_id
+      FROM resid ORDER BY vec_id LIMIT 16
+    ),
+    rbooks AS (
+      SELECT CAST(t.s AS INT) AS sub, code_id,
+             rv[t.s*16+1 : t.s*16+16] AS cvec
+      FROM rseeds CROSS JOIN (SELECT unnest(range(4)) AS s) t
+    ),
+    rvsubs AS MATERIALIZED (
+      SELECT vec_id, CAST(t.s AS INT) AS sub,
+             rv[t.s*16+1 : t.s*16+16] AS vsub
+      FROM resid CROSS JOIN (SELECT unnest(range(4)) AS s) t
+    ),
+    rdists AS MATERIALIZED (
+      SELECT vec_id, sub, code_id,
+             list_sum(list_transform(range(16), i ->
+               (vsub[i+1] - cvec[i+1]) * (vsub[i+1] - cvec[i+1]))) AS l2
+      FROM rvsubs JOIN rbooks USING (sub)
+    ),
+    rcodes AS (
+      SELECT vec_id AS neighbor_id, sub, code_id FROM (
+        SELECT vec_id, sub, code_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY l2, code_id) AS rn
+        FROM rdists
+      ) WHERE rn = 1
+    ),
+    qres AS (
+      SELECT p.query_id, p.centroid_id,
+             list_transform(range(64), i -> p.qv[i+1] - c.cvec[i+1]) AS qr
+      FROM probes p JOIN cents c USING (centroid_id)
+    ),
+    qsubs AS (
+      SELECT query_id, centroid_id, CAST(t.s AS INT) AS sub,
+             qr[t.s*16+1 : t.s*16+16] AS vsub
+      FROM qres CROSS JOIN (SELECT unnest(range(4)) AS s) t
+    ),
+    rqlut AS (
+      SELECT q.query_id, q.centroid_id, q.sub, b.code_id,
+             CAST(ROUND(list_sum(list_transform(range(16), i ->
+               (q.vsub[i+1] - b.cvec[i+1]) * (q.vsub[i+1] - b.cvec[i+1]))),
+               9) AS DECIMAL(28,9)) AS l2r
+      FROM qsubs q JOIN rbooks b USING (sub)
+    ),
+    rcelled AS (
+      SELECT rc.neighbor_id, a.centroid_id, rc.sub, rc.code_id
+      FROM rcodes rc JOIN assign a ON a.vec_id = rc.neighbor_id
+    ),
+    radc AS (
+      SELECT query_id, neighbor_id, SUM(l2r) AS adist_dec
+      FROM rcelled JOIN rqlut USING (centroid_id, sub, code_id)
+      WHERE neighbor_id != query_id
+      GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(adist_dec AS DOUBLE) AS adist,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT query_id, neighbor_id, adist_dec,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist_dec, neighbor_id) AS rnk
+      FROM radc
+    ) t WHERE rnk <= 5
+    """,
+)
+def q_ann_ivfadc_residual_topk(spark, sf_dir):
+    """Textbook residual-form IVFADC (Jégou et al. §V): PQ encodes
+    v − c(v) so the code budget describes within-cell displacement; the
+    query LUT is built per probed cell from q − cvec(cell). Completes
+    the PQ family's paper parity next to the raw-vector composition
+    (ann_ivf_pq_topk isolates cell pruning; this adds the residual
+    trick). Oracle replays residuals, seeding, encode and the decimal
+    ADC ranking bit-for-bit; cents/assignment from the shared cache."""
+    cents, assign = _ivf_shared(spark, sf_dir, c=8)
+    return S.ivf_pq_residual_topk(
+        table(spark, sf_dir, "embeddings"), cents=cents, assign=assign
+    )
