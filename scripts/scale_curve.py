@@ -573,6 +573,16 @@ def recall_vs_params(spark, sf_dir: str) -> None:
             .count()
         )
         print(f"| flat pq_adc m={m} | {hits} | {hits / total:.2f} |")
+    for nprobe in (2, 4):
+        hits = (
+            S.ivf_pq_residual_topk(emb, nprobe=nprobe)
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"])
+            .count()
+        )
+        print(
+            f"| ivf_pq RESIDUAL nprobe={nprobe} m=4 | {hits} | {hits / total:.2f} |"
+        )
     for m, iters in ((4, 1), (4, 2), (8, 1)):
         books = S.pq_codebooks_kmeans(emb, m=m, iters=iters)
         hits = (

@@ -218,3 +218,44 @@ def test_ivfadc_residual_laws(spark, sf_dir):
     for q, rnks in per_query.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
         assert len(rnks) == 5
+
+
+def test_ivf_pq_store_append_equals_batch_build(spark, sf_dir, tmp_path):
+    """Incremental index law: build-from-half + append-second-half must
+    be value-identical to the one-shot full-corpus store (frozen
+    params => per-vector assignment/encoding can't see construction
+    order)."""
+    import os
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = S.centroids(emb, c=8)
+    books = S.pq_codebooks(emb)
+    assign = S.ivf_assign(emb, c=8, cents=cents).select("vec_id", "centroid_id")
+
+    full_store = os.path.join(str(tmp_path), "full")
+    S.write_ivf_pq_store(emb, full_store, assign=assign, books=books)
+    inc_store = os.path.join(str(tmp_path), "inc")
+    cut = 26
+    S.write_ivf_pq_store(
+        emb.where(F.col("vec_id") < cut), inc_store, assign=assign, books=books
+    )
+    S.ivf_pq_store_append(
+        emb.where(F.col("vec_id") >= cut), inc_store,
+        books=books, cents=cents, assign=assign,
+    )
+    read = lambda p: {
+        (r.vec_id, r.centroid_id): list(r.codes)
+        for r in spark.read.parquet(p).collect()
+    }
+    assert read(inc_store) == read(full_store) and len(read(full_store)) > 0
+    got = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adist)
+        for r in S.ivf_pq_store_topk(
+            spark, inc_store, emb, cents=cents, books=books
+        ).collect()
+    }
+    exp = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adist)
+        for r in S.ivf_pq_topk(emb, cents=cents, assign=assign, books=books).collect()
+    }
+    assert got == exp

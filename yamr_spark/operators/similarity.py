@@ -2234,3 +2234,42 @@ def ivf_pq_residual_topk(
             "rnk",
         )
     )
+
+
+def ivf_pq_store_append(
+    new_emb: DataFrame,
+    store_dir: str,
+    books: DataFrame,
+    cents: DataFrame,
+    m: int = 4,
+    d: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: DataFrame | None = None,
+) -> None:
+    """Append a NEW batch of vectors to an existing IVF×PQ code store —
+    the living-index operation: the index's trained parameters
+    (``cents`` coarse centroids, ``books`` codebooks) are FROZEN at
+    creation, so appending is one broadcast-score assignment + one
+    encode pass over the new batch only, writing m-int code rows into
+    the existing centroid_id directories. Nothing already stored is
+    read or rewritten, and probes see old + new uniformly because
+    per-vector assignment/encoding depend only on (vector, params).
+
+    Retry semantics: plain ``append`` here — a production pipeline
+    lands each ingest batch under its own second-level partition (the
+    sketch stores' ``batch_id=`` dynamic-overwrite discipline,
+    streaming/cms.py) so a replayed batch overwrites itself instead of
+    double-appending; the probe path is identical either way."""
+    if assign is None:
+        assign = ivf_assign(new_emb, id_col=id_col, vec_col=vec_col, cents=cents)
+    assign = assign.select("vec_id", "centroid_id")
+    codes = pq_encode(new_emb, books, m=m, d=d, id_col=id_col, vec_col=vec_col)
+    wide = (
+        codes.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code_id"))).alias("sc"))
+        .select("vec_id", F.expr("transform(sc, s -> s.code_id)").alias("codes"))
+    )
+    wide.join(assign, "vec_id").write.partitionBy("centroid_id").mode(
+        "append"
+    ).parquet(store_dir)

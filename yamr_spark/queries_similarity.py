@@ -1795,3 +1795,51 @@ def q_ann_ivfadc_residual_topk(spark, sf_dir):
     return S.ivf_pq_residual_topk(
         table(spark, sf_dir, "embeddings"), cents=cents, assign=assign
     )
+
+
+@register("ivf_pq_store_incremental", oracle=_IVF_PQ_TOPK_ORACLE)
+def q_ivf_pq_store_incremental(spark, sf_dir):
+    """Living-index certification: build the IVF×PQ code store from the
+    FIRST HALF of the corpus (the index's trained params — lowest-id
+    centroids and codebook seeds — all live in that half, so they equal
+    the full-corpus params by the deterministic-seed discipline),
+    APPEND the second half with the frozen params, then probe. Must
+    equal ann_ivf_pq_topk on the full corpus exactly — same oracle:
+    per-vector assignment/encoding depend only on (vector, params), so
+    incremental vs batch construction is value-invisible."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from yamr_spark.tmpdirs import session_dir
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, assign = _ivf_shared(spark, sf_dir, c=8)
+    books = S.pq_codebooks(emb)
+    base = session_dir(f"ivfpq_inc:{sf_dir}", "yamr_ivfpq_inc_")
+    store = os.path.join(base, "store")
+    # the store commits in TWO jobs (build + append), so Spark's
+    # _SUCCESS (written by the first) can't gate completeness — a crash
+    # between them would leave a trusted half-store. Own end-to-end
+    # marker, written only after the append (the sketch stores'
+    # marker-last discipline).
+    marker = os.path.join(base, "_INC_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(store, ignore_errors=True)
+        cut = 260  # both halves non-trivial at every fixture sf
+        S.write_ivf_pq_store(
+            emb.where(F.col("vec_id") < cut), store, c=8,
+            assign=assign, books=books,
+        )
+        second = emb.where(F.col("vec_id") >= cut)
+        if second.limit(1).count():
+            S.ivf_pq_store_append(
+                second, store, books=books, cents=cents, assign=assign
+            )
+        with open(marker, "w"):
+            pass
+    return S.ivf_pq_store_topk(
+        spark, store, emb, topk=5, n_queries=10, c=8, nprobe=2,
+        cents=cents, books=books,
+    )

@@ -359,6 +359,7 @@ _R12_BACKFILL = [
     "ann_ivf_pq_kmeans_topk",
     "ivf_pq_store_probe",
     "ann_ivfadc_residual_topk",
+    "ivf_pq_store_incremental",
     "try_function_features",
     "value_histogram",
     "word_count",
