@@ -102,6 +102,7 @@ FAMILIES: dict[str, list[str]] = {
         "ann_ivf_pq_kmeans_topk",
         "ann_ivfadc_residual_topk",
         "ivf_pq_store_probe",
+        "ivf_pq_store_incremental",
         "ann_recall_at_k",
         "hybrid_rrf_search",
         "mmr_diverse_topk",
@@ -223,6 +224,7 @@ def main() -> None:
         "ivf_probe_partitioned",
         "split_store_train_counts",
         "ivf_pq_store_probe",
+        "ivf_pq_store_incremental",
     ):
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
