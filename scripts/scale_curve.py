@@ -598,6 +598,51 @@ def recall_vs_params(spark, sf_dir: str) -> None:
     truth.unpersist()
 
 
+def r11b_experiment(spark, sf_dir: str, out_dir: str) -> None:
+    """SERVING-path curve for the IVFADC code store: per k, build the
+    partitioned code store UNTIMED (the write-once layout cost), then
+    time ONLY the 50-query directory-pruned ADC probe. With c=√n and
+    nprobe=2 the probed fraction is 2/√n, so per-query scanned codes
+    grow ~√n — the measured counterpart to the end-to-end r11 curve
+    whose assignment build term hid the serving asymmetry."""
+    import math
+    import os as _os
+
+    from yamr_spark.materialize import materialize
+    from yamr_spark.operators import similarity as S
+
+    epaths = build_scaled_emb(spark, sf_dir, out_dir)
+    results: dict[str, dict[int, float]] = {}
+    for k in FACTORS:
+        emb = spark.read.parquet(epaths[k])
+        n = emb.count()
+        c = max(8, math.isqrt(n))
+        cents = materialize(S.centroids(emb, c=c))
+        assign = materialize(
+            S.ivf_assign(emb, c=c, cents=cents).select("vec_id", "centroid_id")
+        )
+        books = materialize(S.pq_codebooks(emb))
+        store = _os.path.join(out_dir, f"pqstore_x{k}")
+        S.write_ivf_pq_store(emb, store, c=c, assign=assign, books=books)
+        best = None
+        for _ in range(REPS + 1):  # extra rep: first probe pays scan warmup
+            t0 = time.perf_counter()
+            S.ivf_pq_store_topk(
+                spark, store, emb, n_queries=50, c=c, nprobe=2,
+                cents=cents, books=books,
+            ).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        results.setdefault("ivf_pq_store_probe(q=50,c=sqrt_n,np=2)", {})[k] = round(best, 2)
+        print(json.dumps({"op": "ivf_pq_store_probe", "factor": k, "sec": round(best, 2)}))
+    print("\n| operator | " + " | ".join(f"{kk}x" for kk in FACTORS) + " | t(16x)/t(1x) |")
+    print("|---|" + "---|" * (len(FACTORS) + 1))
+    for name, row in results.items():
+        ratio = round(row[FACTORS[-1]] / row[FACTORS[0]], 1)
+        cells = " | ".join(f"{row[kk]:.2f}" for kk in FACTORS)
+        print(f"| {name} | {cells} | {ratio}x |")
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = pos[0] if pos else os.environ.get(
@@ -640,6 +685,10 @@ def main() -> None:
         return
     if "--r11" in sys.argv:
         r11_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
+    if "--r11b" in sys.argv:
+        r11b_experiment(spark, sf_dir, out_dir)
         spark.stop()
         return
     if "--recall" in sys.argv:
