@@ -79,6 +79,8 @@ FAMILIES: dict[str, list[str]] = {
         "containment_pairs_stratified",
         "containment_pairs_bidir",
         "leakage_safe_split",
+        "minhash_estimate_quality",
+        "winnow_near_dup",
     ],
     # similarity family
     "similarity": [
@@ -124,6 +126,8 @@ FAMILIES: dict[str, list[str]] = {
         "sparse_cosine_linkage_pairs",
         "hashed_doc_embeddings",
         "heavy_hitter_terms",
+        "winnow_fingerprint_stats",
+        "lm_quality_buckets",
     ],
     # curation family: decontamination, span dedup, split, quota
     # sampling, novelty, packing, mixtures — plus the fused pipelines
@@ -151,6 +155,7 @@ FAMILIES: dict[str, list[str]] = {
         "span_dup_stats",
         "weighted_sample_per_lang",
         "llm_prep_pipeline_v4",
+        "domain_epoch_allocation",
     ],
     # multimodal decode seams (Arrow mapInPandas)
     "multimodal": [

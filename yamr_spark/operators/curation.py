@@ -865,6 +865,62 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(*keep, *counts, red.alias(text_col))
 
 
+def domain_epoch_allocation(
+    docs: DataFrame,
+    budget_multiple: float = 2.0,
+    max_epochs: float = 4.0,
+    domain_col: str = "source",
+) -> DataFrame:
+    """DoReMi-lite training-budget allocator: given a total token
+    budget (``budget_multiple`` × corpus tokens) and sqrt-proportional
+    domain weights (the standard upsample-the-tail heuristic between
+    uniform and natural), compute each domain's epoch count — how many
+    passes over that domain the training run makes — capped at
+    ``max_epochs`` (repeating a small domain beyond ~4 epochs stops
+    helping; Muennighoff et al. 2023).
+
+    Output: (domain, n_docs, n_tokens, weight, epochs, alloc_tokens).
+
+    Cross-engine float discipline: the sqrt weights are rounded 12 dp
+    and summed through DECIMAL (order-independent), every derived
+    double comes from one identical expression tree, and each output
+    rounds exactly once — the unigram_lm_score rule.
+
+    Scale: one partial-aggregated shuffle to the per-domain table
+    (|domains| rows — thousands at most), one 1-row scalar gate for the
+    corpus totals, all remaining math columnar on the tiny table. The
+    expensive part is the token count, a map-side expression on the
+    corpus scan.
+    """
+    per = (
+        docs.select(F.col(domain_col).alias("domain"), _ntok_col().alias("n_tok"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .withColumn(
+            "sq", F.round(F.sqrt(F.col("n_tokens")), 12).cast("decimal(38,12)")
+        )
+    )
+    tot = per.agg(
+        F.sum("sq").alias("sqsum"), F.sum("n_tokens").alias("tok_total")
+    )
+    weight_raw = F.col("sq").cast("double") / F.col("sqsum").cast("double")
+    epochs_raw = F.least(
+        F.lit(float(max_epochs)),
+        F.lit(float(budget_multiple))
+        * F.col("tok_total").cast("double")
+        * weight_raw
+        / F.col("n_tokens"),
+    )
+    return per.join(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round(weight_raw, 6).alias("weight"),
+        F.round(epochs_raw, 6).alias("epochs"),
+        F.floor(F.col("n_tokens") * epochs_raw).cast("long").alias("alloc_tokens"),
+    )
+
+
 def temperature_sample(
     docs: DataFrame, target_total: int = 200, group_col: str = "lang"
 ) -> DataFrame:

@@ -751,6 +751,98 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------- estimator-quality certification
+
+
+def minhash_estimate_vs_exact(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Certified MinHash estimator calibration: for every LSH candidate
+    pair, compare the signature-agreement Jaccard ESTIMATE (fraction of
+    the k permutations that agree — the unbiased MinHash estimator)
+    against the EXACT shingle-set Jaccard, and report the error binned
+    by exact similarity.
+
+    Output: (bucket, n_pairs, mean_est, mean_exact, mean_abs_err,
+    max_abs_err) with bucket = min(floor(4·J), 3) — the measured
+    counterpart of the k=16 estimator's theoretical std dev
+    sqrt(J(1−J)/16) ≤ 0.125. This is the dedup family's analogue of
+    ann_recall_at_k: it turns the docstring error bound into a
+    registered, regression-guarded number (VERDICT r10 #3 applied the
+    same discipline to the ANN family).
+
+    Scale: everything is bounded by the LSH candidate set — signatures
+    are one partial-aggregated shuffle (docs×k fixed-width values),
+    candidates come from the banded equality join (O(near-dups)), and
+    the exact-Jaccard verify tokenizes only candidate docs
+    (:func:`jaccard_for_pairs` semi-join). The estimate side is a
+    broadcast-or-shuffle join of the candidate pairs back to the tiny
+    signature table. est = agree/k is exact in binary for k a power of
+    two, so the estimate column is bit-reproducible cross-engine.
+    """
+    sigs = minhash_signatures(
+        docs, k=k, n=n, text_col=text_col, id_col=id_col
+    ).transform(materialize)
+    cands = minhash_band_pairs(
+        sigs, bands=bands, rows_per_band=rows_per_band
+    ).transform(materialize)
+
+    agree = sum(
+        (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("int") for i in range(k)
+    )
+    est = (
+        cands.join(sigs.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(sigs.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", (agree / F.lit(k)).alias("est"))
+    )
+
+    cand_ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .union(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    docs_c = docs.join(cand_ids, id_col, "left_semi")
+    sh = word_shingle_hashes(
+        docs_c, n=n, text_col=text_col, id_col=id_col
+    ).withColumnRenamed("sh", "shingle")
+    exact = jaccard_for_pairs(cands, sh, sizes=sigs.select("doc_id", "sz"))
+
+    per_pair = est.join(exact, ["doc_a", "doc_b"]).withColumn(
+        "abs_err", F.abs(F.col("est") - F.col("jaccard"))
+    )
+
+    def _dmean(col: str):
+        # decimal-disciplined mean (the unigram_lm_score float rule):
+        # round addends 12 dp, sum through DECIMAL (order-independent),
+        # divide by the count, round 6 dp once
+        return F.round(
+            F.sum(F.round(F.col(col), 12).cast("decimal(28,14)")).cast("double")
+            / F.count("*"),
+            6,
+        )
+
+    return (
+        per_pair.withColumn(
+            "bucket",
+            F.least(F.floor(F.col("jaccard") * 4), F.lit(3)).cast("int"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            _dmean("est").alias("mean_est"),
+            _dmean("jaccard").alias("mean_exact"),
+            _dmean("abs_err").alias("mean_abs_err"),
+            F.round(F.max("abs_err"), 6).alias("max_abs_err"),
+        )
+    )
+
+
 # ------------------------------------------------- incremental (batch-vs-index)
 
 

@@ -247,6 +247,159 @@ def doc_fingerprint(docs: DataFrame, n: int = 8) -> DataFrame:
     )
 
 
+# Winnowing (MOSS) parameters: character k-grams, window of w gram
+# hashes. Guarantee: any shared substring of length >= k + w - 1
+# (= 19 chars) contributes at least one shared fingerprint;
+# fingerprint density is ~2/(w+1) of gram positions —
+# corpus-size-independent. k must be large enough that a single gram
+# is MEANINGFUL: at k=8 on English text stock grams ("and the ")
+# fingerprint most of the corpus and the candidate join degenerates
+# toward all-pairs (measured: 70% of all pairs shared >= 2
+# fingerprints on the synthetic fixture at k=8/w=4).
+WINNOW_K = 12
+WINNOW_W = 8
+# pos is embedded in the selection key as (10^12 - pos), zero-padded to
+# 12 digits, so string min() = (hash asc, pos desc) — the rightmost-
+# minimum rule. Bounds document length at 10^12 chars (1 TB/doc).
+_WINNOW_POS_MAX = 999_999_999_999
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full MOSS winnowing fingerprints: (doc_id, fp, sel_pos, n_grams),
+    one row per distinct selected (hash, position) pair.
+
+    Algorithm (Schleimer/Wilkerson/Aiken winnowing): hash every
+    character k-gram, slide a window of w consecutive gram hashes, and
+    in each window select the minimum hash, breaking ties by RIGHTMOST
+    position; the distinct selected (hash, pos) pairs are the document's
+    fingerprint set. ``doc_fingerprint`` (above) is the reduced
+    two-extreme-hash variant; this is the real thing, usable for
+    plagiarism-style overlap detection (winnow_near_dup).
+
+    Determinism/engines: the per-window argmin is computed as a plain
+    string ``min`` over the composite key ``md5hex || '#' ||
+    lpad(POS_MAX - pos)`` — fixed-width ASCII, so bytewise string
+    comparison equals (hash asc, pos desc) in both Spark and DuckDB and
+    the oracle replays the selection bit-for-bit.
+
+    Scale: one shuffle — the window partitions by doc_id and orders by
+    position (never a global window), and the per-doc distinct rides
+    the same hash partitioning (groupBy doc_id reuses the window's
+    exchange). Gram rows ≈ characters, the same stream width as the
+    shingle/dedup family.
+    """
+    g = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> struct(i AS pos, md5(cast(substring({text_col}, i, {k}) as binary)) AS h))"
+    )
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.length(text_col) - (k - 1), F.lit(1))
+        .cast("long")
+        .alias("n_grams"),
+        F.explode(g).alias("g"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        F.col("g.pos").cast("long").alias("pos"),
+        F.concat(
+            F.col("g.h"),
+            F.lit("#"),
+            F.lpad((F.lit(_WINNOW_POS_MAX) - F.col("g.pos")).cast("string"), 12, "0"),
+        ).alias("key"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        grams.withColumn("sk", F.min("key").over(win))
+        # valid window starts only; short docs (n_grams < w) keep the
+        # single clipped window at pos 1
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - (w - 1), F.lit(1)))
+        .select(
+            "doc_id",
+            "n_grams",
+            F.substring("sk", 1, 32).alias("fp"),
+            (F.lit(_WINNOW_POS_MAX) - F.substring("sk", 34, 12).cast("long")).alias(
+                "sel_pos"
+            ),
+        )
+    )
+    # distinct per doc rides the window's doc_id hash partitioning
+    return sel.groupBy("doc_id", "fp", "sel_pos").agg(
+        F.first("n_grams").alias("n_grams")
+    )
+
+
+def winnow_near_dup(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_df: int = 50,
+    min_shared: int = 4,
+    min_ovl: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs: documents sharing >=
+    ``min_shared`` distinct fingerprints AND a containment-style
+    overlap ratio shared/min(|A|,|B|) >= ``min_ovl``, computed over the
+    rare-fingerprint universe.
+
+    ``max_df`` caps fingerprint document-frequency before the self-join
+    (the same stop-shingle explosion guard as ngram_jaccard_pairs —
+    boilerplate that fingerprints half the corpus must not become an
+    all-pairs block). Sizes are computed over the SAME rare universe so
+    the ratio is well-defined within it.
+
+    Scale: candidate generation is one equality self-join on the rare
+    fingerprint posting lists — O(shared-fingerprint pairs), never
+    O(n²); Σ df² per fingerprint is bounded by max_df².
+    """
+    from yamr_spark.materialize import materialize
+
+    fps = (
+        winnowing_fingerprints(docs, k=k, w=w, text_col=text_col, id_col=id_col)
+        .select("doc_id", "fp")
+        .distinct()
+        .transform(materialize)
+    )
+    dfreq = fps.groupBy("fp").agg(F.count("*").alias("df"))
+    rare = fps.join(dfreq.filter(F.col("df") <= max_df).select("fp"), "fp")
+    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("nf"))
+    a, b = rare.alias("a"), rare.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
+    ovl_raw = F.col("shared_fp") / F.least(F.col("za.nf"), F.col("zb.nf"))
+    return (
+        pairs.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .filter(ovl_raw >= F.lit(float(min_ovl)))
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fp",
+            F.round(ovl_raw, 6).alias("ovl"),
+        )
+    )
+
+
 def bm25_search(
     docs: DataFrame,
     query_terms: list[str],

@@ -423,6 +423,46 @@ def q_domain_mix_sample(spark, sf_dir):
 
 
 @register(
+    "domain_epoch_allocation",
+    oracle="""
+    WITH t AS (
+      SELECT source AS domain,
+             len(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'),
+                             x -> length(x) > 0)) AS n_tok
+      FROM documents
+    ),
+    per AS (
+      SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM t GROUP BY domain
+    ),
+    w AS (
+      SELECT *, CAST(ROUND(sqrt(n_tokens), 12) AS DECIMAL(38,12)) AS sq FROM per
+    ),
+    tot AS (
+      SELECT SUM(sq) AS sqsum, CAST(SUM(n_tokens) AS BIGINT) AS tok_total FROM w
+    )
+    SELECT domain, n_docs, n_tokens,
+           ROUND(CAST(sq AS DOUBLE) / CAST(sqsum AS DOUBLE), 6) AS weight,
+           ROUND(LEAST(4.0, 2.0 * CAST(tok_total AS DOUBLE)
+                             * (CAST(sq AS DOUBLE) / CAST(sqsum AS DOUBLE))
+                             / n_tokens), 6) AS epochs,
+           CAST(FLOOR(n_tokens * LEAST(4.0, 2.0 * CAST(tok_total AS DOUBLE)
+                                            * (CAST(sq AS DOUBLE) / CAST(sqsum AS DOUBLE))
+                                            / n_tokens)) AS BIGINT) AS alloc_tokens
+    FROM w CROSS JOIN tot
+    """,
+)
+def q_domain_epoch_allocation(spark, sf_dir):
+    """DoReMi-lite epoch/budget allocator over the source domains:
+    sqrt-proportional weights, 2× corpus token budget, epochs capped at
+    4 — the per-domain repeat plan a 100 TB pretraining mix starts
+    from. All math on the |domains|-row aggregate; the corpus scan
+    contributes only the map-side token count."""
+    return C.domain_epoch_allocation(table(spark, sf_dir, "documents"))
+
+
+@register(
     "global_shuffle_stats",
     oracle="""
     WITH keyed AS (

@@ -201,6 +201,58 @@ def q_minhash_near_dup(spark, sf_dir):
     return D.minhash_near_dup(table(spark, sf_dir, "documents"))
 
 
+# MinHash estimator agreement count, replayed from the same sig CTE.
+_MINHASH_AGREE = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+
+
+def _dmean_sql(expr: str) -> str:
+    """Decimal-disciplined mean (the unigram_lm_score float rule)."""
+    return (
+        f"ROUND(CAST(SUM(CAST(ROUND({expr}, 12) AS DECIMAL(28,14))) AS DOUBLE)"
+        f" / COUNT(*), 6)"
+    )
+
+
+@register(
+    "minhash_estimate_quality",
+    oracle=f"""
+    WITH {_BANDS_CTE}, {_CAND_PAIRS}, {_JACCARD},
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({_MINHASH_AGREE} AS DOUBLE) / 16 AS est
+      FROM cand c
+      JOIN sig a ON a.doc_id = c.doc_a
+      JOIN sig b ON b.doc_id = c.doc_b
+    ),
+    pe AS (
+      SELECT e.est,
+             ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                   / (za.sz + zb.sz - COALESCE(i.i, 0)), 6) AS j
+      FROM est e
+      LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+      JOIN sizes za ON za.doc_id = e.doc_a
+      JOIN sizes zb ON zb.doc_id = e.doc_b
+    )
+    SELECT LEAST(CAST(FLOOR(j * 4) AS INT), 3) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {_dmean_sql('est')} AS mean_est,
+           {_dmean_sql('j')} AS mean_exact,
+           {_dmean_sql('abs(est - j)')} AS mean_abs_err,
+           ROUND(MAX(abs(est - j)), 6) AS max_abs_err
+    FROM pe GROUP BY 1
+    """,
+)
+def q_minhash_estimate_quality(spark, sf_dir):
+    """Estimator-quality certification for the MinHash family: measured
+    |estimate − exact Jaccard| over the LSH candidate pairs, binned by
+    exact similarity — the dedup analogue of ann_recall_at_k (turns the
+    k=16 estimator's sqrt(J(1−J)/k) docstring bound into a registered,
+    regression-guarded number)."""
+    return D.minhash_estimate_vs_exact(table(spark, sf_dir, "documents"))
+
+
 # 60-bit token hash: first 15 md5 hex chars — DuckDB parses the hex
 # directly, producing the identical BIGINT as functions.hash60.
 _SIMHASH_HEXVAL = "(('0x' || substr(md5(token), 1, 15))::BIGINT)"

@@ -115,6 +115,101 @@ def q_doc_fingerprint(spark, sf_dir):
     return T.doc_fingerprint(table(spark, sf_dir, "documents"))
 
 
+# Winnowing oracle CTE, built from the operator's own constants
+# (WINNOW_K / WINNOW_W / _WINNOW_POS_MAX) so the SQL replay cannot
+# drift from the Spark selection rule.
+_WIN_FP_CTE = f"""
+wpos AS (
+  SELECT doc_id,
+         CAST(greatest(length(text) - {T.WINNOW_K - 1}, 1) AS BIGINT) AS n_grams,
+         unnest(range(1, greatest(length(text) - {T.WINNOW_K - 1}, 1) + 1)) AS i,
+         text
+  FROM documents
+),
+wkeys AS (
+  SELECT doc_id, n_grams, i AS pos,
+         md5(substring(text, CAST(i AS INT), {T.WINNOW_K})) || '#' ||
+           lpad(CAST({T._WINNOW_POS_MAX} - i AS VARCHAR), 12, '0') AS key
+  FROM wpos
+),
+wsel AS (
+  SELECT doc_id, n_grams, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {T.WINNOW_W - 1} FOLLOWING)
+           AS sk
+  FROM wkeys
+),
+wfp AS (
+  SELECT DISTINCT doc_id, n_grams,
+         substring(sk, 1, 32) AS fp,
+         {T._WINNOW_POS_MAX} - CAST(substring(sk, 34, 12) AS BIGINT) AS sel_pos
+  FROM wsel
+  WHERE pos <= greatest(n_grams - {T.WINNOW_W - 1}, 1)
+)
+"""
+
+
+@register(
+    "winnow_fingerprint_stats",
+    oracle=f"""
+    WITH {_WIN_FP_CTE}
+    SELECT doc_id,
+           CAST(MIN(n_grams) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_fp,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_uniq_fp,
+           MIN(fp) AS fp_min
+    FROM wfp GROUP BY doc_id
+    """,
+)
+def q_winnow_fingerprint_stats(spark, sf_dir):
+    """Full MOSS winnowing fingerprints (k-gram hash, rightmost-min
+    window selection) summarized per document. The reduced two-hash
+    doc_fingerprint stays as the constant-output containment probe;
+    this certifies the real selection rule, window math included."""
+    fps = T.winnowing_fingerprints(table(spark, sf_dir, "documents"))
+    return fps.groupBy("doc_id").agg(
+        F.min("n_grams").alias("n_grams"),
+        F.count("*").alias("n_fp"),
+        F.countDistinct("fp").alias("n_uniq_fp"),
+        F.min("fp").alias("fp_min"),
+    )
+
+
+@register(
+    "winnow_near_dup",
+    oracle=f"""
+    WITH {_WIN_FP_CTE},
+    wdfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
+    wrare AS (
+      SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM wdfp GROUP BY fp)
+      WHERE c <= 50
+    ),
+    wrfp AS (SELECT wdfp.doc_id, wdfp.fp FROM wdfp JOIN wrare USING (fp)),
+    wsizes AS (SELECT doc_id, COUNT(*) AS nf FROM wrfp GROUP BY doc_id),
+    wpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fp
+      FROM wrfp a JOIN wrfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, CAST(p.shared_fp AS BIGINT) AS shared_fp,
+           ROUND(CAST(p.shared_fp AS DOUBLE) / least(za.nf, zb.nf), 6) AS ovl
+    FROM wpairs p
+    JOIN wsizes za ON za.doc_id = p.doc_a
+    JOIN wsizes zb ON zb.doc_id = p.doc_b
+    WHERE p.shared_fp >= 4
+      AND CAST(p.shared_fp AS DOUBLE) / least(za.nf, zb.nf) >= 0.25
+    """,
+)
+def q_winnow_near_dup(spark, sf_dir):
+    """Plagiarism-style overlap pairs over winnowing fingerprints:
+    rare-fingerprint posting-list join (max_df cap — the stop-shingle
+    guard), shared-count >= 4 and containment ratio >= 0.25 over the
+    rare universe. Guarantees any shared substring of length
+    >= k + w - 1 yields a shared fingerprint, so long verbatim
+    overlaps cannot hide from the candidate join."""
+    return T.winnow_near_dup(table(spark, sf_dir, "documents"))
+
+
 @register(
     "tfidf_top_terms",
     oracle=f"""
@@ -272,25 +367,32 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
-@register(
-    "unigram_lm_score",
-    oracle="""
-    WITH toks AS (
+# The unigram LM scoring replay, shared (verbatim) by unigram_lm_score
+# and the lm_quality_buckets tertile gate built on top of it.
+_UNIGRAM_LM_CTES = """
+toks AS (
       SELECT doc_id,
              unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'),
                                 x -> length(x) > 0)) AS token
       FROM documents
     ),
     uni AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
-    corpus AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM uni)
-    SELECT doc_id,
+    corpus AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM uni),
+    lm AS (
+      SELECT doc_id,
            ROUND(CAST(SUM(CAST(ROUND(ln((cnt + 1.0) / (total + 1.0 * vocab)), 12)
                                AS DECIMAL(28,14))) AS DOUBLE)
                  / COUNT(*), 6) AS lm_score,
            COUNT(*) AS n_tokens
-    FROM toks JOIN uni USING (token) CROSS JOIN corpus
-    GROUP BY doc_id
-    """,
+      FROM toks JOIN uni USING (token) CROSS JOIN corpus
+      GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "unigram_lm_score",
+    oracle=f"WITH {_UNIGRAM_LM_CTES} SELECT doc_id, lm_score, n_tokens FROM lm",
 )
 def q_unigram_lm_score(spark, sf_dir):
     """Per-doc mean log-probability under the corpus's own add-1
@@ -298,6 +400,80 @@ def q_unigram_lm_score(spark, sf_dir):
     shuffle builds the model; scalars cross-broadcast; one per-doc mean
     scores. The oracle replays the identical smoothing arithmetic."""
     return T.unigram_lm_score(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "lm_quality_buckets",
+    oracle=f"""
+    WITH {_UNIGRAM_LM_CTES},
+    scored AS (
+      SELECT l.doc_id, l.lm_score, l.n_tokens, d.lang
+      FROM lm l JOIN documents d USING (doc_id)
+    ),
+    rk AS (
+      SELECT lang, lm_score, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY lm_score NULLS FIRST,
+                                         doc_id NULLS FIRST) AS r,
+             COUNT(*) OVER (PARTITION BY lang) AS nl
+      FROM scored
+    )
+    SELECT lang,
+           CASE ((r - 1) * 3) // nl WHEN 0 THEN 'tail' WHEN 1 THEN 'middle'
+                ELSE 'head' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           MIN(lm_score) AS min_score,
+           MAX(lm_score) AS max_score
+    FROM rk GROUP BY 1, 2
+    """,
+)
+def q_lm_quality_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail gating: rank every document within
+    its language by unigram-LM score and cut EXACT per-language
+    tertiles by rank — higher score (lower perplexity) = head. Rank
+    arithmetic is pure integers, so the bucket edges are
+    cross-engine-exact (the quality_stratified_sample discipline), and
+    the rank itself is the DISTRIBUTED exact rank (ranking.py): a
+    per-lang window would funnel each language — at 100 TB, billions of
+    rows — through ONE task. The per-language offset/count table is a
+    |languages|-row bounded collect (domain cardinality), the same
+    class as ranking.py's P-row partition offsets."""
+    from yamr_spark.operators.ranking import exact_global_rank
+
+    docs = table(spark, sf_dir, "documents")
+    lm = T.unigram_lm_score(docs)
+    scored = lm.join(docs.select("doc_id", "lang"), "doc_id")
+    ranked = exact_global_rank(
+        scored, ["lang", "lm_score", "doc_id"], rank_col="grnk"
+    )
+    counts = {
+        r["lang"]: r["cnt"]
+        for r in scored.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    offs, acc = [], 0
+    for lang in sorted(counts):
+        offs.append((lang, acc, counts[lang]))
+        acc += counts[lang]
+    off_df = ranked.sparkSession.createDataFrame(
+        offs, "lang string, off bigint, nl bigint"
+    )
+    labels = F.array(F.lit("tail"), F.lit("middle"), F.lit("head"))
+    return (
+        ranked.join(F.broadcast(off_df), "lang")
+        .withColumn("r", F.col("grnk") - F.col("off"))
+        .withColumn(
+            "bucket",
+            F.element_at(labels, F.expr("CAST(((r - 1) * 3) DIV nl AS INT) + 1")),
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("lm_score").alias("min_score"),
+            F.max("lm_score").alias("max_score"),
+        )
+    )
 
 
 def _bpe_oracle(n_merges: int = 3) -> str:

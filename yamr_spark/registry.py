@@ -360,6 +360,15 @@ _R12_BACKFILL = [
     "ivf_pq_store_probe",
     "ann_ivfadc_residual_topk",
     "ivf_pq_store_incremental",
+    # r11-continuation registrations (never-stamped, in build order):
+    # estimator-quality certification for the MinHash family, full MOSS
+    # winnowing, CCNet tertile gating on the distributed rank, and the
+    # DoReMi-lite epoch allocator
+    "minhash_estimate_quality",
+    "winnow_fingerprint_stats",
+    "winnow_near_dup",
+    "lm_quality_buckets",
+    "domain_epoch_allocation",
     "try_function_features",
     "value_histogram",
     "word_count",
