@@ -643,6 +643,58 @@ def r11b_experiment(spark, sf_dir: str, out_dir: str) -> None:
         print(f"| {name} | {cells} | {ratio}x |")
 
 
+def r11c_experiment(spark, sf_dir: str, out_dir: str) -> None:
+    """Salted-replica curves for the r11-continuation operators:
+    winnowing (build + near-dup join), MinHash estimator certification
+    (LSH candidates + two bounded joins), CCNet tertile gating (LM
+    score + distributed rank composition), and the epoch allocator
+    (scan-bound token count). Vocabulary salting keeps replicas
+    shingle-disjoint, so candidate structures stay density-constant —
+    the honest linear-scaling setup."""
+    from pyspark.sql import functions as FF
+
+    from yamr_spark.operators import curation as C
+    from yamr_spark.operators import dedup as D
+    from yamr_spark.operators import text as T
+
+    ops = {
+        "winnow_fingerprint_stats": lambda df: (
+            T.winnowing_fingerprints(df)
+            .groupBy("doc_id")
+            .agg(
+                FF.min("n_grams").alias("n_grams"),
+                FF.count("*").alias("n_fp"),
+                FF.countDistinct("fp").alias("n_uniq_fp"),
+                FF.min("fp").alias("fp_min"),
+            )
+        ),
+        "winnow_near_dup": lambda df: T.winnow_near_dup(df),
+        "minhash_estimate_quality": lambda df: D.minhash_estimate_vs_exact(df),
+        "lm_quality_buckets": lambda df: T.lm_quality_buckets(df),
+        "domain_epoch_allocation": lambda df: C.domain_epoch_allocation(df),
+    }
+    paths = build_scaled(spark, sf_dir, out_dir)
+    results: dict[str, dict[int, float]] = {}
+    for k in FACTORS:
+        docs = spark.read.parquet(paths[k])
+        docs.count()
+        for name, fn in ops.items():
+            best = None
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                fn(docs).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[k] = round(best, 2)
+            print(json.dumps({"op": name, "factor": k, "sec": round(best, 2)}))
+    print("\n| operator | " + " | ".join(f"{kk}x" for kk in FACTORS) + " | t(16x)/t(1x) |")
+    print("|---|" + "---|" * (len(FACTORS) + 1))
+    for name, row in results.items():
+        ratio = round(row[FACTORS[-1]] / row[FACTORS[0]], 1)
+        cells = " | ".join(f"{row[kk]:.2f}" for kk in FACTORS)
+        print(f"| {name} | {cells} | {ratio}x |")
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = pos[0] if pos else os.environ.get(
@@ -689,6 +741,10 @@ def main() -> None:
         return
     if "--r11b" in sys.argv:
         r11b_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
+    if "--r11c" in sys.argv:
+        r11c_experiment(spark, sf_dir, out_dir)
         spark.stop()
         return
     if "--recall" in sys.argv:

@@ -1361,6 +1361,75 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
     )
 
 
+# Residual-form IVFADC CTE chain (resid ... radc), shared verbatim by
+# ann_ivfadc_residual_topk and the ann_recall_at_k certification panel.
+_RESID_CTES = """
+        resid AS MATERIALIZED (
+      SELECT a.vec_id, a.centroid_id,
+             list_transform(range(64), i -> v.v[i+1] - c.cvec[i+1]) AS rv
+      FROM assign a
+      JOIN vecs v ON v.vec_id = a.vec_id
+      JOIN cents c ON c.centroid_id = a.centroid_id
+    ),
+    rseeds AS (
+      SELECT vec_id, rv,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code_id
+      FROM resid ORDER BY vec_id LIMIT 16
+    ),
+    rbooks AS (
+      SELECT CAST(t.s AS INT) AS sub, code_id,
+             rv[t.s*16+1 : t.s*16+16] AS cvec
+      FROM rseeds CROSS JOIN (SELECT unnest(range(4)) AS s) t
+    ),
+    rvsubs AS MATERIALIZED (
+      SELECT vec_id, CAST(t.s AS INT) AS sub,
+             rv[t.s*16+1 : t.s*16+16] AS vsub
+      FROM resid CROSS JOIN (SELECT unnest(range(4)) AS s) t
+    ),
+    rdists AS MATERIALIZED (
+      SELECT vec_id, sub, code_id,
+             list_sum(list_transform(range(16), i ->
+               (vsub[i+1] - cvec[i+1]) * (vsub[i+1] - cvec[i+1]))) AS l2
+      FROM rvsubs JOIN rbooks USING (sub)
+    ),
+    rcodes AS (
+      SELECT vec_id AS neighbor_id, sub, code_id FROM (
+        SELECT vec_id, sub, code_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY l2, code_id) AS rn
+        FROM rdists
+      ) WHERE rn = 1
+    ),
+    qres AS (
+      SELECT p.query_id, p.centroid_id,
+             list_transform(range(64), i -> p.qv[i+1] - c.cvec[i+1]) AS qr
+      FROM probes p JOIN cents c USING (centroid_id)
+    ),
+    qsubs AS (
+      SELECT query_id, centroid_id, CAST(t.s AS INT) AS sub,
+             qr[t.s*16+1 : t.s*16+16] AS vsub
+      FROM qres CROSS JOIN (SELECT unnest(range(4)) AS s) t
+    ),
+    rqlut AS (
+      SELECT q.query_id, q.centroid_id, q.sub, b.code_id,
+             CAST(ROUND(list_sum(list_transform(range(16), i ->
+               (q.vsub[i+1] - b.cvec[i+1]) * (q.vsub[i+1] - b.cvec[i+1]))),
+               9) AS DECIMAL(28,9)) AS l2r
+      FROM qsubs q JOIN rbooks b USING (sub)
+    ),
+    rcelled AS (
+      SELECT rc.neighbor_id, a.centroid_id, rc.sub, rc.code_id
+      FROM rcodes rc JOIN assign a ON a.vec_id = rc.neighbor_id
+    ),
+    radc AS (
+      SELECT query_id, neighbor_id, SUM(l2r) AS adist_dec
+      FROM rcelled JOIN rqlut USING (centroid_id, sub, code_id)
+      WHERE neighbor_id != query_id
+      GROUP BY query_id, neighbor_id
+    )
+"""
+
+
 @register(
     "ann_recall_at_k",
     oracle=f"""
@@ -1368,6 +1437,15 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
     {_IVF_CTES},
     {_PQ_CTES},
     {_IVF_PQ_ADC_CTES},
+    {_RESID_CTES},
+    residtop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist_dec, neighbor_id) AS rnk
+        FROM radc
+      ) t WHERE rnk <= 5
+    ),
     truth AS MATERIALIZED (
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, c.vec_id AS neighbor_id,
@@ -1497,6 +1575,7 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
       UNION ALL SELECT 'ivf_pq_kmeans', query_id, neighbor_id FROM kivfpqtop
       UNION ALL SELECT 'pq_adc', query_id, neighbor_id FROM pqtop
       UNION ALL SELECT 'quantized', query_id, neighbor_id FROM qtop
+      UNION ALL SELECT 'ivfadc_residual', query_id, neighbor_id FROM residtop
     ),
     tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS truth_total FROM truth)
     SELECT a.method,
@@ -1515,8 +1594,9 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
 )
 def q_ann_recall_at_k(spark, sf_dir):
     """Certified recall@5 of every approximate ANN path — including
-    the kmeans-TRAINED-codebook IVF×PQ, so the training lift is a
-    driver-certified number — against the brute-force ground truth
+    the kmeans-TRAINED-codebook IVF×PQ (so the training lift is a
+    driver-certified number) and the residual-form IVFADC (so the
+    residual trick's lift is too) — against the brute-force ground truth
     over the 10 fixture queries — turns the
     family's docstring recall bounds into a measured, driver-certified,
     regression-guarded number (VERDICT r10 #3). Deterministic by
@@ -1550,6 +1630,10 @@ def q_ann_recall_at_k(spark, sf_dir):
         ),
         ("pq_adc", S.pq_adc_topk(emb)),
         ("quantized", S.quantized_topk(emb)),
+        (
+            "ivfadc_residual",
+            S.ivf_pq_residual_topk(emb, cents=cents, assign=assign),
+        ),
     ]
     appr = reduce(
         lambda a, b: a.unionByName(b),
@@ -1710,69 +1794,7 @@ def q_ivf_pq_store_probe(spark, sf_dir):
     oracle=f"""
     WITH {_VECS_CTE},
     {_IVF_CTES},
-    resid AS MATERIALIZED (
-      SELECT a.vec_id, a.centroid_id,
-             list_transform(range(64), i -> v.v[i+1] - c.cvec[i+1]) AS rv
-      FROM assign a
-      JOIN vecs v ON v.vec_id = a.vec_id
-      JOIN cents c ON c.centroid_id = a.centroid_id
-    ),
-    rseeds AS (
-      SELECT vec_id, rv,
-             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code_id
-      FROM resid ORDER BY vec_id LIMIT 16
-    ),
-    rbooks AS (
-      SELECT CAST(t.s AS INT) AS sub, code_id,
-             rv[t.s*16+1 : t.s*16+16] AS cvec
-      FROM rseeds CROSS JOIN (SELECT unnest(range(4)) AS s) t
-    ),
-    rvsubs AS MATERIALIZED (
-      SELECT vec_id, CAST(t.s AS INT) AS sub,
-             rv[t.s*16+1 : t.s*16+16] AS vsub
-      FROM resid CROSS JOIN (SELECT unnest(range(4)) AS s) t
-    ),
-    rdists AS MATERIALIZED (
-      SELECT vec_id, sub, code_id,
-             list_sum(list_transform(range(16), i ->
-               (vsub[i+1] - cvec[i+1]) * (vsub[i+1] - cvec[i+1]))) AS l2
-      FROM rvsubs JOIN rbooks USING (sub)
-    ),
-    rcodes AS (
-      SELECT vec_id AS neighbor_id, sub, code_id FROM (
-        SELECT vec_id, sub, code_id,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                                  ORDER BY l2, code_id) AS rn
-        FROM rdists
-      ) WHERE rn = 1
-    ),
-    qres AS (
-      SELECT p.query_id, p.centroid_id,
-             list_transform(range(64), i -> p.qv[i+1] - c.cvec[i+1]) AS qr
-      FROM probes p JOIN cents c USING (centroid_id)
-    ),
-    qsubs AS (
-      SELECT query_id, centroid_id, CAST(t.s AS INT) AS sub,
-             qr[t.s*16+1 : t.s*16+16] AS vsub
-      FROM qres CROSS JOIN (SELECT unnest(range(4)) AS s) t
-    ),
-    rqlut AS (
-      SELECT q.query_id, q.centroid_id, q.sub, b.code_id,
-             CAST(ROUND(list_sum(list_transform(range(16), i ->
-               (q.vsub[i+1] - b.cvec[i+1]) * (q.vsub[i+1] - b.cvec[i+1]))),
-               9) AS DECIMAL(28,9)) AS l2r
-      FROM qsubs q JOIN rbooks b USING (sub)
-    ),
-    rcelled AS (
-      SELECT rc.neighbor_id, a.centroid_id, rc.sub, rc.code_id
-      FROM rcodes rc JOIN assign a ON a.vec_id = rc.neighbor_id
-    ),
-    radc AS (
-      SELECT query_id, neighbor_id, SUM(l2r) AS adist_dec
-      FROM rcelled JOIN rqlut USING (centroid_id, sub, code_id)
-      WHERE neighbor_id != query_id
-      GROUP BY query_id, neighbor_id
-    )
+    {_RESID_CTES}
     SELECT query_id, neighbor_id, CAST(adist_dec AS DOUBLE) AS adist,
            CAST(rnk AS BIGINT) AS rnk
     FROM (

@@ -429,51 +429,10 @@ def q_unigram_lm_score(spark, sf_dir):
     """,
 )
 def q_lm_quality_buckets(spark, sf_dir):
-    """CCNet-style head/middle/tail gating: rank every document within
-    its language by unigram-LM score and cut EXACT per-language
-    tertiles by rank — higher score (lower perplexity) = head. Rank
-    arithmetic is pure integers, so the bucket edges are
-    cross-engine-exact (the quality_stratified_sample discipline), and
-    the rank itself is the DISTRIBUTED exact rank (ranking.py): a
-    per-lang window would funnel each language — at 100 TB, billions of
-    rows — through ONE task. The per-language offset/count table is a
-    |languages|-row bounded collect (domain cardinality), the same
-    class as ranking.py's P-row partition offsets."""
-    from yamr_spark.operators.ranking import exact_global_rank
-
-    docs = table(spark, sf_dir, "documents")
-    lm = T.unigram_lm_score(docs)
-    scored = lm.join(docs.select("doc_id", "lang"), "doc_id")
-    ranked = exact_global_rank(
-        scored, ["lang", "lm_score", "doc_id"], rank_col="grnk"
-    )
-    counts = {
-        r["lang"]: r["cnt"]
-        for r in scored.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
-    }
-    offs, acc = [], 0
-    for lang in sorted(counts):
-        offs.append((lang, acc, counts[lang]))
-        acc += counts[lang]
-    off_df = ranked.sparkSession.createDataFrame(
-        offs, "lang string, off bigint, nl bigint"
-    )
-    labels = F.array(F.lit("tail"), F.lit("middle"), F.lit("head"))
-    return (
-        ranked.join(F.broadcast(off_df), "lang")
-        .withColumn("r", F.col("grnk") - F.col("off"))
-        .withColumn(
-            "bucket",
-            F.element_at(labels, F.expr("CAST(((r - 1) * 3) DIV nl AS INT) + 1")),
-        )
-        .groupBy("lang", "bucket")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").alias("sum_tokens"),
-            F.min("lm_score").alias("min_score"),
-            F.max("lm_score").alias("max_score"),
-        )
-    )
+    """CCNet-style head/middle/tail gating: exact per-language rank
+    tertiles of the unigram-LM score, on the DISTRIBUTED exact rank
+    (see operators.text.lm_quality_buckets for the scale argument)."""
+    return T.lm_quality_buckets(table(spark, sf_dir, "documents"))
 
 
 def _bpe_oracle(n_merges: int = 3) -> str:
