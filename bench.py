@@ -128,6 +128,7 @@ FAMILIES: dict[str, list[str]] = {
         "heavy_hitter_terms",
         "winnow_fingerprint_stats",
         "lm_quality_buckets",
+        "normalization_dedup_stats",
     ],
     # curation family: decontamination, span dedup, split, quota
     # sampling, novelty, packing, mixtures — plus the fused pipelines
@@ -156,6 +157,7 @@ FAMILIES: dict[str, list[str]] = {
         "weighted_sample_per_lang",
         "llm_prep_pipeline_v4",
         "domain_epoch_allocation",
+        "llm_prep_pipeline_v5",
     ],
     # multimodal decode seams (Arrow mapInPandas)
     "multimodal": [

@@ -161,3 +161,38 @@ def test_domain_epoch_allocation_budget_laws(spark, sf_dir):
         assert r.alloc_tokens <= 4 * r.n_tokens
     # allocation never exceeds the budget (caps only ever shrink it)
     assert sum(r.alloc_tokens for r in rows) <= 2.0 * total + len(rows)
+
+
+def test_llm_prep_pipeline_v5_funnel_laws(spark, sf_dir):
+    """Stage monotonicity: docs/tokens shrink through dedup and gate;
+    allocation stays within [1x, 4x] of the gated corpus (epochs are
+    clamped to that range)."""
+    from yamr_spark.queries_curation import q_llm_prep_pipeline_v5
+
+    rows = {r.stage: r for r in q_llm_prep_pipeline_v5(spark, sf_dir).collect()}
+    assert set(rows) == {"00_raw", "01_winnow_dedup", "02_lm_gate", "03_alloc"}
+    assert rows["00_raw"].n_docs >= rows["01_winnow_dedup"].n_docs
+    assert rows["01_winnow_dedup"].n_docs >= rows["02_lm_gate"].n_docs
+    assert rows["00_raw"].n_tokens >= rows["01_winnow_dedup"].n_tokens
+    assert rows["01_winnow_dedup"].n_tokens >= rows["02_lm_gate"].n_tokens
+    gated = rows["02_lm_gate"].n_tokens
+    assert rows["03_alloc"].n_docs == rows["02_lm_gate"].n_docs
+    # floor() per domain can undershoot by at most |domains| tokens
+    assert gated - 64 <= rows["03_alloc"].n_tokens <= 4 * gated
+
+
+def test_normalization_dedup_catches_case_ws_variants(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello   World\tfoo"),
+            (2, "  hello world foo  "),
+            (3, "entirely different text"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.normalization_dedup_stats(docs).collect()}
+    assert rows[1].norm_hash == rows[2].norm_hash
+    assert rows[1].norm_dups == 2 and rows[2].norm_dups == 2
+    assert rows[3].norm_dups == 1
+    assert rows[1].ws_delta == 2  # '   ' -> ' ' (tab swaps 1:1 for space)
+    assert rows[2].ws_delta == 4  # 2 leading + 2 trailing trimmed

@@ -539,10 +539,51 @@ def unigram_lm_score(
     )
 
 
-def lm_quality_buckets(docs: DataFrame) -> DataFrame:
-    """CCNet-style head/middle/tail gating: rank every document within
-    its language by unigram-LM score and cut EXACT per-language
-    tertiles by rank — higher score (lower perplexity) = head.
+def normalization_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Pre-tokenization normalization report + normalization-aware
+    exact dedup: per document, the control-char count, non-ASCII char
+    count, whitespace-collapse shrinkage, and how many documents share
+    its NORMALIZED form (trim → collapse ``\\s+`` → lowercase →
+    sha256) — the duplicates byte-exact dedup misses because they
+    differ only in case or whitespace.
+
+    Engine notes: Spark ``regexp_replace`` is global by default; the
+    DuckDB replay passes the ``'g'`` flag. The lowercase step applies
+    only to the HASH input (ws_delta is measured before lowering —
+    Unicode case mapping may change string length, e.g. 'İ').
+
+    Scale: one map-side projection + one hash-keyed count join —
+    identical shape to exact_dedup (64-byte shuffle keys, bodies never
+    move)."""
+    collapsed = F.regexp_replace(F.trim(F.col("text")), "\\s+", " ")
+    per = docs.select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[\\x00-\\x1F\\x7F]", ""))
+        )
+        .cast("long")
+        .alias("n_control"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^\\x00-\\x7F]", ""))
+        )
+        .cast("long")
+        .alias("n_non_ascii"),
+        (F.length("text") - F.length(collapsed)).cast("long").alias("ws_delta"),
+        F.sha2(F.lower(collapsed), 256).alias("norm_hash"),
+    )
+    counts = per.groupBy("norm_hash").agg(F.count("*").alias("norm_dups"))
+    return per.join(counts, "norm_hash").select(
+        "doc_id", "n_control", "n_non_ascii", "ws_delta", "norm_hash", "norm_dups"
+    )
+
+
+def lm_quality_bucket_per_doc(docs: DataFrame) -> DataFrame:
+    """Per-document CCNet tertile label: (doc_id, lang, lm_score,
+    n_tokens, bucket) with bucket ∈ {tail, middle, head} — EXACT
+    per-language rank thirds by unigram-LM score (higher score = lower
+    perplexity = head).
 
     The rank is the DISTRIBUTED exact rank (ranking.py): a per-lang
     window would funnel each language — billions of rows at 100 TB —
@@ -575,17 +616,26 @@ def lm_quality_buckets(docs: DataFrame) -> DataFrame:
     return (
         ranked.join(F.broadcast(off_df), "lang")
         .withColumn("r", F.col("grnk") - F.col("off"))
-        .withColumn(
-            "bucket",
-            F.element_at(labels, F.expr("CAST(((r - 1) * 3) DIV nl AS INT) + 1")),
+        .select(
+            "doc_id",
+            "lang",
+            "lm_score",
+            "n_tokens",
+            F.element_at(
+                labels, F.expr("CAST(((r - 1) * 3) DIV nl AS INT) + 1")
+            ).alias("bucket"),
         )
-        .groupBy("lang", "bucket")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").alias("sum_tokens"),
-            F.min("lm_score").alias("min_score"),
-            F.max("lm_score").alias("max_score"),
-        )
+    )
+
+
+def lm_quality_buckets(docs: DataFrame) -> DataFrame:
+    """Per-(lang, bucket) rollup of :func:`lm_quality_bucket_per_doc`
+    — the registered certification form."""
+    return lm_quality_bucket_per_doc(docs).groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("lm_score").alias("min_score"),
+        F.max("lm_score").alias("max_score"),
     )
 
 

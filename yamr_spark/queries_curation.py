@@ -1342,3 +1342,171 @@ def q_llm_prep_pipeline_v4(spark, sf_dir):
         "left_semi",
     )
     return token_budget_pack(train, budget_tokens=2000)
+
+
+def _v5_oracle() -> str:
+    """v5 replay: winnow near-dup drop (keep-lowest-id), CCNet tail
+    gate with the LM model REBUILT over dedup survivors, sqrt-weight
+    epoch allocation over gate survivors — each stage the verbatim
+    arithmetic of its certified primitive."""
+    from yamr_spark.queries_text import _WIN_FP_CTE
+
+    return f"""
+    WITH {_WIN_FP_CTE},
+    wdfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
+    wrare AS (
+      SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM wdfp GROUP BY fp)
+      WHERE c <= 50
+    ),
+    wrfp AS (SELECT wdfp.doc_id, wdfp.fp FROM wdfp JOIN wrare USING (fp)),
+    wsizes AS (SELECT doc_id, COUNT(*) AS nf FROM wrfp GROUP BY doc_id),
+    wpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fp
+      FROM wrfp a JOIN wrfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    drops AS (
+      SELECT DISTINCT p.doc_b AS doc_id
+      FROM wpairs p
+      JOIN wsizes za ON za.doc_id = p.doc_a
+      JOIN wsizes zb ON zb.doc_id = p.doc_b
+      WHERE p.shared_fp >= 4
+        AND CAST(p.shared_fp AS DOUBLE) / least(za.nf, zb.nf) >= 0.25
+    ),
+    s1 AS MATERIALIZED (
+      SELECT d.* FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+    ),
+    toks5 AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
+                                x -> length(x) > 0)) AS token
+      FROM s1
+    ),
+    uni5 AS (SELECT token, COUNT(*) AS cnt FROM toks5 GROUP BY token),
+    corpus5 AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM uni5),
+    lm5 AS (
+      SELECT doc_id,
+           ROUND(CAST(SUM(CAST(ROUND(ln((cnt + 1.0) / (total + 1.0 * vocab)), 12)
+                               AS DECIMAL(28,14))) AS DOUBLE)
+                 / COUNT(*), 6) AS lm_score,
+           COUNT(*) AS n_tokens
+      FROM toks5 JOIN uni5 USING (token) CROSS JOIN corpus5
+      GROUP BY doc_id
+    ),
+    rk5 AS (
+      SELECT l.doc_id, l.n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY l.lm_score NULLS FIRST,
+                                         l.doc_id NULLS FIRST) AS r,
+             COUNT(*) OVER (PARTITION BY d.lang) AS nl
+      FROM lm5 l JOIN s1 d USING (doc_id)
+    ),
+    keep5 AS (SELECT doc_id, n_tokens FROM rk5 WHERE ((r - 1) * 3) // nl >= 1),
+    s2 AS MATERIALIZED (
+      SELECT d.doc_id, d.source, k.n_tokens
+      FROM s1 d JOIN keep5 k USING (doc_id)
+    ),
+    per5 AS (
+      SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS dom_tokens
+      FROM s2 GROUP BY source
+    ),
+    w5 AS (
+      SELECT *, CAST(ROUND(sqrt(dom_tokens), 12) AS DECIMAL(38,12)) AS sq
+      FROM per5
+    ),
+    tot5 AS (
+      SELECT SUM(sq) AS sqsum, CAST(SUM(dom_tokens) AS BIGINT) AS tok_total
+      FROM w5
+    ),
+    alloc5 AS (
+      SELECT domain,
+             CAST(FLOOR(dom_tokens * LEAST(4.0, 2.0 * CAST(tok_total AS DOUBLE)
+                                * (CAST(sq AS DOUBLE) / CAST(sqsum AS DOUBLE))
+                                / dom_tokens)) AS BIGINT) AS alloc_tokens
+      FROM w5 CROSS JOIN tot5
+    ),
+    ntok_all AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}_]+'),
+                             x -> length(x) > 0)) AS n_tok
+      FROM documents
+    ),
+    ntok_s1 AS (SELECT n.doc_id, n.n_tok FROM ntok_all n JOIN s1 USING (doc_id))
+    SELECT '00_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens
+    FROM ntok_all
+    UNION ALL
+    SELECT '01_winnow_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)
+    FROM ntok_s1
+    UNION ALL
+    SELECT '02_lm_gate', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+    FROM s2
+    UNION ALL
+    SELECT '03_alloc', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2),
+           CAST(COALESCE(SUM(alloc_tokens), 0) AS BIGINT)
+    FROM alloc5
+    """
+
+
+@register("llm_prep_pipeline_v5", oracle=_v5_oracle())
+def q_llm_prep_pipeline_v5(spark, sf_dir):
+    """The r11-continuation composition, end-to-end: (1) winnowing
+    near-dup dedup (drop the higher id of every verified pair —
+    keep-lowest-id); (2) CCNet tail gate with the unigram LM model
+    REBUILT over the dedup survivors (model order matters: scoring
+    against a model contaminated by the duplicates it just removed
+    would over-rank boilerplate); (3) DoReMi-lite epoch allocation
+    over the gated corpus. Returns the funnel report (stage, n_docs,
+    n_tokens) — 03_alloc's n_tokens is the post-epoch effective
+    training budget. Every stage is the verbatim arithmetic of its
+    certified primitive (winnow_near_dup / lm_quality_buckets /
+    domain_epoch_allocation); zero-token documents carry no LM score
+    and are dropped BY the gate, which the oracle replays."""
+    from yamr_spark.materialize import materialize
+    from yamr_spark.operators import text as T
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = T.winnow_near_dup(docs)
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    s1 = materialize(docs.join(drops, "doc_id", "left_anti"))
+    buckets = T.lm_quality_bucket_per_doc(s1)
+    s2 = materialize(
+        s1.join(
+            buckets.where(F.col("bucket") != "tail").select(
+                "doc_id", "n_tokens"
+            ),
+            "doc_id",
+        )
+    )
+    alloc = C.domain_epoch_allocation(s2)
+
+    def _stage(name, df, tok_col):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum(tok_col), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+
+    ntok = C._ntok_col()
+    raw = _stage("00_raw", docs.select(ntok.alias("n_tok")), "n_tok")
+    st1 = _stage("01_winnow_dedup", s1.select(ntok.alias("n_tok")), "n_tok")
+    st2 = _stage("02_lm_gate", s2.select("n_tokens"), "n_tokens")
+    n_s2 = s2.select(F.count("*").alias("c"))
+    st3 = (
+        alloc.agg(
+            F.coalesce(F.sum("alloc_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens")
+        )
+        .join(F.broadcast(n_s2))
+        .select(
+            F.lit("03_alloc").alias("stage"),
+            F.col("c").cast("long").alias("n_docs"),
+            "n_tokens",
+        )
+    )
+    return raw.unionByName(st1).unionByName(st2).unionByName(st3)

@@ -150,6 +150,37 @@ wfp AS (
 
 
 @register(
+    "normalization_dedup_stats",
+    oracle="""
+    WITH per AS (
+      SELECT doc_id,
+             CAST(length(text) -
+                  length(regexp_replace(text, '[\\x00-\\x1F\\x7F]', '', 'g'))
+                  AS BIGINT) AS n_control,
+             CAST(length(text) -
+                  length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+                  AS BIGINT) AS n_non_ascii,
+             CAST(length(text) -
+                  length(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                  AS BIGINT) AS ws_delta,
+             sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS norm_hash
+      FROM documents
+    ),
+    cnt AS (SELECT norm_hash, CAST(COUNT(*) AS BIGINT) AS norm_dups
+            FROM per GROUP BY norm_hash)
+    SELECT p.doc_id, p.n_control, p.n_non_ascii, p.ws_delta, p.norm_hash,
+           c.norm_dups
+    FROM per p JOIN cnt c USING (norm_hash)
+    """,
+)
+def q_normalization_dedup_stats(spark, sf_dir):
+    """Normalization report + normalization-aware exact dedup (case/
+    whitespace variants share a norm_hash); see the operator docstring
+    for the engine-alignment notes."""
+    return T.normalization_dedup_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
     "winnow_fingerprint_stats",
     oracle=f"""
     WITH {_WIN_FP_CTE}

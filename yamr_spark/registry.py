@@ -369,6 +369,8 @@ _R12_BACKFILL = [
     "winnow_near_dup",
     "lm_quality_buckets",
     "domain_epoch_allocation",
+    "llm_prep_pipeline_v5",
+    "normalization_dedup_stats",
     "try_function_features",
     "value_histogram",
     "word_count",
