@@ -81,6 +81,7 @@ FAMILIES: dict[str, list[str]] = {
         "leakage_safe_split",
         "minhash_estimate_quality",
         "winnow_near_dup",
+        "simhash_estimate_quality",
     ],
     # similarity family
     "similarity": [

@@ -84,7 +84,14 @@ def test_ann_recall_frame_laws(spark, sf_dir):
     from yamr_spark.queries_similarity import q_ann_recall_at_k
 
     rows = {r.method: r for r in q_ann_recall_at_k(spark, sf_dir).collect()}
-    assert set(rows) == {"ivf", "ivf_pq", "ivf_pq_kmeans", "pq_adc", "quantized"}
+    assert set(rows) == {
+        "ivf",
+        "ivf_pq",
+        "ivf_pq_kmeans",
+        "pq_adc",
+        "quantized",
+        "ivfadc_residual",
+    }
     for r in rows.values():
         assert r.retrieved == 50 and r.truth_total == 50
         assert 0 <= r.hits <= 50

@@ -196,3 +196,17 @@ def test_normalization_dedup_catches_case_ws_variants(spark):
     assert rows[3].norm_dups == 1
     assert rows[1].ws_delta == 2  # '   ' -> ' ' (tab swaps 1:1 for space)
     assert rows[2].ws_delta == 4  # 2 leading + 2 trailing trimmed
+
+
+def test_simhash_calibration_low_hamming_means_high_cosine(spark, sf_dir):
+    """The signature's promise, measured: E[hamming] = 60*theta/pi, so
+    hamming <= 3 of 60 implies cos(theta) >= cos(3*pi/60) ~ 0.988 in
+    expectation — every candidate bin must sit near that bound."""
+    rows = D.simhash_estimate_vs_exact(table(spark, sf_dir, "documents")).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hamming <= 3
+        # expectation bound, not per-pair: short docs have high-variance
+        # signatures (sf0.001 has a hamming=3 pair at cos 0.77)
+        assert r.min_cos >= 0.5, r
+        assert r.mean_cos >= 0.9, r

@@ -603,6 +603,81 @@ def simhash_near_dup(
     )
 
 
+def simhash_estimate_vs_exact(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash calibration: for every pigeonhole candidate pair within
+    the hamming budget, compute the EXACT token-count cosine similarity
+    and report it binned by hamming distance — (hamming, n_pairs,
+    mean_cos, min_cos, max_cos).
+
+    This is the SimHash analogue of minhash_estimate_quality /
+    ann_recall_at_k: the signature's theoretical promise
+    (E[hamming] = bits·θ/π, so hamming ≤ 3 of 60 ⇒ cos θ ≳ 0.988)
+    becomes a measured, regression-guarded number. With the
+    certified MinHash error panel and the CMS/KMV invariant queries,
+    every approximate family in the engine now carries a measured
+    calibration query.
+
+    Scale: candidates come from the production pigeonhole join (never
+    all-pairs); the exact-cosine verify semi-joins the token-count
+    stream down to candidate docs first (the jaccard_for_pairs
+    discipline), so the verify cost is O(candidates), not O(corpus).
+    Float discipline: dot and the squared norms are exact integer
+    aggregates; cosine = ROUND(dot / (sqrt(na2)·sqrt(nb2)), 6) — one
+    IEEE rounding from exact integers; bin means are
+    decimal-disciplined sums."""
+    pairs = simhash_near_dup(
+        docs, max_hamming=max_hamming, text_col=text_col, id_col=id_col
+    ).transform(materialize)
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    tokc = _token_counts(
+        docs.join(cand_ids, id_col, "left_semi"), text_col, id_col
+    ).transform(materialize)
+    norms = tokc.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    dots = (
+        pairs.join(tokc.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            tokc.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.token") == F.col("tb.token")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("ta.w") * F.col("tb.w")).alias("dot"))
+    )
+    per_pair = (
+        pairs.join(dots, ["doc_a", "doc_b"], "left")
+        .na.fill({"dot": 0})
+        .join(norms.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(norms.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "hamming",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("na.n2")) * F.sqrt(F.col("nb.n2"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    return per_pair.groupBy("hamming").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.sum(F.round(F.col("cos"), 12).cast("decimal(28,14)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_cos"),
+        F.min("cos").alias("min_cos"),
+        F.max("cos").alias("max_cos"),
+    )
+
+
 # ------------------------------------------------------- n-gram Jaccard
 
 

@@ -321,6 +321,52 @@ def q_simhash_near_dup(spark, sf_dir):
 
 
 @register(
+    "simhash_estimate_quality",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    nib AS ({_SIMHASH_NIB}),
+    spairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM nib a JOIN nib b
+        ON a.nib_id = b.nib_id AND a.nib_val = b.nib_val
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM tokc GROUP BY doc_id),
+    dots AS (
+      SELECT p.doc_a, p.doc_b, SUM(ta.w * tb.w) AS dot
+      FROM spairs p
+      JOIN tokc ta ON ta.doc_id = p.doc_a
+      JOIN tokc tb ON tb.doc_id = p.doc_b AND tb.token = ta.token
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    pc AS (
+      SELECT p.hamming,
+             ROUND(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+                   / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+      FROM spairs p
+      LEFT JOIN dots d ON d.doc_a = p.doc_a AND d.doc_b = p.doc_b
+      JOIN norms na ON na.doc_id = p.doc_a
+      JOIN norms nb ON nb.doc_id = p.doc_b
+    )
+    SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {_dmean_sql('cos')} AS mean_cos,
+           MIN(cos) AS min_cos,
+           MAX(cos) AS max_cos
+    FROM pc GROUP BY hamming
+    """,
+)
+def q_simhash_estimate_quality(spark, sf_dir):
+    """SimHash calibration: exact token-count cosine binned by hamming
+    distance over the pigeonhole candidates — E[hamming] = 60·θ/π made
+    a measured, regression-guarded number. Completes the estimator-
+    certification panel across every approximate family (ANN recall,
+    MinHash Jaccard error, CMS/KMV invariants, SimHash angle)."""
+    return D.simhash_estimate_vs_exact(table(spark, sf_dir, "documents"))
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH {_SHINGLES_CTE},

@@ -371,6 +371,7 @@ _R12_BACKFILL = [
     "domain_epoch_allocation",
     "llm_prep_pipeline_v5",
     "normalization_dedup_stats",
+    "simhash_estimate_quality",
     "try_function_features",
     "value_histogram",
     "word_count",
