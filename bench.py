@@ -194,6 +194,7 @@ FAMILIES: dict[str, list[str]] = {
         "key_skew_report",
         "mad_outlier_report",
         "cms_user_frequency",
+        "kmv_estimate_error",
     ],
 }
 

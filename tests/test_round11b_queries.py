@@ -210,3 +210,16 @@ def test_simhash_calibration_low_hamming_means_high_cosine(spark, sf_dir):
         # signatures (sf0.001 has a hamming=3 pair at cos 0.77)
         assert r.min_cos >= 0.5, r
         assert r.mean_cos >= 0.9, r
+
+
+def test_kmv_estimate_error_within_theory(spark, sf_dir):
+    """k=256 KMV: relative error should sit within a few theoretical
+    standard errors (1/sqrt(256) = 6.25%); when the sketch saw every
+    distinct value (n_hashes < k) the estimate is exact."""
+    from yamr_spark.queries_analytics import q_kmv_estimate_error
+
+    r = q_kmv_estimate_error(spark, sf_dir).collect()[0]
+    if r.n_hashes < 256:
+        assert r.estimate == float(r.exact_distinct) and r.rel_err == 0.0
+    else:
+        assert r.rel_err <= 4 * 0.0625, r

@@ -608,6 +608,7 @@ def simhash_estimate_vs_exact(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash calibration: for every pigeonhole candidate pair within
     the hamming budget, compute the EXACT token-count cosine similarity
@@ -629,10 +630,16 @@ def simhash_estimate_vs_exact(
     Float discipline: dot and the squared norms are exact integer
     aggregates; cosine = ROUND(dot / (sqrt(na2)·sqrt(nb2)), 6) — one
     IEEE rounding from exact integers; bin means are
-    decimal-disciplined sums."""
-    pairs = simhash_near_dup(
-        docs, max_hamming=max_hamming, text_col=text_col, id_col=id_col
-    ).transform(materialize)
+    decimal-disciplined sums.
+
+    ``pairs`` optionally supplies the (doc_a, doc_b, hamming) candidate
+    table (e.g. a per-session shared materialization of
+    simhash_near_dup) — it must be exactly what this function would
+    build itself."""
+    if pairs is None:
+        pairs = simhash_near_dup(
+            docs, max_hamming=max_hamming, text_col=text_col, id_col=id_col
+        ).transform(materialize)
     cand_ids = (
         pairs.select(F.col("doc_a").alias(id_col))
         .union(pairs.select(F.col("doc_b").alias(id_col)))

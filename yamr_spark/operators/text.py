@@ -346,11 +346,18 @@ def winnow_near_dup(
     min_ovl: float = 0.25,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Winnowing-fingerprint near-dup pairs: documents sharing >=
     ``min_shared`` distinct fingerprints AND a containment-style
     overlap ratio shared/min(|A|,|B|) >= ``min_ovl``, computed over the
     rare-fingerprint universe.
+
+    ``fps`` optionally supplies the distinct (doc_id, fp) fingerprint
+    frame (e.g. the per-session frame queries_text shares across the
+    stats/near-dup/pipeline consumers) — it must be exactly what this
+    function would build itself, so results are identical by
+    construction.
 
     ``max_df`` caps fingerprint document-frequency before the self-join
     (the same stop-shingle explosion guard as ngram_jaccard_pairs —
@@ -364,12 +371,15 @@ def winnow_near_dup(
     """
     from yamr_spark.materialize import materialize
 
-    fps = (
-        winnowing_fingerprints(docs, k=k, w=w, text_col=text_col, id_col=id_col)
-        .select("doc_id", "fp")
-        .distinct()
-        .transform(materialize)
-    )
+    if fps is None:
+        fps = (
+            winnowing_fingerprints(
+                docs, k=k, w=w, text_col=text_col, id_col=id_col
+            )
+            .select("doc_id", "fp")
+            .distinct()
+            .transform(materialize)
+        )
     dfreq = fps.groupBy("fp").agg(F.count("*").alias("df"))
     rare = fps.join(dfreq.filter(F.col("df") <= max_df).select("fp"), "fp")
     sizes = rare.groupBy("doc_id").agg(F.count("*").alias("nf"))

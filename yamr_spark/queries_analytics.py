@@ -816,6 +816,53 @@ def q_kmv_set_ops(spark, sf_dir):
 
 
 @register(
+    "kmv_estimate_error",
+    oracle=f"""
+    WITH hashes AS (SELECT DISTINCT {_KMV_H} AS h FROM orders),
+    bottom AS (SELECT h FROM hashes ORDER BY h LIMIT 256),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hashes, MAX(h) AS kth_min,
+             ROUND(CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                   ELSE 255.0 / (CAST(MAX(h) AS DOUBLE) / 1152921504606846976.0)
+                   END, 4) AS estimate
+      FROM bottom
+    ),
+    x AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+          FROM orders)
+    SELECT x.exact_distinct, s.n_hashes, s.kth_min, s.estimate,
+           ROUND(abs(s.estimate - x.exact_distinct) / x.exact_distinct, 6)
+             AS rel_err
+    FROM s CROSS JOIN x
+    """,
+)
+def q_kmv_estimate_error(spark, sf_dir):
+    """KMV calibration: the k=256 sketch's distinct-customer estimate
+    next to the EXACT distinct count, with relative error — the KMV
+    entry in the estimator-certification panel (theory: std error
+    ~ 1/sqrt(k) ≈ 6%). Exact side is one partial-aggregated distinct;
+    sketch side the usual TakeOrdered bottom-k; both 1-row frames
+    cross-broadcast."""
+    from yamr_spark.operators.text import kmv_distinct
+
+    orders = table(spark, sf_dir, "orders")
+    sk = kmv_distinct(orders, "o_custkey")
+    exact = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return sk.join(F.broadcast(exact)).select(
+        "exact_distinct",
+        "n_hashes",
+        "kth_min",
+        "estimate",
+        F.round(
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+@register(
     "key_skew_report",
     oracle="""
     WITH counts AS (

@@ -1468,9 +1468,11 @@ def q_llm_prep_pipeline_v5(spark, sf_dir):
     and are dropped BY the gate, which the oracle replays."""
     from yamr_spark.materialize import materialize
     from yamr_spark.operators import text as T
+    from yamr_spark.queries_text import _winnow_fps_shared
 
     docs = table(spark, sf_dir, "documents")
-    pairs = T.winnow_near_dup(docs)
+    fps = _winnow_fps_shared(spark, sf_dir).select("doc_id", "fp").distinct()
+    pairs = T.winnow_near_dup(docs, fps=fps)
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     s1 = materialize(docs.join(drops, "doc_id", "left_anti"))
     buckets = T.lm_quality_bucket_per_doc(s1)

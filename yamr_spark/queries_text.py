@@ -115,6 +115,29 @@ def q_doc_fingerprint(spark, sf_dir):
     return T.doc_fingerprint(table(spark, sf_dir, "documents"))
 
 
+# One materialized winnowing-fingerprint frame per (session, sf_dir),
+# shared by the winnow family (stats / near-dup / llm_prep_pipeline_v5)
+# — the same discipline as queries_dedup._PAIR_CACHE: the build (one
+# char-gram window pass over the corpus) is computed once per session
+# and every consumer reads the materialized blocks. Values are
+# identical by construction (winnow_near_dup takes the frame as an
+# optional input).
+_WINNOW_FP_CACHE: dict = {}
+
+
+def _winnow_fps_shared(spark, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _WINNOW_FP_CACHE.get(key)
+    if df is None:
+        from yamr_spark.materialize import materialize
+
+        for stale in [k for k in _WINNOW_FP_CACHE if k[0] != key[0]]:
+            del _WINNOW_FP_CACHE[stale]
+        df = materialize(T.winnowing_fingerprints(table(spark, sf_dir, "documents")))
+        _WINNOW_FP_CACHE[key] = df
+    return df
+
+
 # Winnowing oracle CTE, built from the operator's own constants
 # (WINNOW_K / WINNOW_W / _WINNOW_POS_MAX) so the SQL replay cannot
 # drift from the Spark selection rule.
@@ -197,7 +220,7 @@ def q_winnow_fingerprint_stats(spark, sf_dir):
     window selection) summarized per document. The reduced two-hash
     doc_fingerprint stays as the constant-output containment probe;
     this certifies the real selection rule, window math included."""
-    fps = T.winnowing_fingerprints(table(spark, sf_dir, "documents"))
+    fps = _winnow_fps_shared(spark, sf_dir)
     return fps.groupBy("doc_id").agg(
         F.min("n_grams").alias("n_grams"),
         F.count("*").alias("n_fp"),
@@ -237,8 +260,10 @@ def q_winnow_near_dup(spark, sf_dir):
     guard), shared-count >= 4 and containment ratio >= 0.25 over the
     rare universe. Guarantees any shared substring of length
     >= k + w - 1 yields a shared fingerprint, so long verbatim
-    overlaps cannot hide from the candidate join."""
-    return T.winnow_near_dup(table(spark, sf_dir, "documents"))
+    overlaps cannot hide from the candidate join. Consumes the
+    session-shared fingerprint frame (_winnow_fps_shared)."""
+    fps = _winnow_fps_shared(spark, sf_dir).select("doc_id", "fp").distinct()
+    return T.winnow_near_dup(table(spark, sf_dir, "documents"), fps=fps)
 
 
 @register(

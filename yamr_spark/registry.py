@@ -350,11 +350,13 @@ _R05_RESTAMPS = [
     "temperature_mixture_sample",
 ]
 
-# The r12 window head: this round's one post-window registration
+# The r12 window head: this round's post-window registrations
 # (never-stamped outranks stale restamps; registered AFTER the r11
-# window was sequenced, so it queues here rather than displacing the
-# verdict-ordered plan), then the 4 r05 stamps that did not fit the
-# r11 window (then the r06 tail, oldest-stamp-first, as usual).
+# window was sequenced, so they queue here rather than displacing the
+# verdict-ordered plan) — the 4 late ANN-family entries, then the 8
+# r11-continuation registrations in build order — then the 4 r05
+# stamps that did not fit the r11 window (then the r06 tail,
+# oldest-stamp-first, as usual).
 _R12_BACKFILL = [
     "ann_ivf_pq_kmeans_topk",
     "ivf_pq_store_probe",
@@ -372,6 +374,7 @@ _R12_BACKFILL = [
     "llm_prep_pipeline_v5",
     "normalization_dedup_stats",
     "simhash_estimate_quality",
+    "kmv_estimate_error",
     "try_function_features",
     "value_histogram",
     "word_count",
