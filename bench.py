@@ -130,6 +130,7 @@ FAMILIES: dict[str, list[str]] = {
         "winnow_fingerprint_stats",
         "lm_quality_buckets",
         "normalization_dedup_stats",
+        "winnow_incremental",
     ],
     # curation family: decontamination, span dedup, split, quota
     # sampling, novelty, packing, mixtures — plus the fused pipelines

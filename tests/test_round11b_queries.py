@@ -223,3 +223,34 @@ def test_kmv_estimate_error_within_theory(spark, sf_dir):
         assert r.estimate == float(r.exact_distinct) and r.rel_err == 0.0
     else:
         assert r.rel_err <= 4 * 0.0625, r
+
+
+def test_winnow_incremental_flags_planted_batch_dup(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green bottles hang quietly on a crumbling garden wall near "
+        "the old observatory that nobody visits in november anymore"
+    )
+    docs = spark.createDataFrame(
+        [
+            (2, base),                                  # index (even)
+            (4, "other indexed content about winnowing fingerprints "
+                "and rolling hashes across documents at corpus scale"),
+            (1, base + " and one appended clause"),     # batch (odd): dup of 2
+            (3, "novel batch document with fully original phrasing "
+                "that matches nothing in the standing index at all"),
+        ],
+        "doc_id long, text string",
+    )
+    from yamr_spark.operators.text import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(docs).select("doc_id", "fp").distinct()
+    out = {
+        r.doc_id: r
+        for r in T.winnow_incremental(
+            fps.where(F.col("doc_id") % 2 == 1),
+            fps.where(F.col("doc_id") % 2 == 0),
+        ).collect()
+    }
+    assert 1 in out and out[1].match_id == 2
+    assert 3 not in out

@@ -549,6 +549,72 @@ def unigram_lm_score(
     )
 
 
+def winnow_incremental(
+    new_fps: DataFrame,
+    index_fps: DataFrame,
+    max_df: int = 50,
+    min_shared: int = 4,
+    min_ovl: float = 0.25,
+) -> DataFrame:
+    """Incremental winnow near-dup: probe a NEW batch's fingerprint set
+    against a STANDING index — the daily-ingest shape for the winnow
+    family (the exact-hash analogue is incremental_dedup; the MinHash
+    analogue is the streaming LSH index). Inputs are distinct
+    (doc_id, fp) frames; returns each flagged new document with its
+    best index match: (doc_id, match_id, shared_fp, ovl), best =
+    most shared fingerprints, ties to the smallest index id.
+
+    The document-frequency cap is computed on the INDEX side (the
+    standing, corpus-sized side — that is where stop-fingerprints
+    accumulate); the new batch's per-doc sizes count only fingerprints
+    inside that rare universe, so ovl is containment within the
+    comparable vocabulary.
+
+    Scale: one equality join of the batch's rare fingerprints against
+    the rare index posting lists — O(candidate pairs), never
+    batch×index; the best-match window partitions by NEW doc_id
+    (bounded by that doc's candidates — never a global window)."""
+    from pyspark.sql import Window
+
+    dfreq = index_fps.groupBy("fp").agg(F.count("*").alias("df"))
+    rare_fp = dfreq.filter(F.col("df") <= max_df).select("fp")
+    rare_idx = index_fps.join(rare_fp, "fp")
+    rare_new = new_fps.join(rare_fp, "fp")
+    sizes_idx = rare_idx.groupBy("doc_id").agg(F.count("*").alias("nf"))
+    sizes_new = rare_new.groupBy("doc_id").agg(F.count("*").alias("nf"))
+    pairs = (
+        rare_new.alias("n")
+        .join(rare_idx.alias("i"), F.col("n.fp") == F.col("i.fp"))
+        .groupBy(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("i.doc_id").alias("match_id"),
+        )
+        .agg(F.count("*").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
+    ovl_raw = F.col("p.shared_fp") / F.least(F.col("zn.nf"), F.col("zi.nf"))
+    scored = (
+        pairs.alias("p")
+        .join(sizes_new.alias("zn"), F.col("p.doc_id") == F.col("zn.doc_id"))
+        .join(sizes_idx.alias("zi"), F.col("p.match_id") == F.col("zi.doc_id"))
+        .filter(ovl_raw >= F.lit(float(min_ovl)))
+        .select(
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.match_id").alias("match_id"),
+            F.col("p.shared_fp").alias("shared_fp"),
+            F.round(ovl_raw, 6).alias("ovl"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("shared_fp").desc(), F.col("match_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def normalization_dedup_stats(docs: DataFrame) -> DataFrame:
     """Pre-tokenization normalization report + normalization-aware
     exact dedup: per document, the control-char count, non-ASCII char

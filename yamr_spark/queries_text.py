@@ -173,6 +173,53 @@ wfp AS (
 
 
 @register(
+    "winnow_incremental",
+    oracle=f"""
+    WITH {_WIN_FP_CTE},
+    wall AS (SELECT DISTINCT doc_id, fp FROM wfp),
+    widx AS (SELECT * FROM wall WHERE doc_id % 2 = 0),
+    wnew AS (SELECT * FROM wall WHERE doc_id % 2 = 1),
+    rarefp AS (
+      SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM widx GROUP BY fp)
+      WHERE c <= 50
+    ),
+    ridx AS (SELECT widx.doc_id, widx.fp FROM widx JOIN rarefp USING (fp)),
+    rnew AS (SELECT wnew.doc_id, wnew.fp FROM wnew JOIN rarefp USING (fp)),
+    zi AS (SELECT doc_id, COUNT(*) AS nf FROM ridx GROUP BY doc_id),
+    zn AS (SELECT doc_id, COUNT(*) AS nf FROM rnew GROUP BY doc_id),
+    p AS (
+      SELECT n.doc_id, i.doc_id AS match_id, COUNT(*) AS shared_fp
+      FROM rnew n JOIN ridx i ON n.fp = i.fp GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT p.doc_id, p.match_id, CAST(p.shared_fp AS BIGINT) AS shared_fp,
+             ROUND(CAST(p.shared_fp AS DOUBLE) / least(zn.nf, zi.nf), 6) AS ovl,
+             ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                                ORDER BY p.shared_fp DESC, p.match_id) AS rn
+      FROM p
+      JOIN zn ON zn.doc_id = p.doc_id
+      JOIN zi ON zi.doc_id = p.match_id
+      WHERE p.shared_fp >= 4
+        AND CAST(p.shared_fp AS DOUBLE) / least(zn.nf, zi.nf) >= 0.25
+    )
+    SELECT doc_id, match_id, shared_fp, ovl FROM sc WHERE rn = 1
+    """,
+)
+def q_winnow_incremental(spark, sf_dir):
+    """Incremental winnow near-dup, the daily-ingest shape: even
+    doc_ids play the standing fingerprint index, odd ids are the new
+    batch; each flagged new document reports its best index match.
+    Rides the session-shared fingerprint frame (winnowing is per-doc,
+    so computing over the full corpus then splitting by parity equals
+    computing per subset)."""
+    fps = _winnow_fps_shared(spark, sf_dir).select("doc_id", "fp").distinct()
+    return T.winnow_incremental(
+        fps.where(F.col("doc_id") % 2 == 1),
+        fps.where(F.col("doc_id") % 2 == 0),
+    )
+
+
+@register(
     "normalization_dedup_stats",
     oracle="""
     WITH per AS (

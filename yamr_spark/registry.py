@@ -375,6 +375,7 @@ _R12_BACKFILL = [
     "normalization_dedup_stats",
     "simhash_estimate_quality",
     "kmv_estimate_error",
+    "winnow_incremental",
     "try_function_features",
     "value_histogram",
     "word_count",
