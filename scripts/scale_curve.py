@@ -695,6 +695,65 @@ def r11c_experiment(spark, sf_dir: str, out_dir: str) -> None:
         print(f"| {name} | {cells} | {ratio}x |")
 
 
+def r11d_experiment(spark, sf_dir: str, out_dir: str) -> None:
+    """Composition curves for the r11-continuation tail: the v5
+    pipeline END-TO-END (winnow build + dedup + LM gate + allocation —
+    no session cache, so the curve prices the full plan) and the
+    incremental winnow probe (parity split: half the corpus plays the
+    standing index). Salted replicas as usual."""
+    from pyspark.sql import functions as FF
+
+    from yamr_spark.materialize import materialize
+    from yamr_spark.operators import curation as C
+    from yamr_spark.operators import text as T
+
+    def v5(docs):
+        pairs = T.winnow_near_dup(docs)
+        drops = pairs.select(FF.col("doc_b").alias("doc_id")).distinct()
+        s1 = materialize(docs.join(drops, "doc_id", "left_anti"))
+        buckets = T.lm_quality_bucket_per_doc(s1)
+        s2 = materialize(
+            s1.join(
+                buckets.where(FF.col("bucket") != "tail").select(
+                    "doc_id", "n_tokens"
+                ),
+                "doc_id",
+            )
+        )
+        return C.domain_epoch_allocation(s2)
+
+    def incr(docs):
+        fps = (
+            T.winnowing_fingerprints(docs).select("doc_id", "fp").distinct()
+        )
+        return T.winnow_incremental(
+            fps.where(FF.col("doc_id") % 2 == 1),
+            fps.where(FF.col("doc_id") % 2 == 0),
+        )
+
+    ops = {"llm_prep_pipeline_v5[e2e]": v5, "winnow_incremental[e2e]": incr}
+    paths = build_scaled(spark, sf_dir, out_dir)
+    results: dict[str, dict[int, float]] = {}
+    for k in FACTORS:
+        docs = spark.read.parquet(paths[k])
+        docs.count()
+        for name, fn in ops.items():
+            best = None
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                fn(docs).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[k] = round(best, 2)
+            print(json.dumps({"op": name, "factor": k, "sec": round(best, 2)}))
+    print("\n| operator | " + " | ".join(f"{kk}x" for kk in FACTORS) + " | t(16x)/t(1x) |")
+    print("|---|" + "---|" * (len(FACTORS) + 1))
+    for name, row in results.items():
+        ratio = round(row[FACTORS[-1]] / row[FACTORS[0]], 1)
+        cells = " | ".join(f"{row[kk]:.2f}" for kk in FACTORS)
+        print(f"| {name} | {cells} | {ratio}x |")
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = pos[0] if pos else os.environ.get(
@@ -745,6 +804,10 @@ def main() -> None:
         return
     if "--r11c" in sys.argv:
         r11c_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
+    if "--r11d" in sys.argv:
+        r11d_experiment(spark, sf_dir, out_dir)
         spark.stop()
         return
     if "--recall" in sys.argv:
