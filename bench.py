@@ -110,6 +110,7 @@ FAMILIES: dict[str, list[str]] = {
         "hybrid_rrf_search",
         "mmr_diverse_topk",
         "pca_top_components",
+        "srp_estimate_quality",
     ],
     # text-analysis family
     "text": [

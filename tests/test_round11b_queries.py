@@ -254,3 +254,24 @@ def test_winnow_incremental_flags_planted_batch_dup(spark):
     }
     assert 1 in out and out[1].match_id == 2
     assert 3 not in out
+
+
+def test_srp_calibration_monotone_in_hamming(spark, sf_dir):
+    """The certifiable SRP law on candidate pairs: mean exact cosine is
+    (weakly) monotone DECREASING in signature hamming. The Charikar
+    point prediction cos(pi*h/bits) does NOT hold on candidates —
+    pigeonhole candidacy selects lucky one-block collisions, so on a
+    corpus without true near-dups low-hamming bins hold near-orthogonal
+    pairs. That gap is exactly why srp_near_dup exact-verifies."""
+    from yamr_spark.operators import similarity as S
+
+    rows = sorted(
+        S.srp_estimate_vs_exact(table(spark, sf_dir, "embeddings")).collect(),
+        key=lambda r: r.hamming,
+    )
+    assert rows
+    solid = [r for r in rows if r.n_pairs >= 5]
+    for lo, hi in zip(solid, solid[1:]):
+        assert lo.mean_cos >= hi.mean_cos - 0.05, (lo, hi)
+    for r in rows:
+        assert abs(r.pred_cos - round(math.cos(math.pi * r.hamming / 32), 6)) < 1e-9

@@ -750,6 +750,105 @@ def srp_near_dup(
 # ------------------------------------------------------------ SemDeDup
 
 
+def srp_predicted_cosines(bits: int) -> list[float]:
+    """The Charikar prediction per hamming distance: a pair whose
+    signatures differ in h of ``bits`` hyperplane signs has estimated
+    angle θ = π·h/bits, so predicted cosine = cos(π·h/bits). Rounded
+    6 dp and baked as LITERALS into both the Spark plan and the DuckDB
+    oracle, so libm cos() ulp differences can never split the engines."""
+    import math
+
+    return [round(math.cos(math.pi * h / bits), 6) for h in range(bits + 1)]
+
+
+def srp_estimate_vs_exact(
+    emb: DataFrame,
+    bits: int = 32,
+    dims: int = 64,
+    max_hamming: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP calibration: for every pigeonhole candidate pair, the EXACT
+    cosine next to the signature's Charikar prediction, binned by full-
+    signature hamming distance — (hamming, n_pairs, pred_cos, mean_cos,
+    min_cos, max_cos). The embedding-space entry in the estimator-
+    certification panel (ANN recall / MinHash / SimHash / CMS / KMV):
+    P[sign flip] = θ/π becomes a measured pred-vs-mean column pair.
+
+    Scale: candidates from the production block join (ids only, never
+    all-pairs); hamming from one signature self-attach; exact cosine
+    via the shared norm-precomputing verifier. All corpus-scale work is
+    the signature build — one map-side projection."""
+    from yamr_spark.operators.dedup import pigeonhole_blocks
+
+    sigs = srp_signature(
+        emb, bits=bits, dims=dims, id_col=id_col, vec_col=vec_col
+    ).transform(materialize)
+    nib = sigs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("srp"), off).bitwiseAND(F.lit((1 << w) - 1))
+                    for off, w in pigeonhole_blocks(bits, max_hamming)
+                ]
+            )
+        ).alias("blk_id", "blk_val"),
+    )
+    a, b = nib.alias("a"), nib.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.blk_id") == F.col("b.blk_id"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+        .transform(materialize)
+    )
+    hams = (
+        cands.join(
+            sigs.select(F.col("vec_id").alias("vec_a"), F.col("srp").alias("sa")),
+            "vec_a",
+        )
+        .join(
+            sigs.select(F.col("vec_id").alias("vec_b"), F.col("srp").alias("sb")),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias(
+                "hamming"
+            ),
+        )
+    )
+    vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+    scored = _attach_and_score(cands, vecs, threshold=-1.0)
+    preds = F.array(*[F.lit(p) for p in srp_predicted_cosines(bits)])
+    per = hams.join(scored, ["vec_a", "vec_b"]).withColumn(
+        "pred_cos", F.element_at(preds, F.col("hamming") + 1)
+    )
+    return per.groupBy("hamming").agg(
+        F.count("*").alias("n_pairs"),
+        F.min("pred_cos").alias("pred_cos"),
+        F.round(
+            F.sum(F.round(F.col("cosine"), 12).cast("decimal(28,14)")).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("mean_cos"),
+        F.min("cosine").alias("min_cos"),
+        F.max("cosine").alias("max_cos"),
+    )
+
+
 def semdedup(
     emb: DataFrame,
     eps: float = 0.4,

@@ -515,6 +515,58 @@ def q_srp_near_dup(spark, sf_dir):
     return S.srp_near_dup(table(spark, sf_dir, "embeddings"))
 
 
+def _srp_estimate_oracle() -> str:
+    from yamr_spark.operators.dedup import pigeonhole_blocks
+    from yamr_spark.operators.similarity import srp_predicted_cosines
+
+    nib = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS blk_id, (srp >> {off}) & {(1 << w) - 1} AS blk_val FROM sigs"
+        for i, (off, w) in enumerate(pigeonhole_blocks(32, 3))
+    )
+    pred_case = (
+        "CASE hamming "
+        + " ".join(
+            f"WHEN {h} THEN {p!r}"
+            for h, p in enumerate(srp_predicted_cosines(32))
+        )
+        + " END"
+    )
+    return f"""
+    WITH {_VECS_CTE},
+    sigs AS (SELECT vec_id, v, CAST({_srp_sig_sql()} AS BIGINT) AS srp FROM vecs),
+    nib AS ({nib}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM nib a JOIN nib b
+        ON a.blk_id = b.blk_id AND a.blk_val = b.blk_val AND a.vec_id < b.vec_id
+    ),
+    pc AS (
+      SELECT CAST(bit_count(xor(sa.srp, sb.srp)) AS INT) AS hamming,
+             {_COS.format(a="sa.v", b="sb.v")} AS cosine
+      FROM cand c
+      JOIN sigs sa ON sa.vec_id = c.vec_a
+      JOIN sigs sb ON sb.vec_id = c.vec_b
+    )
+    SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {pred_case} AS pred_cos,
+           ROUND(CAST(SUM(CAST(ROUND(cosine, 12) AS DECIMAL(28,14))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_cos,
+           MIN(cosine) AS min_cos,
+           MAX(cosine) AS max_cos
+    FROM pc GROUP BY hamming
+    """
+
+
+@register("srp_estimate_quality", oracle=_srp_estimate_oracle())
+def q_srp_estimate_quality(spark, sf_dir):
+    """SRP calibration: exact cosine binned by signature hamming, next
+    to the Charikar prediction cos(π·h/bits) (baked as identical
+    literals in both engines, so libm ulp drift cannot split them).
+    The embedding-space entry completing the estimator-certification
+    panel."""
+    return S.srp_estimate_vs_exact(table(spark, sf_dir, "embeddings"))
+
+
 @register(
     "semdedup",
     oracle=f"""

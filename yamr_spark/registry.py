@@ -376,6 +376,7 @@ _R12_BACKFILL = [
     "simhash_estimate_quality",
     "kmv_estimate_error",
     "winnow_incremental",
+    "srp_estimate_quality",
     "try_function_features",
     "value_histogram",
     "word_count",
