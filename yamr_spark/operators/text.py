@@ -627,11 +627,16 @@ def normalization_dedup_stats(docs: DataFrame) -> DataFrame:
     DuckDB replay passes the ``'g'`` flag. The lowercase step applies
     only to the HASH input (ws_delta is measured before lowering —
     Unicode case mapping may change string length, e.g. 'İ').
+    Whitespace is the EXPLICIT class ``[ \\t\\n\\x0B\\f\\r]+`` rather
+    than engine-defined ``\\s``: Java's ``\\s`` matches vertical tab
+    \\x0B but DuckDB's RE2 ``\\s`` does not, so a document containing
+    \\x0B would diverge across engines (ADVICE r11). The explicit class
+    equals Java's ``\\s`` exactly, so Spark semantics are unchanged.
 
     Scale: one map-side projection + one hash-keyed count join —
     identical shape to exact_dedup (64-byte shuffle keys, bodies never
     move)."""
-    collapsed = F.regexp_replace(F.trim(F.col("text")), "\\s+", " ")
+    collapsed = F.regexp_replace(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ")
     per = docs.select(
         "doc_id",
         (

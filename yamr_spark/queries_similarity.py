@@ -546,14 +546,20 @@ def _srp_estimate_oracle() -> str:
       FROM cand c
       JOIN sigs sa ON sa.vec_id = c.vec_a
       JOIN sigs sb ON sb.vec_id = c.vec_b
-    )
+    ),
+    -- excluded-NULL contract (ADVICE r11): a zero-norm vector yields
+    -- NULL cosine, which the Spark side's _attach_and_score drops via
+    -- its `cosine >= -1.0` filter; drop it here too so n_pairs and the
+    -- mean denominator agree by construction if the fixture ever gains
+    -- a zero vector
+    pcn AS (SELECT * FROM pc WHERE cosine IS NOT NULL)
     SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
            {pred_case} AS pred_cos,
            ROUND(CAST(SUM(CAST(ROUND(cosine, 12) AS DECIMAL(28,14))) AS DOUBLE)
                  / COUNT(*), 6) AS mean_cos,
            MIN(cosine) AS min_cos,
            MAX(cosine) AS max_cos
-    FROM pc GROUP BY hamming
+    FROM pcn GROUP BY hamming
     """
 
 

@@ -231,9 +231,9 @@ def q_winnow_incremental(spark, sf_dir):
                   length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
                   AS BIGINT) AS n_non_ascii,
              CAST(length(text) -
-                  length(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                  length(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
                   AS BIGINT) AS ws_delta,
-             sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS norm_hash
+             sha256(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS norm_hash
       FROM documents
     ),
     cnt AS (SELECT norm_hash, CAST(COUNT(*) AS BIGINT) AS norm_dups

@@ -353,7 +353,7 @@ _R05_RESTAMPS = [
 # The r12 window head: this round's post-window registrations
 # (never-stamped outranks stale restamps; registered AFTER the r11
 # window was sequenced, so they queue here rather than displacing the
-# verdict-ordered plan) — the 4 late ANN-family entries, then the 8
+# verdict-ordered plan) — the 4 late ANN-family entries, then the 11
 # r11-continuation registrations in build order — then the 4 r05
 # stamps that did not fit the r11 window (then the r06 tail,
 # oldest-stamp-first, as usual).
@@ -383,25 +383,81 @@ _R12_BACKFILL = [
     "zorder_store_stats",
 ]
 
-# ROUND-11 WINDOW (the driver checks the first 50 of queries()):
-# exactly the r10 verdict's #1 plan. Slots 1-2: the two r10
-# plan-change restamps (llm_prep v1/v3 joined the shared
-# decontamination flag-set cache; locally ALL-MATCH, but a changed
-# plan must earn a fresh stamp — "restamp REQUIRED before anything
-# else rides that cache"). Slots 3-5: the three never-stamped r10
-# registrations. Slots 6-15: the 10 remaining r04-stale stamps.
-# Slots 16-17: this round's two verdict-ORDERED new registrations
-# (ivf×PQ composition, certified ANN recall — verdict #2/#3, both
-# "queued for a stamp"); never-stamped outranks stale restamps, and
-# they queue behind the planned backfill per the debt rule. Slots
-# 18-50: the 33 oldest stale stamps (r05, alphabetical).
-# 15 + 2 + 33 = 50 exactly.
-DRIVER_PRIORITY = (
-    _R11_BACKFILL
+# The r06-stamp cohort (38 queries whose latest driver stamp is r06),
+# alphabetical: the first 31 fill the r12 window behind _R12_BACKFILL;
+# the 7-entry tail heads the r13 queue.
+_R06_RESTAMPS = [
+    "ann_brute_topk",
+    "ann_quantized_topk",
+    "approx_aggregates",
+    "audio_frame_energy",
+    "basket_type_lift",
+    "containment_pairs",
+    "daily_resample_ffill",
+    "daily_value_median_trend",
+    "domain_mix_sample",
+    "embedding_covariance",
+    "embedding_near_dup",
+    "embedding_quantize_stats",
+    "equidepth_histogram",
+    "event_zscore_anomalies",
+    "gopher_quality_filters",
+    "hard_negative_mining",
+    "incremental_join_view_refresh",
+    "ivf_assign",
+    "key_skew_report",
+    "kmeans_centroids",
+    "mad_outlier_report",
+    "multimodal_frame_sample",
+    "multimodal_thumbnails",
+    "ngram_repetition_profile",
+    "phrase_search_table_table",
+    "pii_redaction_stats",
+    "quality_drift_psi",
+    "quality_percentile_gate",
+    "recency_weighted_user_score",
+    "repeat_purchase_interval",
+    "revenue_mom_growth",
+]
+_R06_TAIL = [
+    "scd2_customer_history",
+    "semdedup",
+    "srp_near_dup",
+    "streaming_windowed_topk",
+    "supplier_ship_latency",
+    "top_event_paths",
+    "vocab_coverage",
+]
+
+# Queries registered during round 12 itself (build order): never-stamped,
+# so they head the post-window queue per the debt rule — they take r13
+# window slots before any stale restamp.
+_R13_BACKFILL: list[str] = [
+    "substring_dedup_spans",
+    "substring_dedup_docs",
+    "ivf_pq_store_frozen",
+]
+
+# ROUND-12 WINDOW (the driver checks the first 50 of queries()):
+# exactly the r11 verdict's #2 plan ("clear _R12_BACKFILL").
+# Slots 1-19: _R12_BACKFILL — the 4 late ANN-family entries and the 11
+# r11-continuation registrations (all never-stamped; never-certified is
+# a strictly worse state than stale-certified, and all 15 are already
+# ALL-MATCH under the driver replica), plus the 4 r05 stamps displaced
+# from the r11 window. Slots 20-50: the 31 alphabetically-first r06
+# stamps (the oldest remaining cohort). 19 + 31 = 50 exactly.
+# r12's own registrations queue in _R13_BACKFILL below the window.
+DRIVER_PRIORITY = _R12_BACKFILL + _R06_RESTAMPS
+for _n in (
+    _R13_BACKFILL
+    + _R06_TAIL
+    + _R11_BACKFILL
     + ["ann_ivf_pq_topk", "ann_recall_at_k"]
     + _R05_RESTAMPS
-)
-for _n in _R12_BACKFILL + _R10_BACKFILL + _R04_RESTAMPS + _R08_BACKFILL:
+    + _R10_BACKFILL
+    + _R04_RESTAMPS
+    + _R08_BACKFILL
+):
     if _n not in DRIVER_PRIORITY:
         DRIVER_PRIORITY.append(_n)
 
