@@ -754,6 +754,157 @@ def r11d_experiment(spark, sf_dir: str, out_dir: str) -> None:
         print(f"| {name} | {cells} | {ratio}x |")
 
 
+def _print_table(results: dict[str, dict[int, float]], factors) -> None:
+    print("\n| operator | " + " | ".join(f"{kk}x" for kk in factors) + " | last/first |")
+    print("|---|" + "---|" * (len(factors) + 1))
+    for name, row in results.items():
+        ratio = round(row[factors[-1]] / row[factors[0]], 1)
+        cells = " | ".join(f"{row[kk]:.2f}" for kk in factors)
+        print(f"| {name} | {cells} | {ratio}x |")
+
+
+def r12_experiment(spark, sf_dir: str, out_dir: str) -> None:
+    """Winnow x64 point (VERDICT r11 #4): the r11c winnow curve ended at
+    x16 with a 4.7-6.7x wall ratio, read as 'parallel slack absorption,
+    not superlinear work'. This run adds x64 AND scales
+    spark.sql.shuffle.partitions with the corpus (32 -> 128 at x64 —
+    what a cluster deployment does by sizing partitions to data): if the
+    slack reading is right, x64 wall stays ~linear-per-unit once the
+    parallelism matches the data. Also times winnow_incremental in both
+    layouts — re-shuffling vs fp-BUCKETED standing index (the staged
+    form the registered query now uses)."""
+    from pyspark.sql import functions as FF
+
+    from yamr_spark.operators import text as T
+    from yamr_spark.sources import write_bucketed
+
+    factors = [1, 16, 64]
+    global FACTORS
+    saved = FACTORS
+    FACTORS = factors  # build_scaled writes one parquet per factor
+    try:
+        paths = build_scaled(spark, sf_dir, out_dir)
+    finally:
+        FACTORS = saved
+
+    def fstats(docs):
+        return (
+            T.winnowing_fingerprints(docs)
+            .groupBy("doc_id")
+            .agg(
+                FF.min("n_grams").alias("n_grams"),
+                FF.count("*").alias("n_fp"),
+                FF.countDistinct("fp").alias("n_uniq_fp"),
+                FF.min("fp").alias("fp_min"),
+            )
+        )
+
+    def incr_shuffled(docs):
+        fps = T.winnowing_fingerprints(docs).select("doc_id", "fp").distinct()
+        return T.winnow_incremental(
+            fps.where(FF.col("doc_id") % 2 == 1),
+            fps.where(FF.col("doc_id") % 2 == 0),
+        )
+
+    results: dict[str, dict[int, float]] = {}
+    for k in factors:
+        parts = max(32, 2 * k)
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        docs = spark.read.parquet(paths[k])
+        docs.count()
+        ops = {
+            f"winnow_fingerprint_stats(p={parts})": fstats,
+            f"winnow_near_dup(p={parts})": lambda d: T.winnow_near_dup(d),
+            f"winnow_incremental[shuffle](p={parts})": incr_shuffled,
+        }
+        for name, fn in ops.items():
+            best = None
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                fn(docs).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name.split("(p=")[0], {})[k] = round(best, 2)
+            print(json.dumps({"op": name, "factor": k, "sec": round(best, 2)}))
+        # bucketed standing-index form: stage (untimed — the write-once
+        # ingest cost), then time the probe over the bucketed layout
+        fps = T.winnowing_fingerprints(docs).select("doc_id", "fp").distinct()
+        tname = f"scale_winnow_fps_x{k}"
+        write_bucketed(fps, tname, parts, ["fp"])
+        bt = spark.table(tname)
+        best = None
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            T.winnow_incremental(
+                bt.where(FF.col("doc_id") % 2 == 1),
+                bt.where(FF.col("doc_id") % 2 == 0),
+            ).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        results.setdefault("winnow_incremental[bucketed]", {})[k] = round(best, 2)
+        print(json.dumps({"op": f"winnow_incremental[bucketed](p={parts})", "factor": k, "sec": round(best, 2)}))
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    _print_table(results, factors)
+
+
+def r12b_experiment(spark, sf_dir: str, out_dir: str) -> None:
+    """Frozen-c IVF x PQ BUILD curve (VERDICT r11 #6): time the full
+    index BUILD — train + assign + encode + write the partitioned code
+    store — under (a) the scale harness's per-run training with
+    c=sqrt(n) (the n^1.5 term) and (b) the production freeze: centroids
+    (1 Lloyd iter) + codebooks trained once on a FIXED 256-vector
+    sample, c=8 constant, corpus only assigned/encoded. Linear build is
+    the claim; last/first tells the story."""
+    import math
+    import os as _os
+    import shutil
+
+    from yamr_spark.materialize import materialize
+    from yamr_spark.operators import similarity as S
+
+    epaths = build_scaled_emb(spark, sf_dir, out_dir)
+    results: dict[str, dict[int, float]] = {}
+    for k in FACTORS:
+        emb = spark.read.parquet(epaths[k])
+        n = emb.count()
+        c = max(8, math.isqrt(n))
+
+        def build_sqrt():
+            cents = materialize(S.centroids(emb, c=c))
+            assign = materialize(
+                S.ivf_assign(emb, c=c, cents=cents).select("vec_id", "centroid_id")
+            )
+            books = materialize(S.pq_codebooks(emb))
+            store = _os.path.join(out_dir, f"pqb_sqrt_x{k}")
+            shutil.rmtree(store, ignore_errors=True)
+            S.write_ivf_pq_store(emb, store, c=c, assign=assign, books=books)
+
+        def build_frozen():
+            sample = emb.filter(F.col("vec_id") < 256)
+            cents = materialize(S.kmeans_centroid_vectors(sample, c=8, iters=1))
+            books = materialize(S.pq_codebooks_kmeans(sample))
+            assign = materialize(
+                S.ivf_assign(emb, cents=cents).select("vec_id", "centroid_id")
+            )
+            store = _os.path.join(out_dir, f"pqb_frz_x{k}")
+            shutil.rmtree(store, ignore_errors=True)
+            S.write_ivf_pq_store(emb, store, assign=assign, books=books)
+
+        for name, fn in (
+            (f"ivfpq_build[c=sqrt_n]", build_sqrt),
+            ("ivfpq_build[frozen c=8, sample=256]", build_frozen),
+        ):
+            best = None
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[k] = round(best, 2)
+            print(json.dumps({"op": name, "factor": k, "n": n, "sec": round(best, 2)}))
+    _print_table(results, FACTORS)
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = pos[0] if pos else os.environ.get(
@@ -808,6 +959,14 @@ def main() -> None:
         return
     if "--r11d" in sys.argv:
         r11d_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
+    if "--r12" in sys.argv:
+        r12_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
+    if "--r12b" in sys.argv:
+        r12b_experiment(spark, sf_dir, out_dir)
         spark.stop()
         return
     if "--recall" in sys.argv:

@@ -832,12 +832,13 @@ def test_headline_single_partition_windows_are_audited(spark, sf_dir):
     from yamr_spark.registry import all_queries
 
     qs = all_queries()
+    swept = bench.HEADLINE + bench.CERTIFICATION
     hits = {
         name
-        for name in bench.HEADLINE
+        for name in swept
         if single_partition_window_count(qs[name](spark, sf_dir)) > 0
     }
-    expected = set(ALLOWED_SINGLE_PARTITION_WINDOWS) & set(bench.HEADLINE)
+    expected = set(ALLOWED_SINGLE_PARTITION_WINDOWS) & set(swept)
     assert hits == expected, (
         f"unaudited 1p-windows: {sorted(hits - expected)}; "
         f"stale allowlist: {sorted(expected - hits)}"

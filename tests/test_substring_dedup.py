@@ -1,0 +1,73 @@
+"""Unit semantics for exact substring dedup (operators/curation.py):
+keep-lowest-doc ownership, alignment-free detection, span merging, and
+text-verified duplication (the property span_dup_stats lacks)."""
+
+from __future__ import annotations
+
+from yamr_spark.operators.curation import (
+    substring_dedup_docs,
+    substring_dedup_spans,
+)
+
+# 12 shared tokens (one duplicated substring > width) with different
+# surrounding context and OFFSETS in each doc — alignment-free case.
+_SHARED = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+
+
+def _docs(spark):
+    rows = [
+        # doc 1 owns the shared run (lowest id containing it)
+        (1, f"{_SHARED} tail one two three"),
+        # doc 2 repeats it at a different offset -> dropped there
+        (2, f"lead in words here {_SHARED} and more after"),
+        # doc 3 has no duplication
+        (3, "completely different content with nothing shared at all here ok"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_spans_drop_only_non_owner(spark):
+    spans = substring_dedup_spans(_docs(spark), width=8).collect()
+    assert {r["doc_id"] for r in spans} == {2}
+    (s,) = spans
+    # doc 2: shared run starts at token 5 (after 4 lead tokens), 12 long
+    assert s["span_start"] == 5
+    assert s["span_end"] == 16
+    assert s["span_tokens"] == 12
+
+
+def test_docs_ledger(spark):
+    out = {r["doc_id"]: r for r in substring_dedup_docs(_docs(spark), width=8).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["dropped_tokens"] == 0 and out[1]["kept_frac"] == 1.0
+    assert out[3]["dropped_tokens"] == 0
+    assert out[2]["n_tokens"] == 19
+    assert out[2]["dropped_tokens"] == 12
+    assert out[2]["kept_tokens"] == 7
+    assert abs(out[2]["kept_frac"] - round(7 / 19, 6)) < 1e-9
+
+
+def test_within_doc_repeat_not_duplicated(spark):
+    """A run repeated only WITHIN one doc is not cross-document
+    duplication — nothing drops."""
+    df = spark.createDataFrame(
+        [(1, f"{_SHARED} {_SHARED}"), (2, "other words " * 10)],
+        "doc_id bigint, text string",
+    )
+    assert substring_dedup_spans(df, width=8).count() == 0
+
+
+def test_owner_keeps_even_with_many_copies(spark):
+    """Three docs share the run; only the lowest id keeps it."""
+    df = spark.createDataFrame(
+        [
+            (7, f"x y z {_SHARED}"),
+            (5, f"{_SHARED} p q"),
+            (9, f"a b {_SHARED} c d"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup_docs(df, width=8).collect()}
+    assert out[5]["dropped_tokens"] == 0
+    assert out[7]["dropped_tokens"] == 12
+    assert out[9]["dropped_tokens"] == 12

@@ -278,6 +278,177 @@ def span_dup_stats(docs: DataFrame, width: int = 8) -> DataFrame:
     )
 
 
+def _verified_dup_windows(docs: DataFrame, width: int) -> DataFrame:
+    """Shared candidate machinery for exact substring dedup: one row
+    per OCCURRENCE of a ``width``-token window whose window TEXT occurs
+    in >= 2 distinct documents — (doc_id, n_tokens, s, owner) with
+    ``owner`` = the minimum doc_id among documents containing that
+    exact text. Unlike span_dup_stats this VERIFIES on the window text,
+    so a 60-bit hash collision can never manufacture a duplicate.
+
+    Two-phase shuffle discipline (the reason this survives 100 TB):
+    phase 1 shuffles only 8-byte window hashes at corpus-token
+    cardinality (word_count's shape) to find hashes seen in >= 2 docs;
+    phase 2 re-shuffles window TEXT only for occurrences of those
+    candidate hashes — volume proportional to the corpus's actual
+    duplication rate, not its size. The text rebuild joins the
+    per-doc candidate position LIST back to the token arrays (1:1 on
+    doc_id, no array replication per candidate row), then explodes."""
+    from yamr_spark.materialize import materialize
+
+    toks = materialize(
+        docs.select("doc_id", F.expr(_TOKS).alias("__toks"))
+        .select(
+            "doc_id",
+            F.size("__toks").cast("long").alias("n_tokens"),
+            "__toks",
+        )
+        .filter(F.col("n_tokens") >= width)
+    )
+    win_struct = (
+        f"transform(sequence(1, size(__toks) - {width} + 1), "
+        f"s -> struct(cast(s as bigint) AS s, "
+        f"{hash60_sql(f'concat_ws(chr(32), slice(__toks, s, {width}))')} AS h))"
+    )
+    wins = materialize(
+        toks.select("doc_id", F.explode(F.expr(win_struct)).alias("w")).select(
+            "doc_id", F.col("w.s").alias("s"), F.col("w.h").alias("h")
+        )
+    )
+    dup_h = (
+        wins.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    cand_pos = (
+        wins.join(dup_h, "h").groupBy("doc_id").agg(F.collect_list("s").alias("ss"))
+    )
+    wt_struct = (
+        f"transform(ss, s -> struct(s AS s, "
+        f"concat_ws(chr(32), slice(__toks, cast(s as int), {width})) AS wt))"
+    )
+    cand_txt = (
+        cand_pos.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(F.expr(wt_struct)).alias("w"),
+        )
+        .select("doc_id", "n_tokens", F.col("w.s").alias("s"), F.col("w.wt").alias("wt"))
+    )
+    verified = (
+        cand_txt.select("wt", "doc_id")
+        .distinct()
+        .groupBy("wt")
+        .agg(
+            F.count("*").alias("nd"),
+            F.min("doc_id").alias("owner"),
+        )
+        .where(F.col("nd") >= 2)
+        .select("wt", "owner")
+    )
+    return cand_txt.join(verified, "wt").select("doc_id", "n_tokens", "s", "owner")
+
+
+def _dropped_spans(docs: DataFrame, width: int) -> DataFrame:
+    """(doc_id, n_tokens, span_start, span_end, span_tokens): per
+    document, the MAXIMAL token spans covered by verified duplicated
+    windows whose owner is another document — the spans exact substring
+    dedup would remove under the keep-lowest-doc rule. Gaps-and-islands
+    merge, per-doc window state only."""
+    dropped = _verified_dup_windows(docs, width).filter(
+        F.col("doc_id") != F.col("owner")
+    )
+    w1 = Window.partitionBy("doc_id").orderBy("s")
+    isl = (
+        dropped.select("doc_id", "n_tokens", "s")
+        .distinct()
+        .withColumn("prev", F.lag("s").over(w1))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("s") > F.col("prev") + width), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "isl",
+            F.sum("brk").over(w1.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return isl.groupBy("doc_id", "n_tokens", "isl").agg(
+        F.min("s").cast("long").alias("span_start"),
+        (F.max("s") + width - 1).cast("long").alias("span_end"),
+        (F.max("s") - F.min("s") + width).cast("long").alias("span_tokens"),
+    ).drop("isl")
+
+
+def substring_dedup_spans(docs: DataFrame, width: int = 8) -> DataFrame:
+    """Exact substring-level dedup, span report: the maximal token
+    spans each document would LOSE under cross-document exact substring
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499 — the suffix-array operator class;
+    here realized partition-parallel as rolling verified windows).
+
+    A ``width``-token window is duplicated when its exact TEXT occurs
+    in >= 2 distinct documents (any duplicated substring of >= width
+    tokens contains such a window at any alignment). The lowest doc_id
+    containing the text is the OWNER and keeps its occurrences; every
+    other document drops its covered positions. Overlapping dropped
+    windows merge into maximal spans. Output: (doc_id, span_start,
+    span_end, span_tokens), 1-based inclusive token indexes.
+
+    vs span_dup_stats: that operator trusts 60-bit hashes and reports
+    symmetric stats; this one verifies the bytes (zero false positives
+    at any corpus size — at 10^12 windows, 60-bit collisions are
+    EXPECTED) and produces the asymmetric keep/drop decision a dedup
+    pipeline actually applies."""
+    return _dropped_spans(docs, width).select(
+        "doc_id", "span_start", "span_end", "span_tokens"
+    )
+
+
+def substring_dedup_docs(docs: DataFrame, width: int = 8) -> DataFrame:
+    """Exact substring-level dedup, per-document report: every document
+    with its token count, how many maximal duplicated spans it drops
+    under the keep-lowest-doc rule, the dropped/kept token counts, and
+    the kept fraction — the corpus-shrinkage ledger of exact substring
+    dedup (companion to :func:`substring_dedup_spans`; same verified
+    windows, same scale shape)."""
+    spans = _dropped_spans(docs, width)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dropped_spans"),
+        F.sum("span_tokens").cast("long").alias("dropped_tokens"),
+    )
+    counts = docs.select(
+        "doc_id", F.expr(f"cast(size({_TOKS}) as bigint)").alias("n_tokens")
+    )
+    return (
+        counts.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dropped_spans", F.lit(0).cast("long")).alias(
+                "n_dropped_spans"
+            ),
+            F.coalesce("dropped_tokens", F.lit(0).cast("long")).alias(
+                "dropped_tokens"
+            ),
+            (F.col("n_tokens") - F.coalesce("dropped_tokens", F.lit(0))).cast(
+                "long"
+            ).alias("kept_tokens"),
+        )
+        .withColumn(
+            "kept_frac",
+            F.when(F.col("n_tokens") > 0, F.round(F.col("kept_tokens") / F.col("n_tokens"), 6)).otherwise(
+                F.lit(1.0)
+            ),
+        )
+    )
+
+
 def split_col(
     id_col: str = "doc_id", train_lt: int = 205, val_lt: int = 230
 ):

@@ -1512,3 +1512,100 @@ def q_llm_prep_pipeline_v5(spark, sf_dir):
         )
     )
     return raw.unionByName(st1).unionByName(st2).unionByName(st3)
+
+
+# Exact substring dedup (Lee et al., arXiv:2107.06499 — the suffix-array
+# class): rolling 8-token windows, duplication VERIFIED on the window
+# text (not its hash), keep-lowest-doc ownership, maximal-span merge.
+# The oracle groups by window text directly; the Spark plan reaches the
+# same set through a hash prefilter (recall-complete: equal text =>
+# equal hash) plus a text-grouped verify, so semantics are identical
+# while only actually-duplicated text ever shuffles as strings.
+_SUBSTR_SPANS_CTE = (
+    _TOKS_CTE
+    + """,
+    spos AS (
+      SELECT doc_id, t, unnest(range(len(t) - 8 + 1)) + 1 AS s
+      FROM toks WHERE len(t) >= 8
+    ),
+    swt AS MATERIALIZED (
+      SELECT doc_id, CAST(s AS BIGINT) AS s,
+             array_to_string(t[s : s + 7], ' ') AS wt
+      FROM spos
+    ),
+    sown AS (
+      SELECT wt, MIN(doc_id) AS owner
+      FROM (SELECT DISTINCT doc_id, wt FROM swt)
+      GROUP BY wt HAVING COUNT(*) >= 2
+    ),
+    sdrp AS (
+      SELECT DISTINCT w.doc_id, w.s
+      FROM swt w JOIN sown o USING (wt)
+      WHERE w.doc_id <> o.owner
+    ),
+    slag AS (
+      SELECT doc_id, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+      FROM sdrp
+    ),
+    sisl AS (
+      SELECT doc_id, s,
+             SUM(CASE WHEN prev IS NULL OR s > prev + 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM slag
+    ),
+    sspans AS (
+      SELECT doc_id,
+             CAST(MIN(s) AS BIGINT) AS span_start,
+             CAST(MAX(s) + 7 AS BIGINT) AS span_end,
+             CAST(MAX(s) - MIN(s) + 8 AS BIGINT) AS span_tokens
+      FROM sisl GROUP BY doc_id, isl
+    )"""
+)
+
+
+@register(
+    "substring_dedup_spans",
+    oracle=f"""
+    WITH {_SUBSTR_SPANS_CTE}
+    SELECT doc_id, span_start, span_end, span_tokens FROM sspans
+    """,
+)
+def q_substring_dedup_spans(spark, sf_dir):
+    """Exact substring dedup, span report: the maximal token spans each
+    document loses under the keep-lowest-doc rule, with duplication
+    verified on window TEXT — completes the dedup family past the
+    hash-trusting span_dup_stats stand-in (zero false positives at any
+    corpus size)."""
+    return C.substring_dedup_spans(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "substring_dedup_docs",
+    oracle=f"""
+    WITH {_SUBSTR_SPANS_CTE},
+    sper AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_dropped_spans,
+             CAST(SUM(span_tokens) AS BIGINT) AS dropped_tokens
+      FROM sspans GROUP BY doc_id
+    ),
+    scnt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+    SELECT c.doc_id, c.n_tokens,
+           CAST(COALESCE(p.n_dropped_spans, 0) AS BIGINT) AS n_dropped_spans,
+           CAST(COALESCE(p.dropped_tokens, 0) AS BIGINT) AS dropped_tokens,
+           CAST(c.n_tokens - COALESCE(p.dropped_tokens, 0) AS BIGINT)
+             AS kept_tokens,
+           CASE WHEN c.n_tokens > 0
+                THEN CAST(ROUND((c.n_tokens - COALESCE(p.dropped_tokens, 0))
+                                * 1.0 / c.n_tokens, 6) AS DOUBLE)
+                ELSE CAST(1.0 AS DOUBLE) END AS kept_frac
+    FROM scnt c LEFT JOIN sper p USING (doc_id)
+    """,
+)
+def q_substring_dedup_docs(spark, sf_dir):
+    """Exact substring dedup, per-document ledger: token counts,
+    dropped spans/tokens under the keep-lowest-doc rule, and the kept
+    fraction — the corpus-shrinkage number a dedup pipeline reports."""
+    return C.substring_dedup_docs(table(spark, sf_dir, "documents"))

@@ -1923,3 +1923,169 @@ def q_ivf_pq_store_incremental(spark, sf_dir):
         spark, store, emb, topk=5, n_queries=10, c=8, nprobe=2,
         cents=cents, books=books,
     )
+
+
+# Frozen-parameter IVF×PQ store (VERDICT r11 #6): every trained
+# parameter — coarse centroids AND PQ codebooks — comes from a FIXED
+# 256-vector prefix sample (vec_id < 256), then the full corpus is
+# assigned/encoded under those frozen params. This is how a 100 TB
+# deployment actually runs: training cost is O(sample), the corpus-side
+# build is one broadcast assignment + encode pass — LINEAR in n, with
+# no n^1.5 term (the adaptive c=sqrt(n) harness variant trains on the
+# whole corpus per run; see SCALE.md "frozen-c" curve).
+_FROZEN_TRAIN_N = 256
+_IVF_PQ_FROZEN_ORACLE = f"""
+    WITH {_VECS_CTE},
+    tvecs AS MATERIALIZED (SELECT * FROM vecs WHERE vec_id < {_FROZEN_TRAIN_N}),
+    fseeds AS (
+      SELECT vec_id AS centroid_id, v AS cvec FROM tvecs ORDER BY vec_id LIMIT 8
+    ),
+    fka AS (
+      SELECT vec_id, centroid_id, v FROM (
+        SELECT t.vec_id, s.centroid_id, t.v,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                  ORDER BY {_COS.format(a="t.v", b="s.cvec")} DESC,
+                                           s.centroid_id) AS rn
+        FROM tvecs t CROSS JOIN fseeds s
+      ) x WHERE rn = 1
+    ),
+    fkdim AS (
+      SELECT centroid_id, v, unnest(range(len(v))) AS dim FROM fka
+    ),
+    fkm AS (
+      SELECT centroid_id, dim, ROUND(AVG(v[dim + 1]), 6) AS value
+      FROM fkdim GROUP BY centroid_id, dim
+    ),
+    cents AS MATERIALIZED (
+      SELECT centroid_id, list(value ORDER BY dim) AS cvec
+      FROM fkm GROUP BY centroid_id
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_COS.format(a="q.qv", b="c.cvec")} DESC,
+                                           c.centroid_id) AS rn
+        FROM q CROSS JOIN cents c
+      ) t WHERE rn <= 2
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_COS.format(a="v.v", b="c.cvec")} DESC,
+                                           c.centroid_id) AS rn
+        FROM vecs v CROSS JOIN cents c
+      ) t WHERE rn = 1
+    ),
+    tseeds AS (
+      SELECT vec_id, v,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code_id
+      FROM tvecs ORDER BY vec_id LIMIT 16
+    ),
+    books0 AS (
+      SELECT CAST(t.s AS INT) AS sub, code_id,
+             v[t.s*16+1 : t.s*16+16] AS cvec
+      FROM tseeds CROSS JOIN (SELECT unnest(range(4)) AS s) t
+    ),
+    vsubs AS MATERIALIZED (
+      SELECT vec_id, CAST(t.s AS INT) AS sub,
+             v[t.s*16+1 : t.s*16+16] AS vsub
+      FROM vecs CROSS JOIN (SELECT unnest(range(4)) AS s) t
+    ),
+    tsubs AS MATERIALIZED (
+      SELECT * FROM vsubs WHERE vec_id < {_FROZEN_TRAIN_N}
+    ),
+    dists0 AS MATERIALIZED (
+      SELECT vec_id, sub, code_id,
+             list_sum(list_transform(range(16), i ->
+               (vsub[i+1] - cvec[i+1]) * (vsub[i+1] - cvec[i+1]))) AS l2
+      FROM tsubs JOIN books0 USING (sub)
+    ),
+    codes0 AS (
+      SELECT vec_id, sub, code_id FROM (
+        SELECT vec_id, sub, code_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY l2, code_id) AS rn
+        FROM dists0
+      ) WHERE rn = 1
+    ),
+    kdim AS (
+      SELECT c.sub, c.code_id, vs.vsub, CAST(t.dim AS INT) AS dim
+      FROM codes0 c
+      JOIN tsubs vs ON vs.vec_id = c.vec_id AND vs.sub = c.sub
+      CROSS JOIN (SELECT unnest(range(16)) AS dim) t
+    ),
+    kmeans AS (
+      SELECT sub, code_id, dim, ROUND(AVG(vsub[dim + 1]), 6) AS value
+      FROM kdim GROUP BY sub, code_id, dim
+    ),
+    books AS MATERIALIZED (
+      SELECT sub, code_id, list(value ORDER BY dim) AS cvec
+      FROM kmeans GROUP BY sub, code_id
+    ),
+    dists AS MATERIALIZED (
+      SELECT vec_id, sub, code_id,
+             list_sum(list_transform(range(16), i ->
+               (vsub[i+1] - cvec[i+1]) * (vsub[i+1] - cvec[i+1]))) AS l2
+      FROM vsubs JOIN books USING (sub)
+    ),
+    codes AS (
+      SELECT vec_id AS neighbor_id, sub, code_id FROM (
+        SELECT vec_id, sub, code_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY l2, code_id) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, sub, code_id,
+             CAST(ROUND(l2, 9) AS DECIMAL(28,9)) AS l2r
+      FROM dists WHERE vec_id < 10
+    ),
+    {_IVF_PQ_ADC_CTES.lstrip().lstrip(",").strip()}
+    SELECT query_id, neighbor_id, CAST(adist_dec AS DOUBLE) AS adist,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT query_id, neighbor_id, adist_dec,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist_dec, neighbor_id) AS rnk
+      FROM ivfadc
+    ) t WHERE rnk <= 5
+    """
+
+
+@register("ivf_pq_store_frozen", oracle=_IVF_PQ_FROZEN_ORACLE)
+def q_ivf_pq_store_frozen(spark, sf_dir):
+    """Production IVF×PQ: FREEZE the trained params on a fixed sample.
+    Coarse centroids (one Lloyd iteration) and PQ codebooks (per-
+    subspace Lloyd) train on the deterministic 256-vector prefix; the
+    FULL corpus is then assigned + encoded under those frozen params
+    and served from the partitioned code store. Corpus-side build cost
+    is one broadcast-assignment + encode pass — linear in n with a
+    constant c, which is how a 100 TB deployment runs (vs the scale
+    harness's per-run c=sqrt(n) training, an n^1.5 term; VERDICT r11
+    #6). Oracle replays sample-restricted training, full-corpus
+    assign/encode, and the decimal ADC ranking bit-for-bit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yamr_spark.materialize import materialize
+    from yamr_spark.tmpdirs import session_dir, store_complete
+
+    emb = table(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") < _FROZEN_TRAIN_N)
+    cents = S.kmeans_centroid_vectors(sample, c=8, iters=1).transform(materialize)
+    books = S.pq_codebooks_kmeans(sample).transform(materialize)
+    assign = S.ivf_assign(emb, cents=cents).transform(materialize)
+    store = os.path.join(
+        session_dir(f"ivfpqfz:{sf_dir}", "yamr_ivfpq_frozen_"), "store"
+    )
+    if not store_complete(store):
+        S.write_ivf_pq_store(emb, store, assign=assign, books=books)
+    return S.ivf_pq_store_topk(
+        spark, store, emb, topk=5, n_queries=10, c=8, nprobe=2,
+        cents=cents, books=books,
+    )
