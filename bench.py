@@ -104,6 +104,7 @@ FAMILIES: dict[str, list[str]] = {
         "ann_ivfadc_residual_topk",
         "ivf_pq_store_probe",
         "ivf_pq_store_incremental",
+        "ivf_pq_store_frozen",
         "hybrid_rrf_search",
         "mmr_diverse_topk",
         "pca_top_components",
@@ -157,6 +158,8 @@ FAMILIES: dict[str, list[str]] = {
         "llm_prep_pipeline_v4",
         "domain_epoch_allocation",
         "llm_prep_pipeline_v5",
+        "substring_dedup_spans",
+        "substring_dedup_docs",
     ],
     # multimodal decode seams (Arrow mapInPandas)
     "multimodal": [
@@ -250,6 +253,7 @@ def main() -> None:
         "split_store_train_counts",
         "ivf_pq_store_probe",
         "ivf_pq_store_incremental",
+        "ivf_pq_store_frozen",
     ):
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 

@@ -905,6 +905,37 @@ def r12b_experiment(spark, sf_dir: str, out_dir: str) -> None:
     _print_table(results, FACTORS)
 
 
+def r12c_experiment(spark, sf_dir: str, out_dir: str) -> None:
+    """Exact-substring-dedup curve (VERDICT r11 #5 'Done' clause): time
+    substring_dedup_docs and the hash-trusting span_dup_stats stand-in
+    it supersedes over the salted replicas. Salting keeps replicas
+    token-disjoint, so the duplicated-window universe (and hence the
+    phase-2 text-verify volume) is replica-local — the honest linear
+    setup; the interesting number is how much the exact verify costs
+    over the trust-the-hash baseline."""
+    from yamr_spark.operators import curation as C
+
+    ops = {
+        "span_dup_stats[hash-trusting]": lambda df: C.span_dup_stats(df),
+        "substring_dedup_docs[text-verified]": lambda df: C.substring_dedup_docs(df),
+    }
+    paths = build_scaled(spark, sf_dir, out_dir)
+    results: dict[str, dict[int, float]] = {}
+    for k in FACTORS:
+        docs = spark.read.parquet(paths[k])
+        docs.count()
+        for name, fn in ops.items():
+            best = None
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                fn(docs).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[k] = round(best, 2)
+            print(json.dumps({"op": name, "factor": k, "sec": round(best, 2)}))
+    _print_table(results, FACTORS)
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = pos[0] if pos else os.environ.get(
@@ -967,6 +998,10 @@ def main() -> None:
         return
     if "--r12b" in sys.argv:
         r12b_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
+    if "--r12c" in sys.argv:
+        r12c_experiment(spark, sf_dir, out_dir)
         spark.stop()
         return
     if "--recall" in sys.argv:
