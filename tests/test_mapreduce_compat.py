@@ -169,3 +169,65 @@ def test_compat_overhead_bounded(spark, sf_dir):
             f"ratio {t_shim / t_native:.2f} not meaningful"
         )
     assert t_shim <= 1.5 * t_native + 0.5, (t_shim, t_native)
+
+
+def test_reference_partition_id_vectors():
+    """Pin the exact partitioner against the reference's own test
+    vectors (/root/reference/tests/test_partition.py:43-47) plus the
+    Mapper.partition groupings (:22-45, regions are get_partition+1)."""
+    from yamr_spark.compat.mapreduce import reference_partition_id as pid
+
+    assert pid("aa", 3) == 2
+    assert pid("moasold", 3) == 1
+    assert pid("bbsa", 4) == 1
+    # test_partition_for_two: n=2 → {1: [bb], 2: [aa, cc, mm]}
+    assert pid("bb", 2) + 1 == 1
+    assert all(pid(k, 2) + 1 == 2 for k in ("aa", "cc", "mm"))
+    # test_partition_for_tree: n=3
+    assert pid("innopolis", 3) + 1 == 1
+    assert pid("moscow", 3) + 1 == 2
+    assert pid("kazan", 3) + 1 == 3
+    assert pid("nlll", 3) + 1 == 3
+    # arbitrary precision: a 1 KB key must not overflow
+    assert 0 <= pid("x" * 1024, 7) < 7
+
+
+def test_reference_partitioner_region_layout(spark):
+    """Region composition under partitioner='reference' is byte-
+    identical to the reference: a cross-key reducer observes EXACTLY
+    the reference's region membership (a merged or split region would
+    change its per-region output)."""
+    from yamr_spark.compat.mapreduce import reference_partition_id as pid
+
+    df = spark.createDataFrame([("innopolis moscow kazan nlll",)], ["text"])
+    got = run_job(
+        spark,
+        df,
+        WordCountMapper(),
+        RegionStatsReducer(),
+        mode="region",
+        num_regions=3,
+        partitioner="reference",
+    )
+    # reference layout: region 0 = {innopolis}, 1 = {moscow},
+    # 2 = {kazan, nlll} → cross-key reducer emits counts 1, 1, 2
+    expected = {}
+    for k in ("innopolis", "moscow", "kazan", "nlll"):
+        expected.setdefault(pid(k, 3), set()).add(k)
+    counts = sorted(len(v) for v in expected.values())
+    assert sorted(v for _, v in got.collect()) == counts == [1, 1, 2]
+
+
+@pytest.mark.parametrize("partitioner", ["spark", "reference"])
+def test_partitioner_choice_same_answer(spark, partitioner):
+    df = spark.createDataFrame([("aa yy jj aa",), ("aa cc yy jj aa",)], ["text"])
+    got = run_job(
+        spark,
+        df,
+        WordCountMapper(),
+        SumReducer(),
+        mode="region",
+        num_regions=3,
+        partitioner=partitioner,
+    )
+    assert dict(got.collect()) == {"aa": 4, "yy": 2, "jj": 2, "cc": 1}

@@ -436,6 +436,7 @@ _R13_BACKFILL: list[str] = [
     "substring_dedup_spans",
     "substring_dedup_docs",
     "ivf_pq_store_frozen",
+    "compat_year_max_refpart",
 ]
 
 # ROUND-12 WINDOW (the driver checks the first 50 of queries()):
