@@ -160,6 +160,7 @@ FAMILIES: dict[str, list[str]] = {
         "llm_prep_pipeline_v5",
         "substring_dedup_spans",
         "substring_dedup_docs",
+        "dedup_ladder",
     ],
     # multimodal decode seams (Arrow mapInPandas)
     "multimodal": [

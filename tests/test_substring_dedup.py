@@ -71,3 +71,26 @@ def test_owner_keeps_even_with_many_copies(spark):
     assert out[5]["dropped_tokens"] == 0
     assert out[7]["dropped_tokens"] == 12
     assert out[9]["dropped_tokens"] == 12
+
+
+def test_dedup_ladder_rungs(spark):
+    """Each rung removes exactly what the previous cannot see."""
+    from yamr_spark.operators.curation import dedup_ladder
+
+    rows = [
+        (1, f"{_SHARED} unique tail"),
+        (2, f"{_SHARED} unique tail"),          # byte-exact dup of 1
+        (3, f"  {_SHARED}   UNIQUE\ttail "),    # normalized dup of 1
+        (4, f"prefix words {_SHARED} suffix"),  # span-level overlap only
+        (5, "nothing shared here at all in this one document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["stage"]: r for r in dedup_ladder(df, width=8).collect()}
+    assert out["00_raw"]["n_docs"] == 5
+    assert out["01_exact"]["n_docs"] == 4      # doc 2 gone
+    assert out["02_normalized"]["n_docs"] == 3  # doc 3 gone
+    assert out["03_substring"]["n_docs"] == 3   # docs stay
+    # doc 4 loses the 12 shared tokens to doc 1 at the substring rung
+    assert (
+        out["02_normalized"]["n_tokens"] - out["03_substring"]["n_tokens"] == 12
+    )

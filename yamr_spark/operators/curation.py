@@ -449,6 +449,61 @@ def substring_dedup_docs(docs: DataFrame, width: int = 8) -> DataFrame:
     )
 
 
+def dedup_ladder(docs: DataFrame, width: int = 8) -> DataFrame:
+    """The three-granularity DEDUP LADDER, composed and accounted as a
+    funnel: (stage, n_docs, n_tokens) for 00_raw → 01_exact (byte-
+    identical texts, keep lowest doc_id) → 02_normalized (survivors
+    sharing a trim/collapse/lowercase hash, keep lowest) → 03_substring
+    (span-level exact substring dedup over the survivors — documents
+    stay, duplicated spans' tokens leave). Each rung removes exactly
+    what the previous one cannot see: byte dedup misses case/whitespace
+    variants, normalization misses partial overlap, substring dedup
+    prices the overlap in tokens.
+
+    Scale: rungs 1-2 are hash-keyed groupBy-min joins (64-byte keys,
+    bodies never move); rung 3 is substring_dedup_docs' two-phase
+    shuffle; the funnel report is four 1-row aggregates unioned."""
+    n_tok = F.expr(f"cast(size({_TOKS}) as bigint)")
+    base = docs.select("doc_id", "text", n_tok.alias("n_tok"))
+
+    exact_keep = (
+        base.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = base.join(exact_keep, "doc_id")
+
+    collapsed = F.regexp_replace(
+        F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+", " "
+    )
+    norm_keep = (
+        s1.select("doc_id", F.sha2(F.lower(collapsed), 256).alias("nh"))
+        .groupBy("nh")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(norm_keep, "doc_id")
+
+    from yamr_spark.materialize import materialize
+
+    s2m = materialize(s2)
+    led = substring_dedup_docs(s2m.select("doc_id", "text"), width=width)
+
+    def _stage(name, df, tok_col):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum(tok_col), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+
+    return (
+        _stage("00_raw", base, "n_tok")
+        .unionByName(_stage("01_exact", s1, "n_tok"))
+        .unionByName(_stage("02_normalized", s2m, "n_tok"))
+        .unionByName(_stage("03_substring", led, "kept_tokens"))
+    )
+
+
 def split_col(
     id_col: str = "doc_id", train_lt: int = 205, val_lt: int = 230
 ):

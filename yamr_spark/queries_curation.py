@@ -1609,3 +1609,91 @@ def q_substring_dedup_docs(spark, sf_dir):
     dropped spans/tokens under the keep-lowest-doc rule, and the kept
     fraction — the corpus-shrinkage number a dedup pipeline reports."""
     return C.substring_dedup_docs(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ladder",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    base AS MATERIALIZED (
+      SELECT d.doc_id, d.text, CAST(len(k.t) AS BIGINT) AS n_tok
+      FROM documents d JOIN toks k USING (doc_id)
+    ),
+    e1 AS (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY sha256(text)),
+    s1 AS MATERIALIZED (SELECT base.* FROM base JOIN e1 USING (doc_id)),
+    n1 AS (
+      SELECT MIN(doc_id) AS doc_id FROM (
+        SELECT doc_id,
+               sha256(lower(regexp_replace(trim(text),
+                 '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS nh
+        FROM s1
+      ) GROUP BY nh
+    ),
+    s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN n1 USING (doc_id)),
+    stoks AS (SELECT t.doc_id, t.t FROM toks t JOIN s2 USING (doc_id)),
+    lpos AS (
+      SELECT doc_id, t, unnest(range(len(t) - 8 + 1)) + 1 AS s
+      FROM stoks WHERE len(t) >= 8
+    ),
+    lwt AS MATERIALIZED (
+      SELECT doc_id, CAST(s AS BIGINT) AS s,
+             array_to_string(t[s : s + 7], ' ') AS wt
+      FROM lpos
+    ),
+    lown AS (
+      SELECT wt, MIN(doc_id) AS owner
+      FROM (SELECT DISTINCT doc_id, wt FROM lwt)
+      GROUP BY wt HAVING COUNT(*) >= 2
+    ),
+    ldrp AS (
+      SELECT DISTINCT w.doc_id, w.s
+      FROM lwt w JOIN lown o USING (wt)
+      WHERE w.doc_id <> o.owner
+    ),
+    llag AS (
+      SELECT doc_id, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+      FROM ldrp
+    ),
+    lisl AS (
+      SELECT doc_id, s,
+             SUM(CASE WHEN prev IS NULL OR s > prev + 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM llag
+    ),
+    lspans AS (
+      SELECT doc_id, CAST(MAX(s) - MIN(s) + 8 AS BIGINT) AS span_tokens
+      FROM lisl GROUP BY doc_id, isl
+    ),
+    ldrop AS (
+      SELECT doc_id, SUM(span_tokens) AS dropped FROM lspans GROUP BY doc_id
+    ),
+    lkept AS (
+      SELECT s2.doc_id, s2.n_tok - COALESCE(l.dropped, 0) AS kept
+      FROM s2 LEFT JOIN ldrop l USING (doc_id)
+    )
+    SELECT stage, n_docs, n_tokens FROM (
+      SELECT '00_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM base
+      UNION ALL
+      SELECT '01_exact', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(n_tok) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT '02_normalized', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(n_tok) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT '03_substring', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(kept) AS BIGINT) FROM lkept
+    ) u
+    """,
+)
+def q_dedup_ladder(spark, sf_dir):
+    """The three-granularity dedup ladder as one certified funnel:
+    byte-exact (keep lowest doc) → normalization-aware (case/
+    whitespace variants) → span-level exact substring dedup (documents
+    stay, duplicated spans' tokens leave). Each rung removes exactly
+    what the previous cannot see; the report is (stage, n_docs,
+    n_tokens) per rung — the corpus-shrinkage ledger a dedup pipeline
+    publishes."""
+    return C.dedup_ladder(table(spark, sf_dir, "documents"))

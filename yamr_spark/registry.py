@@ -437,6 +437,7 @@ _R13_BACKFILL: list[str] = [
     "substring_dedup_docs",
     "ivf_pq_store_frozen",
     "compat_year_max_refpart",
+    "dedup_ladder",
 ]
 
 # ROUND-12 WINDOW (the driver checks the first 50 of queries()):
