@@ -161,6 +161,7 @@ FAMILIES: dict[str, list[str]] = {
         "substring_dedup_spans",
         "substring_dedup_docs",
         "dedup_ladder",
+        "substring_dedup_incremental",
     ],
     # multimodal decode seams (Arrow mapInPandas)
     "multimodal": [

@@ -94,3 +94,33 @@ def test_dedup_ladder_rungs(spark):
     assert (
         out["02_normalized"]["n_tokens"] - out["03_substring"]["n_tokens"] == 12
     )
+
+
+def test_incremental_index_owns(spark):
+    """The standing corpus owns by definition: a new doc repeating an
+    index run drops it; new-only runs survive; cross-NEW duplication is
+    NOT dropped (it is the batch's own content until ingested)."""
+    from yamr_spark.operators.curation import substring_dedup_incremental
+
+    idx = spark.createDataFrame(
+        [(100, f"standing corpus holds {_SHARED} forever")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, f"fresh intro {_SHARED} fresh outro"),
+            (3, "entirely novel content with no overlap whatsoever here"),
+            # docs 5 and 7 share a run ONLY with each other, not the index
+            (5, "pp qq rr ss tt uu vv ww xx yy zz one"),
+            (7, "pp qq rr ss tt uu vv ww xx yy zz two"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup_incremental(new, idx, width=8).collect()
+    }
+    assert set(out) == {1, 3, 5, 7}
+    assert out[1]["dropped_tokens"] == 12
+    assert out[3]["dropped_tokens"] == 0
+    assert out[5]["dropped_tokens"] == 0 and out[7]["dropped_tokens"] == 0

@@ -449,6 +449,128 @@ def substring_dedup_docs(docs: DataFrame, width: int = 8) -> DataFrame:
     )
 
 
+def substring_dedup_incremental(
+    new_docs: DataFrame, index_docs: DataFrame, width: int = 8
+) -> DataFrame:
+    """Incremental exact substring dedup: a NEW batch against a
+    STANDING corpus — the daily-ingest shape for the substring family
+    (exact-hash analogue: incremental_dedup; fingerprint analogue:
+    winnow_incremental). The standing corpus owns by definition: any
+    ``width``-token window of a new document whose exact TEXT occurs
+    anywhere in the index is dropped from the new document; overlapping
+    dropped windows merge into maximal spans. Returns the per-new-doc
+    ledger (doc_id, n_tokens, n_dropped_spans, dropped_tokens,
+    kept_tokens, kept_frac) over ALL new docs.
+
+    Scale: the batch's window hashes semi-join the index's hash set
+    (8-byte keys; the index side is the corpus-sized one and is where a
+    production deployment persists the hash set, bucketed); window TEXT
+    is rebuilt and compared only for hash-colliding windows — batch-
+    side duplication volume, never corpus volume."""
+    from yamr_spark.materialize import materialize
+
+    def _wins(docs: DataFrame) -> DataFrame:
+        toks = docs.select("doc_id", F.expr(_TOKS).alias("__toks")).select(
+            "doc_id",
+            F.size("__toks").cast("long").alias("n_tokens"),
+            "__toks",
+        )
+        win_struct = (
+            f"transform(sequence(1, size(__toks) - {width} + 1), "
+            f"s -> struct(cast(s as bigint) AS s, "
+            f"{hash60_sql(f'concat_ws(chr(32), slice(__toks, s, {width}))')} AS h))"
+        )
+        return toks.filter(F.col("n_tokens") >= width), win_struct
+
+    new_toks, new_ws = _wins(new_docs)
+    idx_toks, idx_ws = _wins(index_docs)
+    new_toks, idx_toks = materialize(new_toks), materialize(idx_toks)
+
+    new_wins = materialize(
+        new_toks.select("doc_id", F.explode(F.expr(new_ws)).alias("w")).select(
+            "doc_id", F.col("w.s").alias("s"), F.col("w.h").alias("h")
+        )
+    )
+    idx_h = (
+        idx_toks.select(F.explode(F.expr(idx_ws)).alias("w"))
+        .select(F.col("w.h").alias("h"))
+        .distinct()
+    )
+    cand = new_wins.join(idx_h, "h", "left_semi")
+
+    def _texts(toks: DataFrame, pos: DataFrame) -> DataFrame:
+        per = pos.groupBy("doc_id").agg(F.collect_list("s").alias("ss"))
+        wt_struct = (
+            f"transform(ss, s -> struct(s AS s, "
+            f"concat_ws(chr(32), slice(__toks, cast(s as int), {width})) AS wt))"
+        )
+        return (
+            per.join(toks, "doc_id")
+            .select("doc_id", F.explode(F.expr(wt_struct)).alias("w"))
+            .select("doc_id", F.col("w.s").alias("s"), F.col("w.wt").alias("wt"))
+        )
+
+    new_txt = _texts(new_toks, cand)
+    # index side: texts only for hashes the BATCH carries (semi-join back)
+    idx_wins = idx_toks.select(
+        "doc_id", F.explode(F.expr(idx_ws)).alias("w")
+    ).select("doc_id", F.col("w.s").alias("s"), F.col("w.h").alias("h"))
+    idx_cand = idx_wins.join(
+        new_wins.select("h").distinct(), "h", "left_semi"
+    )
+    idx_txt = _texts(idx_toks, idx_cand).select("wt").distinct()
+
+    dropped = new_txt.join(idx_txt, "wt", "left_semi").select("doc_id", "s")
+    w1 = Window.partitionBy("doc_id").orderBy("s")
+    isl = (
+        dropped.distinct()
+        .withColumn("prev", F.lag("s").over(w1))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("s") > F.col("prev") + width), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "isl",
+            F.sum("brk").over(w1.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    spans = isl.groupBy("doc_id", "isl").agg(
+        (F.max("s") - F.min("s") + width).cast("long").alias("span_tokens")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dropped_spans"),
+        F.sum("span_tokens").cast("long").alias("dropped_tokens"),
+    )
+    counts = new_docs.select(
+        "doc_id", F.expr(f"cast(size({_TOKS}) as bigint)").alias("n_tokens")
+    )
+    return (
+        counts.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dropped_spans", F.lit(0).cast("long")).alias(
+                "n_dropped_spans"
+            ),
+            F.coalesce("dropped_tokens", F.lit(0).cast("long")).alias(
+                "dropped_tokens"
+            ),
+            (F.col("n_tokens") - F.coalesce("dropped_tokens", F.lit(0))).cast(
+                "long"
+            ).alias("kept_tokens"),
+        )
+        .withColumn(
+            "kept_frac",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("kept_tokens") / F.col("n_tokens"), 6),
+            ).otherwise(F.lit(1.0)),
+        )
+    )
+
+
 def dedup_ladder(docs: DataFrame, width: int = 8) -> DataFrame:
     """The three-granularity DEDUP LADDER, composed and accounted as a
     funnel: (stage, n_docs, n_tokens) for 00_raw → 01_exact (byte-

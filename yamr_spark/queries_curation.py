@@ -1697,3 +1697,77 @@ def q_dedup_ladder(spark, sf_dir):
     n_tokens) per rung — the corpus-shrinkage ledger a dedup pipeline
     publishes."""
     return C.dedup_ladder(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "substring_dedup_incremental",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    ntoks AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+    itoks AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+    npos AS (
+      SELECT doc_id, t, unnest(range(len(t) - 8 + 1)) + 1 AS s
+      FROM ntoks WHERE len(t) >= 8
+    ),
+    nwt AS MATERIALIZED (
+      SELECT doc_id, CAST(s AS BIGINT) AS s,
+             array_to_string(t[s : s + 7], ' ') AS wt
+      FROM npos
+    ),
+    ipos AS (
+      SELECT doc_id, t, unnest(range(len(t) - 8 + 1)) + 1 AS s
+      FROM itoks WHERE len(t) >= 8
+    ),
+    iwt AS MATERIALIZED (
+      SELECT DISTINCT array_to_string(t[s : s + 7], ' ') AS wt FROM ipos
+    ),
+    idrp AS (
+      SELECT DISTINCT n.doc_id, n.s FROM nwt n JOIN iwt USING (wt)
+    ),
+    ilag AS (
+      SELECT doc_id, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+      FROM idrp
+    ),
+    iisl AS (
+      SELECT doc_id, s,
+             SUM(CASE WHEN prev IS NULL OR s > prev + 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM ilag
+    ),
+    ispans AS (
+      SELECT doc_id, CAST(MAX(s) - MIN(s) + 8 AS BIGINT) AS span_tokens
+      FROM iisl GROUP BY doc_id, isl
+    ),
+    iper AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_dropped_spans,
+             CAST(SUM(span_tokens) AS BIGINT) AS dropped_tokens
+      FROM ispans GROUP BY doc_id
+    ),
+    icnt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM ntoks)
+    SELECT c.doc_id, c.n_tokens,
+           CAST(COALESCE(p.n_dropped_spans, 0) AS BIGINT) AS n_dropped_spans,
+           CAST(COALESCE(p.dropped_tokens, 0) AS BIGINT) AS dropped_tokens,
+           CAST(c.n_tokens - COALESCE(p.dropped_tokens, 0) AS BIGINT)
+             AS kept_tokens,
+           CASE WHEN c.n_tokens > 0
+                THEN CAST(ROUND((c.n_tokens - COALESCE(p.dropped_tokens, 0))
+                                * 1.0 / c.n_tokens, 6) AS DOUBLE)
+                ELSE CAST(1.0 AS DOUBLE) END AS kept_frac
+    FROM icnt c LEFT JOIN iper p USING (doc_id)
+    """,
+)
+def q_substring_dedup_incremental(spark, sf_dir):
+    """Incremental exact substring dedup, daily-ingest shape: even
+    doc_ids play the standing corpus (it owns by definition), odd ids
+    the new batch; per-new-doc span ledger. Completes the incremental
+    trio next to incremental_dedup (byte-exact) and winnow_incremental
+    (fingerprint) — now every dedup granularity has a standing-index
+    form."""
+    docs = table(spark, sf_dir, "documents")
+    return C.substring_dedup_incremental(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+    )

@@ -438,6 +438,7 @@ _R13_BACKFILL: list[str] = [
     "ivf_pq_store_frozen",
     "compat_year_max_refpart",
     "dedup_ladder",
+    "substring_dedup_incremental",
 ]
 
 # ROUND-12 WINDOW (the driver checks the first 50 of queries()):
