@@ -544,3 +544,56 @@ def test_exact_global_rank_is_sorted_position(spark, vals, n_parts):
         for pos, (v, id_) in enumerate(sorted((v, i) for i, v in rows))
     }
     assert got == want
+
+
+# --- exact substring dedup vs a brute-force python model -------------
+
+_sd_tok = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_sd_doc = st.lists(_sd_tok, min_size=0, max_size=14)
+_sd_corpus = st.lists(_sd_doc, min_size=2, max_size=5)
+
+
+def _sd_model(docs_tokens, width):
+    """Brute-force keep-lowest-doc substring dedup over token lists."""
+    from collections import defaultdict
+
+    occ = defaultdict(set)  # window text -> set of doc ids
+    for d, toks in enumerate(docs_tokens):
+        for s in range(len(toks) - width + 1):
+            occ[tuple(toks[s : s + width])].add(d)
+    dup_owner = {w: min(ds) for w, ds in occ.items() if len(ds) >= 2}
+    out = {}
+    for d, toks in enumerate(docs_tokens):
+        dropped_pos = set()
+        for s in range(len(toks) - width + 1):
+            w = tuple(toks[s : s + width])
+            if w in dup_owner and dup_owner[w] != d:
+                dropped_pos.update(range(s, s + width))
+        # maximal dropped spans == count of contiguous runs
+        runs = 0
+        prev = None
+        for p in sorted(dropped_pos):
+            if prev is None or p != prev + 1:
+                runs += 1
+            prev = p
+        out[d] = (len(toks), runs, len(dropped_pos))
+    return out
+
+
+@given(corpus=_sd_corpus)
+@_SETTINGS
+def test_substring_dedup_matches_bruteforce(spark, corpus):
+    from yamr_spark.operators.curation import substring_dedup_docs
+
+    width = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        int(r["doc_id"]): (
+            int(r["n_tokens"]),
+            int(r["n_dropped_spans"]),
+            int(r["dropped_tokens"]),
+        )
+        for r in substring_dedup_docs(df, width=width).collect()
+    }
+    assert got == _sd_model(corpus, width)
