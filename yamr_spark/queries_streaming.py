@@ -691,3 +691,102 @@ def q_streaming_kmv_distinct(spark, sf_dir):
     # restart against the committed checkpoint: must not change the store
     stream_kmv_to_store(stream_events(spark, sf_dir), "user_id", store, ckpt, k=64)
     return read_kmv_store(spark, store, k=64)
+
+
+@register(
+    "streaming_substring_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}_]+'),
+                         x -> length(x) > 0) AS t
+      FROM documents
+    ),
+    wpos AS (
+      SELECT doc_id, t, unnest(range(len(t) - 8 + 1)) + 1 AS s
+      FROM toks WHERE len(t) >= 8
+    ),
+    wwt AS MATERIALIZED (
+      SELECT doc_id, CAST(s AS BIGINT) AS s,
+             array_to_string(t[s : s + 7], ' ') AS wt
+      FROM wpos
+    ),
+    hits AS (
+      SELECT DISTINCT n.doc_id, n.s
+      FROM wwt n JOIN wwt e ON n.wt = e.wt
+      WHERE (n.doc_id % 4 = 1 AND e.doc_id % 2 = 0)
+         OR (n.doc_id % 4 = 3 AND (e.doc_id % 2 = 0 OR e.doc_id % 4 = 1))
+    ),
+    hlag AS (
+      SELECT doc_id, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+      FROM hits
+    ),
+    hisl AS (
+      SELECT doc_id, s,
+             SUM(CASE WHEN prev IS NULL OR s > prev + 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM hlag
+    ),
+    hspans AS (
+      SELECT doc_id, CAST(MAX(s) - MIN(s) + 8 AS BIGINT) AS span_tokens
+      FROM hisl GROUP BY doc_id, isl
+    ),
+    hper AS (
+      SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dropped_tokens
+      FROM hspans GROUP BY doc_id
+    ),
+    hcnt AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+      FROM toks WHERE doc_id % 2 = 1 AND len(t) >= 8
+    )
+    SELECT c.doc_id, c.n_tokens,
+           CAST(COALESCE(p.dropped_tokens, 0) AS BIGINT) AS dropped_tokens
+    FROM hcnt c LEFT JOIN hper p USING (doc_id)
+    """,
+)
+def q_streaming_substring_index(spark, sf_dir):
+    """Online exact substring dedup: a window-index SERVICE over an
+    arriving document stream — the span-granularity member of the
+    streaming dedup family (LSH: streaming_lsh_incremental; exact-hash:
+    streaming upsert). Even doc_ids seed the standing window index; odd
+    docs arrive in two deterministic micro-batches (doc_id%4==1 then
+    %4==3). Each batch's per-doc dropped-span ledger is computed
+    against STRICTLY EARLIER state, then its windows join the index —
+    batch 2 matches batch 1's windows, the incremental property the
+    oracle replays in closed form. Same setup-marker + always-drain
+    discipline as the LSH stream."""
+    import os
+    import shutil
+
+    from yamr_spark.streaming.substring import (
+        build_window_index,
+        read_ledgers,
+        stream_substring_into_index,
+    )
+    from yamr_spark.streaming.lsh import stage_stream_files
+    from yamr_spark.tmpdirs import session_dir
+
+    docs = table(spark, sf_dir, "documents")
+    base = session_dir(f"stream_substr:{sf_dir}", "yamr_stream_substr_")
+    index_dir = os.path.join(base, "index")
+    stream_dir = os.path.join(base, "stream")
+    results_dir = os.path.join(base, "results")
+    ckpt = os.path.join(base, "ckpt")
+    staged_ok = os.path.join(base, "_staged_ok")
+    if not os.path.exists(staged_ok):
+        for d in (index_dir, stream_dir, results_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+        build_window_index(docs.where(F.col("doc_id") % 2 == 0), index_dir)
+        stage_stream_files(
+            docs,
+            stream_dir,
+            [F.col("doc_id") % 4 == 1, F.col("doc_id") % 4 == 3],
+        )
+        with open(staged_ok, "w"):
+            pass
+    stream_substring_into_index(
+        spark, stream_dir, docs.schema, index_dir, results_dir, ckpt
+    )
+    return read_ledgers(spark, results_dir)

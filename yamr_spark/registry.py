@@ -439,6 +439,7 @@ _R13_BACKFILL: list[str] = [
     "compat_year_max_refpart",
     "dedup_ladder",
     "substring_dedup_incremental",
+    "streaming_substring_index",
 ]
 
 # ROUND-12 WINDOW (the driver checks the first 50 of queries()):
