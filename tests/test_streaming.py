@@ -577,3 +577,64 @@ def test_streaming_lsh_recovers_index_after_compaction_crash(spark, sf_dir, tmp_
     # index = recovered pre-crash rows + the new batch's bands; residue gone
     assert spark.read.parquet(index_dir).count() > index_rows
     assert not os.path.exists(old) and not os.path.exists(tmp)
+
+
+def test_streaming_substring_incremental_and_restart(spark, sf_dir, tmp_path):
+    """The substring window-index service drops spans against strictly
+    earlier state only (the incremental property), its ledgers equal
+    the batch operator's answer computed per batch, and a restart
+    against the committed checkpoint replays nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yamr_spark.operators.curation import substring_dedup_incremental
+    from yamr_spark.streaming.lsh import stage_stream_files
+    from yamr_spark.streaming.substring import (
+        build_window_index,
+        read_ledgers,
+        stream_substring_into_index,
+    )
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    index_dir = str(tmp_path / "index")
+    stream_dir = str(tmp_path / "stream")
+    results_dir = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+    build_window_index(docs.where(F.col("doc_id") % 2 == 0), index_dir)
+    stage_stream_files(
+        docs, stream_dir, [F.col("doc_id") % 4 == 1, F.col("doc_id") % 4 == 3]
+    )
+    stream_substring_into_index(
+        spark, stream_dir, docs.schema, index_dir, results_dir, ckpt
+    )
+    got = {
+        int(r.doc_id): (int(r.n_tokens), int(r.dropped_tokens))
+        for r in read_ledgers(spark, results_dir).collect()
+    }
+    # batch operator replay: batch 1 vs index0; batch 2 vs index0+batch1
+    b1 = substring_dedup_incremental(
+        docs.where(F.col("doc_id") % 4 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+    )
+    b2 = substring_dedup_incremental(
+        docs.where(F.col("doc_id") % 4 == 3),
+        docs.where((F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 4 == 1)),
+    )
+    want = {}
+    for df in (b1, b2):
+        for r in df.collect():
+            if r.n_tokens >= 8:  # the stream ledger covers windowed docs
+                want[int(r.doc_id)] = (int(r.n_tokens), int(r.dropped_tokens))
+    assert got == want
+
+    # restart: committed checkpoint, no new files -> nothing replays
+    n_res = len([f for f in os.listdir(results_dir) if f.endswith(".parquet")])
+    stream_substring_into_index(
+        spark, stream_dir, docs.schema, index_dir, results_dir, ckpt
+    )
+    assert (
+        len([f for f in os.listdir(results_dir) if f.endswith(".parquet")])
+        == n_res
+    )
