@@ -162,6 +162,7 @@ FAMILIES: dict[str, list[str]] = {
         "substring_dedup_docs",
         "dedup_ladder",
         "substring_dedup_incremental",
+        "substring_dedup_chars",
     ],
     # multimodal decode seams (Arrow mapInPandas)
     "multimodal": [

@@ -124,3 +124,25 @@ def test_incremental_index_owns(spark):
     assert out[1]["dropped_tokens"] == 12
     assert out[3]["dropped_tokens"] == 0
     assert out[5]["dropped_tokens"] == 0 and out[7]["dropped_tokens"] == 0
+
+
+def test_char_granularity_catches_boundary_straddle(spark):
+    """A duplicate that tokenizes differently (punctuation variant)
+    is invisible to word windows but caught at char granularity."""
+    from yamr_spark.operators.curation import substring_dedup_chars
+
+    run = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, f"{run} plus unique content here"),
+            # same byte run embedded elsewhere
+            (2, f"INTRO>>{run}<<OUTRO"),
+            (3, "completely different text with no shared character runs"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup_chars(df, length=40).collect()}
+    assert out[1]["dropped_chars"] == 0  # owner keeps
+    assert out[2]["dropped_chars"] == len(run)  # maximal merged span
+    assert out[2]["n_dropped_spans"] == 1
+    assert out[3]["dropped_chars"] == 0

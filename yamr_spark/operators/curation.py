@@ -571,6 +571,122 @@ def substring_dedup_incremental(
     )
 
 
+def substring_dedup_chars(docs: DataFrame, length: int = 40) -> DataFrame:
+    """Exact substring dedup at CHARACTER granularity — the literal
+    Lee et al. (arXiv:2107.06499) unit (their suffix array indexes the
+    byte stream; the token-window variant is the word-level
+    approximation). Every ``length``-char window at every offset; a
+    window is duplicated when its exact text occurs in >= 2 documents;
+    keep-lowest-doc ownership; overlapping dropped windows merge into
+    maximal character spans. Returns the per-doc ledger (doc_id,
+    n_chars, n_dropped_spans, dropped_chars, kept_chars, kept_frac)
+    over ALL documents.
+
+    Same two-phase shuffle as the token form: phase 1 is 8-byte window
+    hashes at corpus-character cardinality; phase 2 rebuilds window
+    TEXT (via one substr per candidate offset against the doc's own
+    string — a 1:1 join on doc_id, no text replication per row) only
+    for hash-duplicated windows. Char granularity costs ~5× the token
+    form's row count (chars vs words) and catches duplicates token
+    windows miss: overlaps that straddle word boundaries differently
+    (hyphenation, punctuation variants) or shorter than width words."""
+    from yamr_spark.materialize import materialize
+
+    base = materialize(
+        docs.select(
+            "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+        )
+    )
+    win_struct = (
+        f"transform(sequence(1, length(text) - {length} + 1), "
+        f"s -> struct(cast(s as bigint) AS s, "
+        f"{hash60_sql(f'substring(text, s, {length})')} AS h))"
+    )
+    wins = materialize(
+        base.filter(F.col("n_chars") >= length)
+        .select("doc_id", F.explode(F.expr(win_struct)).alias("w"))
+        .select("doc_id", F.col("w.s").alias("s"), F.col("w.h").alias("h"))
+    )
+    dup_h = (
+        wins.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    cand_pos = (
+        wins.join(dup_h, "h").groupBy("doc_id").agg(F.collect_list("s").alias("ss"))
+    )
+    wt_struct = (
+        f"transform(ss, s -> struct(s AS s, "
+        f"substring(text, cast(s as int), {length}) AS wt))"
+    )
+    cand_txt = (
+        cand_pos.join(base, "doc_id")
+        .select("doc_id", F.explode(F.expr(wt_struct)).alias("w"))
+        .select("doc_id", F.col("w.s").alias("s"), F.col("w.wt").alias("wt"))
+    )
+    verified = (
+        cand_txt.select("wt", "doc_id")
+        .distinct()
+        .groupBy("wt")
+        .agg(F.count("*").alias("nd"), F.min("doc_id").alias("owner"))
+        .where(F.col("nd") >= 2)
+        .select("wt", "owner")
+    )
+    dropped = (
+        cand_txt.join(verified, "wt")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "s")
+        .distinct()
+    )
+    w1 = Window.partitionBy("doc_id").orderBy("s")
+    isl = (
+        dropped.withColumn("prev", F.lag("s").over(w1))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("s") > F.col("prev") + length), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "isl", F.sum("brk").over(w1.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    spans = isl.groupBy("doc_id", "isl").agg(
+        (F.max("s") - F.min("s") + length).cast("long").alias("span_chars")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dropped_spans"),
+        F.sum("span_chars").cast("long").alias("dropped_chars"),
+    )
+    return (
+        base.select("doc_id", "n_chars")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_dropped_spans", F.lit(0).cast("long")).alias(
+                "n_dropped_spans"
+            ),
+            F.coalesce("dropped_chars", F.lit(0).cast("long")).alias(
+                "dropped_chars"
+            ),
+            (F.col("n_chars") - F.coalesce("dropped_chars", F.lit(0))).cast(
+                "long"
+            ).alias("kept_chars"),
+        )
+        .withColumn(
+            "kept_frac",
+            F.when(
+                F.col("n_chars") > 0,
+                F.round(F.col("kept_chars") / F.col("n_chars"), 6),
+            ).otherwise(F.lit(1.0)),
+        )
+    )
+
+
 def dedup_ladder(docs: DataFrame, width: int = 8) -> DataFrame:
     """The three-granularity DEDUP LADDER, composed and accounted as a
     funnel: (stage, n_docs, n_tokens) for 00_raw → 01_exact (byte-

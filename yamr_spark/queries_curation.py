@@ -1771,3 +1771,72 @@ def q_substring_dedup_incremental(spark, sf_dir):
         docs.where(F.col("doc_id") % 2 == 1),
         docs.where(F.col("doc_id") % 2 == 0),
     )
+
+
+@register(
+    "substring_dedup_chars",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    cpos AS (
+      SELECT doc_id, text, unnest(range(length(text) - 40 + 1)) + 1 AS s
+      FROM base WHERE n_chars >= 40
+    ),
+    cwt AS MATERIALIZED (
+      SELECT doc_id, CAST(s AS BIGINT) AS s,
+             substr(text, CAST(s AS INT), 40) AS wt
+      FROM cpos
+    ),
+    cown AS (
+      SELECT wt, MIN(doc_id) AS owner
+      FROM (SELECT DISTINCT doc_id, wt FROM cwt)
+      GROUP BY wt HAVING COUNT(*) >= 2
+    ),
+    cdrp AS (
+      SELECT DISTINCT w.doc_id, w.s
+      FROM cwt w JOIN cown o USING (wt)
+      WHERE w.doc_id <> o.owner
+    ),
+    clag AS (
+      SELECT doc_id, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+      FROM cdrp
+    ),
+    cisl AS (
+      SELECT doc_id, s,
+             SUM(CASE WHEN prev IS NULL OR s > prev + 40 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM clag
+    ),
+    cspans AS (
+      SELECT doc_id, CAST(MAX(s) - MIN(s) + 40 AS BIGINT) AS span_chars
+      FROM cisl GROUP BY doc_id, isl
+    ),
+    cper AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_dropped_spans,
+             CAST(SUM(span_chars) AS BIGINT) AS dropped_chars
+      FROM cspans GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_chars,
+           CAST(COALESCE(p.n_dropped_spans, 0) AS BIGINT) AS n_dropped_spans,
+           CAST(COALESCE(p.dropped_chars, 0) AS BIGINT) AS dropped_chars,
+           CAST(b.n_chars - COALESCE(p.dropped_chars, 0) AS BIGINT)
+             AS kept_chars,
+           CASE WHEN b.n_chars > 0
+                THEN CAST(ROUND((b.n_chars - COALESCE(p.dropped_chars, 0))
+                                * 1.0 / b.n_chars, 6) AS DOUBLE)
+                ELSE CAST(1.0 AS DOUBLE) END AS kept_frac
+    FROM base b LEFT JOIN cper p USING (doc_id)
+    """,
+)
+def q_substring_dedup_chars(spark, sf_dir):
+    """Exact substring dedup at CHARACTER granularity (40-char windows,
+    every offset) — the literal Lee et al. unit next to the word-window
+    form: catches duplicates that straddle word boundaries differently
+    or are shorter than width words. Same verified two-phase plan;
+    per-doc character-shrinkage ledger over all documents."""
+    return C.substring_dedup_chars(table(spark, sf_dir, "documents"))

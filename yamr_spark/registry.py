@@ -440,6 +440,7 @@ _R13_BACKFILL: list[str] = [
     "dedup_ladder",
     "substring_dedup_incremental",
     "streaming_substring_index",
+    "substring_dedup_chars",
 ]
 
 # ROUND-12 WINDOW (the driver checks the first 50 of queries()):
