@@ -443,25 +443,83 @@ _R13_BACKFILL: list[str] = [
     "substring_dedup_chars",
 ]
 
-# ROUND-12 WINDOW (the driver checks the first 50 of queries()):
-# exactly the r11 verdict's #2 plan ("clear _R12_BACKFILL").
-# Slots 1-19: _R12_BACKFILL — the 4 late ANN-family entries and the 11
-# r11-continuation registrations (all never-stamped; never-certified is
-# a strictly worse state than stale-certified, and all 15 are already
-# ALL-MATCH under the driver replica), plus the 4 r05 stamps displaced
-# from the r11 window. Slots 20-50: the 31 alphabetically-first r06
-# stamps (the oldest remaining cohort). 19 + 31 = 50 exactly.
-# r12's own registrations queue in _R13_BACKFILL below the window.
-DRIVER_PRIORITY = _R12_BACKFILL + _R06_RESTAMPS
+# The r07-stamp cohort is now the oldest (43 queries; the r06 cohort
+# shrinks to the 7-entry tail after the r12 window restamped 31 + the
+# earlier windows the rest). The alphabetically-first 35 fill the r13
+# window behind the backfill + tail; the 8-entry remainder heads the
+# r14 stale queue.
+_R07_RESTAMPS = [
+    "active_custkeys_intersect",
+    "cdc_latest_state",
+    "click_purchase_full",
+    "combine_per_key",
+    "cube_pricing",
+    "customers_with_orders",
+    "customers_without_orders",
+    "dedup_groups",
+    "dedup_keep_best",
+    "dedup_lineitem_rows",
+    "distinct_parts_per_flag",
+    "doc_fingerprint",
+    "embedding_norms",
+    "forecast_revenue",
+    "inactive_custkeys_except",
+    "kmv_distinct_users_per_type",
+    "kmv_set_ops_customers",
+    "kv_json_render",
+    "lang_id",
+    "max_per_key",
+    "minhash_band_pairs",
+    "minhash_signatures",
+    "neardup_triangles",
+    "order_gap_days",
+    "order_priority_counts",
+    "orders_above_avg",
+    "pagerank_near_dup",
+    "pareto_skyline_parts",
+    "pca_top_component",
+    "quality_score",
+    "range_frame_revenue",
+    "rank_customers_in_nation",
+    "returned_revenue_by_customer",
+    "rollup_pricing",
+    "sparse_cosine_linkage_pairs",
+]
+_R07_TAIL = [
+    "sparse_cosine_pairs",
+    "streaming_lsh_incremental",
+    "sum_per_key",
+    "supplier_nation_volume",
+    "token_stats",
+    "top_orders",
+    "top_words",
+    "union_mapper_outputs",
+]
+
+# Queries registered during round 13 itself (build order): never-stamped,
+# so they head the post-window queue per the debt rule — they take r14
+# window slots before any stale restamp.
+_R14_BACKFILL: list[str] = []
+
+# ROUND-13 WINDOW (the driver checks the first 50 of queries()):
+# exactly the r12 verdict's #1 + #6 plan. Slots 1-8: _R13_BACKFILL —
+# the 8 round-12 registrations, never-stamped (all ALL-MATCH under the
+# r12 judge's replica run). Slots 9-15: _R06_TAIL — the 7 remaining r06
+# stamps, the oldest cohort. Slots 16-50: the 35 alphabetically-first
+# r07 stamps (the next-oldest cohort). 8 + 7 + 35 = 50 exactly.
+# r13's own registrations queue in _R14_BACKFILL below the window.
+DRIVER_PRIORITY = _R13_BACKFILL + _R06_TAIL + _R07_RESTAMPS
 for _n in (
-    _R13_BACKFILL
-    + _R06_TAIL
+    _R14_BACKFILL
+    + _R07_TAIL
+    + _R12_BACKFILL
     + _R11_BACKFILL
     + ["ann_ivf_pq_topk", "ann_recall_at_k"]
     + _R05_RESTAMPS
     + _R10_BACKFILL
     + _R04_RESTAMPS
     + _R08_BACKFILL
+    + _R06_RESTAMPS
 ):
     if _n not in DRIVER_PRIORITY:
         DRIVER_PRIORITY.append(_n)
