@@ -638,3 +638,93 @@ def test_streaming_substring_incremental_and_restart(spark, sf_dir, tmp_path):
         len([f for f in os.listdir(results_dir) if f.endswith(".parquet")])
         == n_res
     )
+
+    # full replay (ADVICE r12 crash window): a FRESH checkpoint re-runs
+    # every batch against an index that already contains those batches'
+    # own windows. The probe's own-batch_id exclusion must keep the
+    # recomputed ledgers byte-identical (no self-matching), and the
+    # dynamic partition overwrite must not duplicate index rows.
+    idx_rows = spark.read.parquet(index_dir).count()
+    import shutil
+
+    shutil.rmtree(ckpt)
+    stream_substring_into_index(
+        spark, stream_dir, docs.schema, index_dir, results_dir, ckpt
+    )
+    got_replay = {
+        int(r.doc_id): (int(r.n_tokens), int(r.dropped_tokens))
+        for r in read_ledgers(spark, results_dir).collect()
+    }
+    assert got_replay == want
+    assert spark.read.parquet(index_dir).count() == idx_rows
+
+
+def test_streaming_substring_index_compaction(spark, sf_dir, tmp_path):
+    """Bounded-index mode: folding committed batch partitions into one
+    distinct-window partition preserves served matches exactly (a new
+    batch over the compacted index equals the batch-operator replay),
+    and the fold removes cross-batch duplicate windows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yamr_spark.operators.curation import substring_dedup_incremental
+    from yamr_spark.streaming.lsh import stage_stream_files
+    from yamr_spark.streaming.substring import (
+        build_window_index,
+        compact_window_index,
+        read_ledgers,
+        stream_substring_into_index,
+    )
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    index_dir = str(tmp_path / "index")
+    stream_dir = str(tmp_path / "stream")
+    results_dir = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+    build_window_index(docs.where(F.col("doc_id") % 2 == 0), index_dir)
+    # batch 0 overlaps the seed (doc_id%4==0 docs re-arrive): cross-batch
+    # duplicate windows exist, so the fold must actually shrink the store
+    stage_stream_files(
+        docs, stream_dir, [F.col("doc_id") % 4 == 0, F.col("doc_id") % 4 == 1]
+    )
+    stream_substring_into_index(
+        spark, stream_dir, docs.schema, index_dir, results_dir, ckpt
+    )
+    pre = spark.read.parquet(index_dir)
+    n_pre = pre.count()
+    n_distinct = pre.select("h", "wt").distinct().count()
+    assert n_distinct < n_pre  # duplicates across partitions exist
+    # stream drained (availableNow terminated) -> clean-stop fold of all
+    folded = compact_window_index(
+        spark, index_dir, upto=10**9, stream_stopped=True
+    )
+    assert folded == 3  # seed + 2 batches
+    assert spark.read.parquet(index_dir).count() == n_distinct
+    assert len([d for d in os.listdir(index_dir) if d.startswith("batch_id=")]) == 1
+
+    # new batch over the compacted index == batch-operator replay
+    stage_stream_files(docs, stream_dir + "2", [F.col("doc_id") % 4 == 3])
+    stream_substring_into_index(
+        spark, stream_dir + "2", docs.schema, index_dir, results_dir + "2",
+        ckpt + "2",
+    )
+    got = {
+        int(r.doc_id): (int(r.n_tokens), int(r.dropped_tokens))
+        for r in read_ledgers(spark, results_dir + "2").collect()
+    }
+    b = substring_dedup_incremental(
+        docs.where(F.col("doc_id") % 4 == 3),
+        docs.where(
+            (F.col("doc_id") % 2 == 0)
+            | (F.col("doc_id") % 4 == 0)
+            | (F.col("doc_id") % 4 == 1)
+        ),
+    )
+    want = {
+        int(r.doc_id): (int(r.n_tokens), int(r.dropped_tokens))
+        for r in b.collect()
+        if r.n_tokens >= 8
+    }
+    assert got == want

@@ -13,15 +13,39 @@ hash prunes the join, the text equality keeps it EXACT (the substring
 family's contract: no 60-bit-collision false positives at any corpus
 size).
 
-Scale: the index holds one row per DISTINCT window — (h BIGINT,
-wt ~60 B) ≈ tokens × 70 bytes, the price of substring granularity
-(Lee et al.'s suffix arrays are ~8× corpus bytes; this is comparable
-and partitionable). At 100 TB the index is bucketed on h so the
-per-batch probe joins exchange-free on the standing side; per batch
-the work is batch-windows × (one hash join + text verify) + one
-append. New docs match only STRICTLY EARLIER state (read before
-append), so results are deterministic given the batch sequence and the
-closed-form oracle replay holds (batch k matches index0 ∪ batches<k).
+Index layout & lifecycle: the index is a ``batch_id=`` partitioned
+store (seed corpus = ``batch_id=-1``, each micro-batch its own
+partition) — the same layout as the CMS/KMV delta stores, so it shares
+their crash-safe prefix compaction (``sketch_compact.compact_prefix``
+with ``substring_merge``): committed batch partitions fold into ONE
+distinct-(h, wt) partition, bounding the store at one row per DISTINCT
+window no matter how many batches re-contribute the same windows. A
+compacted index serves identical matches (window matching is
+set-semantics over (h, wt); distinct-union is associative and
+prefix-safe).
+
+Scale: one row per DISTINCT window — (h BIGINT, wt ~60 B) ≈ tokens ×
+70 bytes, the price of substring granularity (Lee et al.'s suffix
+arrays are ~8× corpus bytes; this is comparable and partitionable).
+At 100 TB the index is additionally bucketed on h so the per-batch
+probe joins exchange-free on the standing side; per batch the work is
+batch-windows × (one hash join + text verify) + one partition
+overwrite. New docs match only STRICTLY EARLIER state, so results are
+deterministic given the batch sequence and the closed-form oracle
+replay holds (batch k matches index0 ∪ batches<k).
+
+Delivery contract (at-least-once made idempotent, ADVICE r12): a
+foreachBatch replay must recompute the SAME ledger rows it committed
+before the crash. Two mechanisms guarantee that even when the crash
+fell between the index write and the checkpoint commit: (1) the probe
+EXCLUDES the probing batch's own ``batch_id`` partition, so a replayed
+batch never self-matches against the windows its crashed attempt
+already appended; (2) both writes are idempotent — the index write is
+a dynamic partition OVERWRITE of exactly ``batch_id=<bid>`` (replay
+replaces, never duplicates) and the ledger rows are byte-identical on
+replay, so ``read_ledgers``'s distinct() collapses them. This holds
+for PERSISTENT directories across process restarts, not just fresh
+tmpdirs.
 """
 
 from __future__ import annotations
@@ -33,6 +57,7 @@ from pyspark.sql import functions as F
 
 from yamr_spark.functions import hash60_sql
 from yamr_spark.operators.curation import _TOKS
+from yamr_spark.streaming.sketch_compact import compact_prefix, recover
 
 _WIDTH = 8
 
@@ -61,11 +86,45 @@ def _window_table(docs: DataFrame, width: int = _WIDTH) -> DataFrame:
     )
 
 
+def _write_index_partition(df: DataFrame, index_dir: str, batch_id: int) -> None:
+    """Overwrite exactly the ``batch_id=<batch_id>`` partition with the
+    distinct (h, wt) windows of ``df`` — idempotent under replay."""
+    (
+        df.select("h", "wt")
+        .distinct()
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(index_dir)
+    )
+
+
 def build_window_index(docs: DataFrame, index_dir: str, width: int = _WIDTH) -> None:
-    """Materialize the standing window index: DISTINCT (h, wt) rows."""
-    _window_table(docs, width).select("h", "wt").distinct().write.mode(
-        "overwrite"
-    ).parquet(index_dir)
+    """Materialize the standing window index seed: DISTINCT (h, wt)
+    rows under the ``batch_id=-1`` partition (stream batches never use
+    negative ids, so the seed is always probed and never folded away
+    from under an in-flight batch)."""
+    _write_index_partition(_window_table(docs, width), index_dir, -1)
+
+
+def substring_merge(df: DataFrame) -> DataFrame:
+    """Distinct (h, wt) union — the window index's associative,
+    prefix-safe reduction for ``sketch_compact.compact_prefix``."""
+    return df.select("h", "wt").distinct()
+
+
+def compact_window_index(
+    spark: SparkSession, index_dir: str, upto: int, stream_stopped: bool = False
+) -> int:
+    """Fold committed ``batch_id`` partitions (id <= ``upto``) into one
+    distinct-window partition — bounds the index at one row per
+    DISTINCT window. Same replay contract as the sketch stores: pass
+    ``upto`` strictly below the newest batch id unless the stream is
+    cleanly stopped."""
+    return compact_prefix(
+        spark, index_dir, substring_merge, upto, stream_stopped=stream_stopped
+    )
 
 
 def _ledger(wins: DataFrame, hits: DataFrame, width: int) -> DataFrame:
@@ -112,31 +171,34 @@ def stream_substring_into_index(
     width: int = _WIDTH,
 ) -> None:
     """Drain the staged document stream: per micro-batch, compute each
-    doc's dropped-span ledger against the standing window index, append
-    the ledgers to ``results_dir``, then append the batch's distinct
-    windows to the index. Delivery contract mirrors streaming/lsh.py:
-    availableNow + checkpoint is at-least-once with idempotent results
-    (``read_ledgers`` applies distinct(); a replayed batch re-appends
-    identical ledger rows and duplicate index windows, which cannot
-    change later matches — window matching is set-semantics)."""
+    doc's dropped-span ledger against the standing window index
+    (EXCLUDING the batch's own partition, so a replayed batch never
+    matches windows its crashed attempt appended — see the module
+    docstring's delivery contract), append the ledgers to
+    ``results_dir``, then overwrite the batch's ``batch_id=`` index
+    partition with its distinct windows."""
 
-    def _ingest(batch_df: DataFrame, _bid: int) -> None:
+    def _ingest(batch_df: DataFrame, bid: int) -> None:
         wins = _window_table(batch_df, width)
         wins.persist()
         try:
+            recover(index_dir)  # finish any interrupted compaction
             has_index = os.path.isdir(index_dir) and any(
-                f.startswith("part-") or f.endswith(".parquet")
-                for f in os.listdir(index_dir)
+                f.startswith("batch_id=") for f in os.listdir(index_dir)
             )
             if has_index:
-                idx = spark.read.parquet(index_dir)
+                # batch_id is a partition column: the != bid filter is
+                # directory pruning, and it is the replay-correctness
+                # exclusion (a crashed attempt's own windows live in
+                # exactly the batch_id=<bid> partition).
+                idx = spark.read.parquet(index_dir).where(
+                    F.col("batch_id") != int(bid)
+                )
                 hits = wins.join(idx, ["h", "wt"], "left_semi")
             else:
                 hits = wins.limit(0)
             _ledger(wins, hits, width).write.mode("append").parquet(results_dir)
-            wins.select("h", "wt").distinct().write.mode("append").parquet(
-                index_dir
-            )
+            _write_index_partition(wins, index_dir, bid)
         finally:
             wins.unpersist()
 
@@ -154,7 +216,8 @@ def stream_substring_into_index(
 
 def read_ledgers(spark: SparkSession, results_dir: str) -> DataFrame:
     """The accumulated per-doc ledgers, exact under at-least-once
-    delivery via distinct()."""
+    delivery via distinct() (replayed batches recompute byte-identical
+    rows — module docstring, delivery contract)."""
     return (
         spark.read.parquet(results_dir)
         .select("doc_id", "n_tokens", "dropped_tokens")
