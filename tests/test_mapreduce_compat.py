@@ -190,6 +190,11 @@ def test_reference_partition_id_vectors():
     assert pid("nlll", 3) + 1 == 3
     # arbitrary precision: a 1 KB key must not overflow
     assert 0 <= pid("x" * 1024, 7) < 7
+    # empty key: descriptive error, not int('', 16)'s opaque one
+    # (the reference crashes on '' too — parity is the crash, the
+    # message is ours)
+    with pytest.raises(ValueError, match="empty-string key"):
+        pid("", 3)
 
 
 def test_reference_partitioner_region_layout(spark):

@@ -70,10 +70,23 @@ def reference_partition_id(key: Any, n: int) -> int:
     why the exact replica lives Python-side — the compat region path is
     already a Python seam. Pinned against the reference's own test
     vectors (/root/reference/tests/test_partition.py:43-47) in
-    tests/test_mapreduce_compat.py."""
+    tests/test_mapreduce_compat.py.
+
+    An empty-string key is rejected with a descriptive error: the
+    reference crashes identically (int('', 16) raises deep inside its
+    scheduler), so allowing it would not be parity — but the reference's
+    traceback is opaque, and inside an RDD lambda ours would be worse
+    (ADVICE r12). Mappers must not emit '' as a key."""
     from binascii import hexlify
 
-    return int(hexlify(str(key).encode("utf-8")), 16) % n
+    s = str(key).encode("utf-8")
+    if not s:
+        raise ValueError(
+            "reference_partition_id: empty-string key — the reference "
+            "partitioner (hash_partitioner.py) cannot hash '' (int('', 16) "
+            "raises there too); fix the mapper to never emit an empty key"
+        )
+    return int(hexlify(s), 16) % n
 
 
 def run_job(

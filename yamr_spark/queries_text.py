@@ -157,7 +157,17 @@ def _winnow_fps_bucketed(spark, sf_dir: str):
         for stale in [k for k in _WINNOW_BUCKET_CACHE if k[0] != key[0]]:
             del _WINNOW_BUCKET_CACHE[stale]
         fps = _winnow_fps_shared(spark, sf_dir).select("doc_id", "fp").distinct()
-        name = "winnow_fps_b_" + _re.sub(r"\W", "_", sf_dir).strip("_")
+        # Name carries the applicationId (mirroring the cache key, ADVICE
+        # r12): concurrent sessions sharing a warehouse must never share
+        # a table location, or one session's stage would clobber the
+        # other's live table mid-read.
+        app = _re.sub(r"\W", "_", spark.sparkContext.applicationId).strip("_")
+        name = (
+            "winnow_fps_b_"
+            + _re.sub(r"\W", "_", sf_dir).strip("_")
+            + "_"
+            + app
+        )
         # idempotent across PROCESSES: a previous session's managed-table
         # location survives in spark-warehouse and saveAsTable refuses to
         # reuse it — drop the catalog entry AND the leftover directory
