@@ -67,6 +67,22 @@ def test_load_job_script_rejects_incomplete(tmp_path):
         assert "Reducer" in str(e)
 
 
+def test_render_capped_truncates_with_warning(spark, tmp_path, capsys):
+    """The CLI's default cap: over-cap results truncate (sorted prefix)
+    with a stderr note; cap=None is the unbounded reference mode."""
+    from yamr_spark.cli import render_capped
+
+    inp, script = _write_fixture(tmp_path)
+    df = run_script_job(spark, inp, script)  # 5 distinct keys
+    lines = render_capped(df, cap=3)
+    assert lines == ["cat: 2", "dog: 1", "ran: 1"]
+    assert "truncated at 3 rows" in capsys.readouterr().err
+    assert len(render_capped(df, cap=None)) == 5
+    # exactly-at-cap: no truncation, no warning
+    assert len(render_capped(df, cap=5)) == 5
+    assert "truncated" not in capsys.readouterr().err
+
+
 def test_cli_help_smoke():
     """`python -m yamr_spark --help` exits 0 without starting a JVM."""
     out = subprocess.run(

@@ -106,6 +106,23 @@ def render_result(df: DataFrame, limit: int | None = None) -> list[str]:
     return [f"{r['key']}: {r['value']}" for r in rows]
 
 
+def render_capped(df: DataFrame, cap: int | None) -> list[str]:
+    """render_result behind the CLI's default safety cap (VERDICT r12
+    #7): over-fetch ONE row past the cap to detect truncation without a
+    second count job, warn on stderr, and never collect an unbounded
+    result unless the caller explicitly passed cap=None (--limit 0, the
+    reference-faithful mode)."""
+    lines = render_result(df, limit=cap + 1 if cap else None)
+    if cap and len(lines) > cap:
+        lines = lines[:cap]
+        print(
+            f"... output truncated at {cap} rows "
+            "(pass --limit 0 for the full result)",
+            file=sys.stderr,
+        )
+    return lines
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="python -m yamr_spark",
@@ -124,12 +141,17 @@ def main(argv: list[str] | None = None) -> int:
         "--chunks", action="store_true",
         help="feed run_map whole files (reference chunk semantics)",
     )
-    runp.add_argument("--limit", type=int, default=None, help="max printed rows")
+    limit_help = (
+        "max printed rows (default 10000 — a terminal-print safety cap, "
+        "VERDICT r12 #7; pass 0 for the reference-faithful unbounded "
+        "print, which collects the ENTIRE result to the driver)"
+    )
+    runp.add_argument("--limit", type=int, default=10000, help=limit_help)
 
     resp = sub.add_parser("task-result", help="print a finished result dir")
     resp.add_argument("result_dir")
     resp.add_argument("--value-type", default="double")
-    resp.add_argument("--limit", type=int, default=None)
+    resp.add_argument("--limit", type=int, default=10000, help=limit_help)
 
     args = p.parse_args(argv)
 
@@ -137,6 +159,7 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("yamr_spark_cli")
     try:
+        cap = args.limit if args.limit > 0 else None
         if args.cmd == "run":
             df = run_script_job(
                 spark,
@@ -152,16 +175,14 @@ def main(argv: list[str] | None = None) -> int:
 
                 df = df.cache()  # one execution serves both sink and print
                 write_result_json(df, args.output)
-            for line in render_result(df, limit=args.limit):
-                print(line)
         else:
             from yamr_spark.sources import read_result_json
 
             df = read_result_json(
                 spark, args.result_dir, value_type=args.value_type
             )
-            for line in render_result(df, limit=args.limit):
-                print(line)
+        for line in render_capped(df, cap):
+            print(line)
     finally:
         spark.stop()
     return 0

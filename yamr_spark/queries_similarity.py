@@ -1341,6 +1341,10 @@ _PQ_CTES = """
       FROM dists WHERE vec_id < 10
     )"""
 
+# Size of the fixed training prefix for the frozen-param IVF×PQ build
+# (ivf_pq_store_frozen and the recall panel's ivf_pq_frozen method).
+_FROZEN_TRAIN_N = 256
+
 # IVF probe/assign blocks (c=8 lowest-id centroids, nprobe=2) — the
 # exact replay the ann_ivf_topk oracle uses, shared here.
 _IVF_CTES = f"""
@@ -1627,10 +1631,137 @@ _RESID_CTES = """
         FROM kivfadc
       ) t WHERE rnk <= 5
     ),
+    fztvecs AS MATERIALIZED (
+      SELECT * FROM vecs WHERE vec_id < {_FROZEN_TRAIN_N}
+    ),
+    fzseeds AS (
+      SELECT vec_id AS centroid_id, v AS cvec FROM fztvecs ORDER BY vec_id LIMIT 8
+    ),
+    fzka AS (
+      SELECT vec_id, centroid_id, v FROM (
+        SELECT t.vec_id, s.centroid_id, t.v,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                  ORDER BY {_COS.format(a="t.v", b="s.cvec")} DESC,
+                                           s.centroid_id) AS rn
+        FROM fztvecs t CROSS JOIN fzseeds s
+      ) x WHERE rn = 1
+    ),
+    fzcdim AS (
+      SELECT centroid_id, v, unnest(range(len(v))) AS dim FROM fzka
+    ),
+    fzcm AS (
+      SELECT centroid_id, dim, ROUND(AVG(v[dim + 1]), 6) AS value
+      FROM fzcdim GROUP BY centroid_id, dim
+    ),
+    fzcents AS MATERIALIZED (
+      SELECT centroid_id, list(value ORDER BY dim) AS cvec
+      FROM fzcm GROUP BY centroid_id
+    ),
+    fzprobes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_COS.format(a="q.qv", b="c.cvec")} DESC,
+                                           c.centroid_id) AS rn
+        FROM q CROSS JOIN fzcents c
+      ) t WHERE rn <= 2
+    ),
+    fzassign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_COS.format(a="v.v", b="c.cvec")} DESC,
+                                           c.centroid_id) AS rn
+        FROM vecs v CROSS JOIN fzcents c
+      ) t WHERE rn = 1
+    ),
+    fztseeds AS (
+      SELECT vec_id, v,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code_id
+      FROM fztvecs ORDER BY vec_id LIMIT 16
+    ),
+    fzbooks0 AS (
+      SELECT CAST(t.s AS INT) AS sub, code_id,
+             v[t.s*16+1 : t.s*16+16] AS cvec
+      FROM fztseeds CROSS JOIN (SELECT unnest(range(4)) AS s) t
+    ),
+    fztsubs AS MATERIALIZED (
+      SELECT * FROM vsubs WHERE vec_id < {_FROZEN_TRAIN_N}
+    ),
+    fzdists0 AS MATERIALIZED (
+      SELECT vec_id, sub, code_id,
+             list_sum(list_transform(range(16), i ->
+               (vsub[i+1] - cvec[i+1]) * (vsub[i+1] - cvec[i+1]))) AS l2
+      FROM fztsubs JOIN fzbooks0 USING (sub)
+    ),
+    fzcodes0 AS (
+      SELECT vec_id, sub, code_id FROM (
+        SELECT vec_id, sub, code_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY l2, code_id) AS rn
+        FROM fzdists0
+      ) WHERE rn = 1
+    ),
+    fzkdim AS (
+      SELECT c.sub, c.code_id, vs.vsub, CAST(t.dim AS INT) AS dim
+      FROM fzcodes0 c
+      JOIN fztsubs vs ON vs.vec_id = c.vec_id AND vs.sub = c.sub
+      CROSS JOIN (SELECT unnest(range(16)) AS dim) t
+    ),
+    fzkmeans AS (
+      SELECT sub, code_id, dim, ROUND(AVG(vsub[dim + 1]), 6) AS value
+      FROM fzkdim GROUP BY sub, code_id, dim
+    ),
+    fzbooks AS MATERIALIZED (
+      SELECT sub, code_id, list(value ORDER BY dim) AS cvec
+      FROM fzkmeans GROUP BY sub, code_id
+    ),
+    fzdists AS MATERIALIZED (
+      SELECT vec_id, sub, code_id,
+             list_sum(list_transform(range(16), i ->
+               (vsub[i+1] - cvec[i+1]) * (vsub[i+1] - cvec[i+1]))) AS l2
+      FROM vsubs JOIN fzbooks USING (sub)
+    ),
+    fzcodes AS (
+      SELECT vec_id AS neighbor_id, sub, code_id FROM (
+        SELECT vec_id, sub, code_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY l2, code_id) AS rn
+        FROM fzdists
+      ) WHERE rn = 1
+    ),
+    fzlut AS (
+      SELECT vec_id AS query_id, sub, code_id,
+             CAST(ROUND(l2, 9) AS DECIMAL(28,9)) AS l2r
+      FROM fzdists WHERE vec_id < 10
+    ),
+    fzqlut AS (
+      SELECT p.query_id, p.centroid_id, l.sub, l.code_id, l.l2r
+      FROM fzprobes p JOIN fzlut l USING (query_id)
+    ),
+    fzcelled AS (
+      SELECT c.neighbor_id, a.centroid_id, c.sub, c.code_id
+      FROM fzcodes c JOIN fzassign a ON a.vec_id = c.neighbor_id
+    ),
+    fzivfadc AS (
+      SELECT query_id, neighbor_id, SUM(l2r) AS adist_dec
+      FROM fzcelled JOIN fzqlut USING (centroid_id, sub, code_id)
+      WHERE neighbor_id != query_id
+      GROUP BY query_id, neighbor_id
+    ),
+    fztop AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist_dec, neighbor_id) AS rnk
+        FROM fzivfadc
+      ) t WHERE rnk <= 5
+    ),
     appr AS (
       SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
       UNION ALL SELECT 'ivf_pq', query_id, neighbor_id FROM ivfpqtop
       UNION ALL SELECT 'ivf_pq_kmeans', query_id, neighbor_id FROM kivfpqtop
+      UNION ALL SELECT 'ivf_pq_frozen', query_id, neighbor_id FROM fztop
       UNION ALL SELECT 'pq_adc', query_id, neighbor_id FROM pqtop
       UNION ALL SELECT 'quantized', query_id, neighbor_id FROM qtop
       UNION ALL SELECT 'ivfadc_residual', query_id, neighbor_id FROM residtop
@@ -1653,8 +1784,11 @@ _RESID_CTES = """
 def q_ann_recall_at_k(spark, sf_dir):
     """Certified recall@5 of every approximate ANN path — including
     the kmeans-TRAINED-codebook IVF×PQ (so the training lift is a
-    driver-certified number) and the residual-form IVFADC (so the
-    residual trick's lift is too) — against the brute-force ground truth
+    driver-certified number), the residual-form IVFADC (so the
+    residual trick's lift is too), and the production FROZEN-param
+    build (so a frozen index with degraded recall cannot pass the
+    exactness gates unmeasured; VERDICT r12 #2) — against the
+    brute-force ground truth
     over the 10 fixture queries — turns the
     family's docstring recall bounds into a measured, driver-certified,
     regression-guarded number (VERDICT r10 #3). Deterministic by
@@ -1676,6 +1810,15 @@ def q_ann_recall_at_k(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     cents, assign = _ivf_shared(spark, sf_dir, c=8)
     truth = materialize(S.brute_force_topk(emb).select("query_id", "neighbor_id"))
+    # the production FROZEN build's params (VERDICT r12 #2): centroids +
+    # codebooks trained on the fixed 256-vector prefix, full corpus
+    # assigned under them — exactly ivf_pq_store_frozen's ranking, so
+    # the frozen index's RECALL is a certified panel row, not just its
+    # exactness
+    sample = emb.filter(F.col("vec_id") < _FROZEN_TRAIN_N)
+    fzcents = materialize(S.kmeans_centroid_vectors(sample, c=8, iters=1))
+    fzbooks = materialize(S.pq_codebooks_kmeans(sample))
+    fzassign = materialize(S.ivf_assign(emb, cents=fzcents))
     methods = [
         ("ivf", S.ivf_topk(emb, cents=cents, assign=assign)),
         ("ivf_pq", S.ivf_pq_topk(emb, cents=cents, assign=assign)),
@@ -1684,6 +1827,12 @@ def q_ann_recall_at_k(spark, sf_dir):
             S.ivf_pq_topk(
                 emb, cents=cents, assign=assign,
                 books=S.pq_codebooks_kmeans(emb),
+            ),
+        ),
+        (
+            "ivf_pq_frozen",
+            S.ivf_pq_topk(
+                emb, cents=fzcents, assign=fzassign, books=fzbooks
             ),
         ),
         ("pq_adc", S.pq_adc_topk(emb)),
@@ -1933,7 +2082,8 @@ def q_ivf_pq_store_incremental(spark, sf_dir):
 # build is one broadcast assignment + encode pass — LINEAR in n, with
 # no n^1.5 term (the adaptive c=sqrt(n) harness variant trains on the
 # whole corpus per run; see SCALE.md "frozen-c" curve).
-_FROZEN_TRAIN_N = 256
+# (_FROZEN_TRAIN_N itself is defined above _IVF_CTES — the recall
+# panel's oracle f-string interpolates it too.)
 _IVF_PQ_FROZEN_ORACLE = f"""
     WITH {_VECS_CTE},
     tvecs AS MATERIALIZED (SELECT * FROM vecs WHERE vec_id < {_FROZEN_TRAIN_N}),
