@@ -483,9 +483,9 @@ _R07_RESTAMPS = [
     "rank_customers_in_nation",
     "returned_revenue_by_customer",
     "rollup_pricing",
-    "sparse_cosine_linkage_pairs",
 ]
 _R07_TAIL = [
+    "sparse_cosine_linkage_pairs",
     "sparse_cosine_pairs",
     "streaming_lsh_incremental",
     "sum_per_key",
@@ -502,13 +502,20 @@ _R07_TAIL = [
 _R14_BACKFILL: list[str] = []
 
 # ROUND-13 WINDOW (the driver checks the first 50 of queries()):
-# exactly the r12 verdict's #1 + #6 plan. Slots 1-8: _R13_BACKFILL —
-# the 8 round-12 registrations, never-stamped (all ALL-MATCH under the
-# r12 judge's replica run). Slots 9-15: _R06_TAIL — the 7 remaining r06
-# stamps, the oldest cohort. Slots 16-50: the 35 alphabetically-first
-# r07 stamps (the next-oldest cohort). 8 + 7 + 35 = 50 exactly.
+# exactly the r12 verdict's #1 + #6 plan, plus one changed-plan
+# restamp. Slot 1-8: _R13_BACKFILL — the 8 round-12 registrations,
+# never-stamped (all ALL-MATCH under the r12 judge's replica run).
+# Slot 9: ann_recall_at_k — its OUTPUT changed this round (7th panel
+# row: the frozen-param build, VERDICT r12 #2), and a changed plan must
+# earn a fresh stamp (the r09 quality_stratified_sample precedent); its
+# r11 stamp certifies a 6-row result that no longer exists. Slots
+# 10-16: _R06_TAIL — the 7 remaining r06 stamps, the oldest cohort.
+# Slots 17-50: the 34 alphabetically-first r07 stamps (the next-oldest
+# cohort; the displaced 35th heads _R07_TAIL). 8 + 1 + 7 + 34 = 50.
 # r13's own registrations queue in _R14_BACKFILL below the window.
-DRIVER_PRIORITY = _R13_BACKFILL + _R06_TAIL + _R07_RESTAMPS
+DRIVER_PRIORITY = (
+    _R13_BACKFILL + ["ann_recall_at_k"] + _R06_TAIL + _R07_RESTAMPS
+)
 for _n in (
     _R14_BACKFILL
     + _R07_TAIL
