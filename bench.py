@@ -163,6 +163,7 @@ FAMILIES: dict[str, list[str]] = {
         "dedup_ladder",
         "substring_dedup_incremental",
         "substring_dedup_chars",
+        "substring_dedup_minimized",
     ],
     # multimodal decode seams (Arrow mapInPandas)
     "multimodal": [

@@ -936,6 +936,38 @@ def r12c_experiment(spark, sf_dir: str, out_dir: str) -> None:
     _print_table(results, FACTORS)
 
 
+def r13_experiment(spark, sf_dir: str, out_dir: str) -> None:
+    """Minimizer-anchored vs dense char substring dedup (VERDICT r12 #4
+    'Done' clause): both forms over the salted replicas. The dense form
+    shuffles a hash row per char OFFSET; the anchored form computes
+    winnowing selection map-side and shuffles only anchors (~2/(w+1) of
+    offsets = ~8% at w=25) — the curve shows whether that w/2-fold
+    phase-1 cut survives end-to-end."""
+    from yamr_spark.operators import curation as C
+
+    ops = {
+        "substring_dedup_chars[dense]": lambda df: C.substring_dedup_chars(df),
+        "substring_dedup_minimized[anchored]": (
+            lambda df: C.substring_dedup_minimized(df)
+        ),
+    }
+    paths = build_scaled(spark, sf_dir, out_dir)
+    results: dict[str, dict[int, float]] = {}
+    for k in FACTORS:
+        docs = spark.read.parquet(paths[k])
+        docs.count()
+        for name, fn in ops.items():
+            best = None
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                fn(docs).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[k] = round(best, 2)
+            print(json.dumps({"op": name, "factor": k, "sec": round(best, 2)}))
+    _print_table(results, FACTORS)
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = pos[0] if pos else os.environ.get(
@@ -1002,6 +1034,10 @@ def main() -> None:
         return
     if "--r12c" in sys.argv:
         r12c_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
+    if "--r13" in sys.argv:
+        r13_experiment(spark, sf_dir, out_dir)
         spark.stop()
         return
     if "--recall" in sys.argv:

@@ -146,3 +146,75 @@ def test_char_granularity_catches_boundary_straddle(spark):
     assert out[2]["dropped_chars"] == len(run)  # maximal merged span
     assert out[2]["n_dropped_spans"] == 1
     assert out[3]["dropped_chars"] == 0
+
+
+def test_minimized_guarantee_and_exactness(spark):
+    """Minimizer-anchored form: any >= w+k-1 = 40-char cross-doc
+    duplicate MUST flag in the non-owner (winnowing guarantee), every
+    flagged span must lie inside a true shared byte run (text-verified,
+    zero false positives), and unique docs flag nothing."""
+    from yamr_spark.operators.curation import substring_dedup_minimized
+
+    run = "the quick brown fox jumps over the lazy dog again and again"
+    assert len(run) >= 40
+    df = spark.createDataFrame(
+        [
+            (1, f"{run} plus unique content here"),
+            (2, f"INTRO>>{run}<<OUTRO"),
+            (3, "completely different text with no shared character runs"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in substring_dedup_minimized(df).collect()
+    }
+    assert out[1]["flagged_chars"] == 0  # owner keeps
+    assert out[3]["flagged_chars"] == 0  # unique doc untouched
+    # guarantee: the >=40-char duplicate flags in doc 2 ...
+    assert out[2]["n_flagged_spans"] >= 1
+    # ... and exactness: flagged coverage never exceeds the true shared
+    # run (anchors verify by text; doc 2's only shared bytes are `run`)
+    assert 0 < out[2]["flagged_chars"] <= len(run)
+
+
+def test_minimized_subguarantee_duplicates_may_skip(spark):
+    """Below k chars a shared run can never verify (no shared 16-gram
+    exists when contexts differ right at the boundary): flags stay 0."""
+    from yamr_spark.operators.curation import substring_dedup_minimized
+
+    short = "tiny shared bit"  # 15 chars < k=16
+    df = spark.createDataFrame(
+        [
+            (1, f"aaaa {short} bbbb unique left context padding words"),
+            (2, f"cccc {short} dddd other right context padding words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in substring_dedup_minimized(df).collect()
+    }
+    assert out[1]["flagged_chars"] == 0
+    assert out[2]["flagged_chars"] == 0
+
+
+def test_minimized_flags_all_non_owners(spark):
+    """Three copies of a long run: lowest doc owns, both others flag."""
+    from yamr_spark.operators.curation import substring_dedup_minimized
+
+    run = "x " + "shared payload sentence repeated verbatim across docs " * 2
+    df = spark.createDataFrame(
+        [
+            (7, f"noise alpha {run} noise beta"),
+            (3, f"{run} trailing"),
+            (9, f"prefix text {run}"),
+            (5, "nothing in common with the others at all in this one"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in substring_dedup_minimized(df).collect()
+    }
+    assert out[3]["flagged_chars"] == 0  # owner = lowest doc_id
+    assert out[7]["flagged_chars"] > 0
+    assert out[9]["flagged_chars"] > 0
+    assert out[5]["flagged_chars"] == 0

@@ -687,6 +687,172 @@ def substring_dedup_chars(docs: DataFrame, length: int = 40) -> DataFrame:
     )
 
 
+# Minimizer-anchored char substring dedup (VERDICT r12 #4): k-gram
+# size and winnowing window. Guarantee length L = MINIMIZER_W +
+# MINIMIZER_K - 1 = 40 chars — the dense form's window size, so the
+# two operators price the same duplication unit.
+MINIMIZER_K = 16
+MINIMIZER_W = 25
+# rightmost-min tiebreak encoding, same discipline as operators/text.py
+# winnowing (bounds document length at 10^12 chars)
+_MINIMIZER_POS_MAX = 999_999_999_999
+
+
+def substring_dedup_minimized(
+    docs: DataFrame, k: int = MINIMIZER_K, w: int = MINIMIZER_W
+) -> DataFrame:
+    """Minimizer-ANCHORED exact substring dedup at character
+    granularity — the scale path beside :func:`substring_dedup_chars`
+    (which hashes EVERY char offset: ~24× corpus bytes of phase-1
+    shuffle at 100 TB). Winnowing selection (Schleimer et al., the same
+    md5-key rightmost-min rule as operators/text.py) picks ~2/(w+1) of
+    the offsets as ANCHOR k-grams, and only anchors enter the shuffle —
+    a ~w/2× phase-1 cut with a hard guarantee kept: any substring of
+    >= w + k - 1 chars duplicated across documents contains, in EVERY
+    document holding a copy, at least one selected anchor with the same
+    k-gram content (the winnowing window of its first w k-grams lies
+    inside the shared region in all copies, so all select the same
+    minimum key's hash). Anchors verify by exact TEXT (zero
+    60-bit-collision false positives at any corpus size); the lowest
+    doc_id selecting a verified k-gram OWNS it; every other document
+    flags its occurrences, overlapping flagged k-grams merge into
+    maximal spans. Output per doc over ALL documents: (doc_id, n_chars,
+    n_flagged_spans, flagged_chars, flagged_frac).
+
+    Semantics note: this is a guaranteed DETECTOR + anchor-coverage
+    price, not the dense form's full window-coverage ledger — every
+    flagged char sits inside a verified >= k-char cross-doc duplicate,
+    and every >= L-char duplicate is flagged, but chars of a duplicate
+    between anchors are not individually counted (a pipeline drops the
+    flagged doc or expands around anchors; the dense form is the
+    byte-exact escalation).
+
+    Scale: selection runs MAP-SIDE as one higher-order projection per
+    document (gram-key array -> window array_min -> distinct anchors) —
+    ZERO shuffle until anchors exist; the per-row transient gram-key
+    array is ~45 bytes/char of the document (fine for few-MB docs;
+    chunk first for outliers). Phase 1 shuffles (doc_id, s, hash60)
+    anchor rows only; phase 2 rebuilds k-gram text via one 1:1 join on
+    doc_id for hash-duplicated anchors only — batch-duplication volume,
+    never corpus volume."""
+    from yamr_spark.materialize import materialize
+
+    base = materialize(
+        docs.select(
+            "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+        )
+    )
+    eligible = base.filter(F.col("n_chars") >= k)
+    n_grams = f"greatest(length(text) - {k - 1}, 1)"
+    gram_keys = (
+        f"transform(sequence(1, {n_grams}), j -> "
+        f"concat(md5(cast(substring(text, j, {k}) as binary)), '#', "
+        f"lpad(cast({_MINIMIZER_POS_MAX}L - j as string), 12, '0')))"
+    )
+    sel_keys = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest({n_grams} - {w - 1}, 1)), "
+        f"i -> array_min(slice(__g, i, {w}))))"
+    )
+    anchors = materialize(
+        eligible.select("doc_id", "text", F.expr(gram_keys).alias("__g"))
+        .select("doc_id", "text", F.explode(F.expr(sel_keys)).alias("__sk"))
+        .select(
+            "doc_id",
+            "text",
+            (
+                F.lit(_MINIMIZER_POS_MAX)
+                - F.substring("__sk", 34, 12).cast("long")
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "s",
+            F.expr(
+                hash60_sql(f"substring(text, cast(s as int), {k})")
+            ).alias("h"),
+        )
+    )
+    dup_h = (
+        anchors.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    cand_pos = (
+        anchors.join(dup_h, "h")
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("ss"))
+    )
+    wt_struct = (
+        f"transform(ss, s -> struct(s AS s, "
+        f"substring(text, cast(s as int), {k}) AS wt))"
+    )
+    cand_txt = (
+        cand_pos.join(eligible, "doc_id")
+        .select("doc_id", F.explode(F.expr(wt_struct)).alias("w"))
+        .select("doc_id", F.col("w.s").alias("s"), F.col("w.wt").alias("wt"))
+    )
+    verified = (
+        cand_txt.select("wt", "doc_id")
+        .distinct()
+        .groupBy("wt")
+        .agg(F.count("*").alias("nd"), F.min("doc_id").alias("owner"))
+        .where(F.col("nd") >= 2)
+        .select("wt", "owner")
+    )
+    flagged = (
+        cand_txt.join(verified, "wt")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "s")
+        .distinct()
+    )
+    w1 = Window.partitionBy("doc_id").orderBy("s")
+    isl = (
+        flagged.withColumn("prev", F.lag("s").over(w1))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("s") > F.col("prev") + k), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "isl",
+            F.sum("brk").over(w1.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    spans = isl.groupBy("doc_id", "isl").agg(
+        (F.max("s") - F.min("s") + k).cast("long").alias("span_chars")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_flagged_spans"),
+        F.sum("span_chars").cast("long").alias("flagged_chars"),
+    )
+    return (
+        base.select("doc_id", "n_chars")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_flagged_spans", F.lit(0).cast("long")).alias(
+                "n_flagged_spans"
+            ),
+            F.coalesce("flagged_chars", F.lit(0).cast("long")).alias(
+                "flagged_chars"
+            ),
+        )
+        .withColumn(
+            "flagged_frac",
+            F.when(
+                F.col("n_chars") > 0,
+                F.round(F.col("flagged_chars") / F.col("n_chars"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def dedup_ladder(docs: DataFrame, width: int = 8) -> DataFrame:
     """The three-granularity DEDUP LADDER, composed and accounted as a
     funnel: (stage, n_docs, n_tokens) for 00_raw → 01_exact (byte-

@@ -1840,3 +1840,107 @@ def q_substring_dedup_chars(spark, sf_dir):
     or are shorter than width words. Same verified two-phase plan;
     per-doc character-shrinkage ledger over all documents."""
     return C.substring_dedup_chars(table(spark, sf_dir, "documents"))
+
+
+# Oracle replay of the minimizer-anchored form, built from the
+# operator's own constants so the SQL selection rule cannot drift from
+# the Spark one (the winnow-oracle discipline: composite key
+# md5hex || '#' || lpad(POS_MAX - pos), plain min() = rightmost-min).
+_MIN_K = C.MINIMIZER_K
+_MIN_W = C.MINIMIZER_W
+_MIN_PM = C._MINIMIZER_POS_MAX
+
+
+@register(
+    "substring_dedup_minimized",
+    oracle=f"""
+    WITH mbase AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    mpos AS (
+      SELECT doc_id, text,
+             CAST(greatest(length(text) - {_MIN_K - 1}, 1) AS BIGINT)
+               AS n_grams,
+             unnest(range(1, greatest(length(text) - {_MIN_K - 1}, 1) + 1))
+               AS i
+      FROM mbase WHERE n_chars >= {_MIN_K}
+    ),
+    mkeys AS (
+      SELECT doc_id, n_grams, i AS pos,
+             md5(substring(text, CAST(i AS INT), {_MIN_K})) || '#' ||
+               lpad(CAST({_MIN_PM} - i AS VARCHAR), 12, '0') AS key
+      FROM mpos
+    ),
+    msel AS (
+      SELECT doc_id, n_grams, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {_MIN_W - 1}
+                            FOLLOWING) AS sk
+      FROM mkeys
+    ),
+    manch AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             {_MIN_PM} - CAST(substring(sk, 34, 12) AS BIGINT) AS s
+      FROM msel
+      WHERE pos <= greatest(n_grams - {_MIN_W - 1}, 1)
+    ),
+    mtxt AS MATERIALIZED (
+      SELECT a.doc_id, a.s,
+             substring(b.text, CAST(a.s AS INT), {_MIN_K}) AS wt
+      FROM manch a JOIN mbase b USING (doc_id)
+    ),
+    mown AS (
+      SELECT wt, MIN(doc_id) AS owner
+      FROM (SELECT DISTINCT doc_id, wt FROM mtxt)
+      GROUP BY wt HAVING COUNT(*) >= 2
+    ),
+    mflag AS (
+      SELECT DISTINCT t.doc_id, t.s
+      FROM mtxt t JOIN mown o USING (wt)
+      WHERE t.doc_id <> o.owner
+    ),
+    mlag AS (
+      SELECT doc_id, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+      FROM mflag
+    ),
+    misl AS (
+      SELECT doc_id, s,
+             SUM(CASE WHEN prev IS NULL OR s > prev + {_MIN_K}
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM mlag
+    ),
+    mspans AS (
+      SELECT doc_id,
+             CAST(MAX(s) - MIN(s) + {_MIN_K} AS BIGINT) AS span_chars
+      FROM misl GROUP BY doc_id, isl
+    ),
+    mper AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_flagged_spans,
+             CAST(SUM(span_chars) AS BIGINT) AS flagged_chars
+      FROM mspans GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_chars,
+           CAST(COALESCE(p.n_flagged_spans, 0) AS BIGINT) AS n_flagged_spans,
+           CAST(COALESCE(p.flagged_chars, 0) AS BIGINT) AS flagged_chars,
+           CASE WHEN b.n_chars > 0
+                THEN CAST(ROUND(COALESCE(p.flagged_chars, 0)
+                                * 1.0 / b.n_chars, 6) AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS flagged_frac
+    FROM mbase b LEFT JOIN mper p USING (doc_id)
+    """,
+)
+def q_substring_dedup_minimized(spark, sf_dir):
+    """Minimizer-anchored char substring dedup (VERDICT r12 #4): the
+    scale path beside the dense 40-char form — winnowing selection
+    (k=16, w=25) keeps the >= 40-char duplicate guarantee while only
+    anchor k-grams (~2/(w+1) of offsets) reach the shuffle; selection
+    itself is one map-side higher-order projection (zero shuffle).
+    Anchors verify by exact text; keep-lowest-doc ownership; flagged
+    anchors merge into maximal char spans; per-doc ledger over ALL
+    documents."""
+    return C.substring_dedup_minimized(table(spark, sf_dir, "documents"))

@@ -499,7 +499,9 @@ _R07_TAIL = [
 # Queries registered during round 13 itself (build order): never-stamped,
 # so they head the post-window queue per the debt rule — they take r14
 # window slots before any stale restamp.
-_R14_BACKFILL: list[str] = []
+_R14_BACKFILL: list[str] = [
+    "substring_dedup_minimized",
+]
 
 # ROUND-13 WINDOW (the driver checks the first 50 of queries()):
 # exactly the r12 verdict's #1 + #6 plan, plus one changed-plan
