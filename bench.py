@@ -164,6 +164,7 @@ FAMILIES: dict[str, list[str]] = {
         "substring_dedup_incremental",
         "substring_dedup_chars",
         "substring_dedup_minimized",
+        "substring_dedup_minimized_incremental",
     ],
     # multimodal decode seams (Arrow mapInPandas)
     "multimodal": [

@@ -968,6 +968,160 @@ def r13_experiment(spark, sf_dir: str, out_dir: str) -> None:
     _print_table(results, FACTORS)
 
 
+COMPOSITE_QUERIES = [
+    # the 10 most expensive headline queries per bench_full.json (r12)
+    "substring_dedup_chars",
+    "llm_prep_pipeline_v5",
+    "ann_recall_at_k",
+    "entity_resolution_parts",
+    "llm_prep_pipeline_v4",
+    "llm_prep_pipeline_v2",
+    "simhash_estimate_quality",
+    "llm_prep_pipeline_v3",
+    "dedup_ladder",
+    "containment_pairs_stratified",
+]
+
+
+def build_sf03(spark, sf_dir: str, out_dir: str) -> str:
+    """A full sf-directory-shaped ×3 corpus (VERDICT r12 #8): documents
+    vocabulary-salted ×3, embeddings perturbation-replicated ×3, part
+    key-shifted + brand/name-salted ×3 (salting keeps replica blocks
+    disjoint — the honest linear setup, same methodology as
+    build_scaled); the remaining tables copy through unscaled (none is
+    a top-10 query's dominant input). Queries run against it unchanged
+    via their (spark, sf_dir) signature."""
+    import shutil
+
+    dst = os.path.join(out_dir, "sf03")
+    marker = os.path.join(dst, "_BUILD_COMPLETE")
+    if os.path.exists(marker):
+        return dst
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst, exist_ok=True)
+    k = 3
+    # documents: salted replicas (disjoint vocabulary)
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = base.count()
+    parts = [
+        base.select(
+            (F.col("doc_id") + F.lit(r * n)).alias("doc_id"),
+            (
+                F.col("text")
+                if r == 0
+                else F.regexp_replace("text", r"(\w+)", rf"$1_{r}")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for r in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(dst, "documents.parquet")
+    )
+    # embeddings: perturbed replicas (distinct neighborhoods)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ne = emb.count()
+    eparts = []
+    for r in range(k):
+        jitter = (
+            f"transform(embedding, (x, i) -> "
+            f"CAST(x + (pmod(vec_id * 31 + i * 7 + {r}, 17) - 8) * "
+            f"{0.0 if r == 0 else 0.01} AS FLOAT))"
+        )
+        eparts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * ne)).alias("vec_id"),
+                F.expr(jitter).alias("embedding"),
+                "label",
+            )
+        )
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionByName(p)
+    eout.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(dst, "embeddings.parquet")
+    )
+    # part: key-shifted, brand+name salted so replica blocks are disjoint
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    np_ = part.count()
+    pparts = [
+        part.select(
+            (F.col("p_partkey") + F.lit(r * np_)).alias("p_partkey"),
+            (
+                F.col("p_name")
+                if r == 0
+                else F.concat(F.col("p_name"), F.lit(f" r{r}"))
+            ).alias("p_name"),
+            (
+                F.col("p_brand")
+                if r == 0
+                else F.concat(F.col("p_brand"), F.lit(f"#{r}"))
+            ).alias("p_brand"),
+            "p_type",
+            "p_size",
+            "p_retailprice",
+        )
+        for r in range(k)
+    ]
+    pout = pparts[0]
+    for p in pparts[1:]:
+        pout = pout.unionByName(p)
+    pout.repartition(4).write.mode("overwrite").parquet(
+        os.path.join(dst, "part.parquet")
+    )
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "orders",
+        "lineitem",
+        "events",
+    ):
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(dst, f"{t}.parquet"))
+        elif os.path.exists(src):
+            shutil.copy2(src, os.path.join(dst, f"{t}.parquet"))
+    with open(marker, "w"):
+        pass
+    return dst
+
+
+def r13b_experiment(spark, sf_dir: str, out_dir: str) -> None:
+    """sf0.1 → ×3 composite point over the 10 most expensive headline
+    queries (VERDICT r12 #8): per-operator salted curves cannot see
+    composition superlinearity (a pipeline stage whose cost multiplies
+    a prior stage's output); run the full registered queries at both
+    scales and report ratios — expected ≈ the 3× data ratio."""
+    from yamr_spark.registry import all_queries
+
+    qs = all_queries()
+    sf03 = build_sf03(spark, sf_dir, out_dir)
+    results: dict[str, dict[int, float]] = {}
+    for scale, d in ((1, sf_dir), (3, sf03)):
+        for name in COMPOSITE_QUERIES:
+            # one untimed warm-up rep per (scale, query): builds that
+            # sf_dir's session caches and the codegen state, so both
+            # scales time warm steady-state plans (otherwise the x1
+            # pass eats all JVM warm-up and the ratios read < 1)
+            qs[name](spark, d).write.format("noop").mode("overwrite").save()
+            best = None
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                qs[name](spark, d).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[scale] = round(best, 2)
+            print(json.dumps({"op": name, "factor": scale, "sec": round(best, 2)}))
+    _print_table(results, [1, 3])
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = pos[0] if pos else os.environ.get(
@@ -1038,6 +1192,10 @@ def main() -> None:
         return
     if "--r13" in sys.argv:
         r13_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
+    if "--r13b" in sys.argv:
+        r13b_experiment(spark, sf_dir, out_dir)
         spark.stop()
         return
     if "--recall" in sys.argv:

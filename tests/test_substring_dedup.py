@@ -218,3 +218,40 @@ def test_minimized_flags_all_non_owners(spark):
     assert out[7]["flagged_chars"] > 0
     assert out[9]["flagged_chars"] > 0
     assert out[5]["flagged_chars"] == 0
+
+
+def test_minimized_incremental_index_owns(spark):
+    """Incremental minimized form: a new doc sharing a >=40-char run
+    with the INDEX flags it; sharing only with another NEW doc does
+    not (the standing corpus owns by definition, new-vs-new waits for
+    the next batch roll-in); unique new docs flag nothing."""
+    from yamr_spark.operators.curation import (
+        substring_dedup_minimized_incremental,
+    )
+
+    run = "the quick brown fox jumps over the lazy dog again and again"
+    new_run = "entirely different payload repeated across two new docs!!"
+    assert len(run) >= 40 and len(new_run) >= 40
+    index = spark.createDataFrame(
+        [(2, f"archive copy {run} stored earlier")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (11, f"INTRO>>{run}<<OUTRO"),          # dup vs index -> flags
+            (13, f"alpha {new_run} omega"),         # dup vs new 15 only
+            (15, f"start {new_run} finish"),        # dup vs new 13 only
+            (17, "nothing shared with anyone here in this document"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup_minimized_incremental(new, index).collect()
+    }
+    assert set(out) == {11, 13, 15, 17}  # ledger covers ALL new docs
+    assert out[11]["n_flagged_spans"] >= 1
+    assert 0 < out[11]["flagged_chars"] <= len(run)
+    assert out[13]["flagged_chars"] == 0
+    assert out[15]["flagged_chars"] == 0
+    assert out[17]["flagged_chars"] == 0

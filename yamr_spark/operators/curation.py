@@ -698,6 +698,47 @@ MINIMIZER_W = 25
 _MINIMIZER_POS_MAX = 999_999_999_999
 
 
+def _minimizer_anchors(eligible: DataFrame, k: int, w: int) -> DataFrame:
+    """(doc_id, s, h) — the winnowing-selected anchor k-grams of every
+    document, computed entirely MAP-SIDE: one higher-order projection
+    per doc builds the gram-key array (md5hex || '#' || lpad(POS_MAX -
+    pos) — rightmost-min encoding, the operators/text.py winnowing
+    discipline), a second takes array_min over each w-slice and
+    distincts the selections; h is the 60-bit hash of the anchor's
+    exact text (the 8-byte shuffle key). ``eligible`` must be
+    pre-filtered to length(text) >= k."""
+    n_grams = f"greatest(length(text) - {k - 1}, 1)"
+    gram_keys = (
+        f"transform(sequence(1, {n_grams}), j -> "
+        f"concat(md5(cast(substring(text, j, {k}) as binary)), '#', "
+        f"lpad(cast({_MINIMIZER_POS_MAX}L - j as string), 12, '0')))"
+    )
+    sel_keys = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest({n_grams} - {w - 1}, 1)), "
+        f"i -> array_min(slice(__g, i, {w}))))"
+    )
+    return (
+        eligible.select("doc_id", "text", F.expr(gram_keys).alias("__g"))
+        .select("doc_id", "text", F.explode(F.expr(sel_keys)).alias("__sk"))
+        .select(
+            "doc_id",
+            "text",
+            (
+                F.lit(_MINIMIZER_POS_MAX)
+                - F.substring("__sk", 34, 12).cast("long")
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "s",
+            F.expr(
+                hash60_sql(f"substring(text, cast(s as int), {k})")
+            ).alias("h"),
+        )
+    )
+
+
 def substring_dedup_minimized(
     docs: DataFrame, k: int = MINIMIZER_K, w: int = MINIMIZER_W
 ) -> DataFrame:
@@ -743,36 +784,7 @@ def substring_dedup_minimized(
         )
     )
     eligible = base.filter(F.col("n_chars") >= k)
-    n_grams = f"greatest(length(text) - {k - 1}, 1)"
-    gram_keys = (
-        f"transform(sequence(1, {n_grams}), j -> "
-        f"concat(md5(cast(substring(text, j, {k}) as binary)), '#', "
-        f"lpad(cast({_MINIMIZER_POS_MAX}L - j as string), 12, '0')))"
-    )
-    sel_keys = (
-        f"array_distinct(transform("
-        f"sequence(1, greatest({n_grams} - {w - 1}, 1)), "
-        f"i -> array_min(slice(__g, i, {w}))))"
-    )
-    anchors = materialize(
-        eligible.select("doc_id", "text", F.expr(gram_keys).alias("__g"))
-        .select("doc_id", "text", F.explode(F.expr(sel_keys)).alias("__sk"))
-        .select(
-            "doc_id",
-            "text",
-            (
-                F.lit(_MINIMIZER_POS_MAX)
-                - F.substring("__sk", 34, 12).cast("long")
-            ).alias("s"),
-        )
-        .select(
-            "doc_id",
-            "s",
-            F.expr(
-                hash60_sql(f"substring(text, cast(s as int), {k})")
-            ).alias("h"),
-        )
-    )
+    anchors = materialize(_minimizer_anchors(eligible, k, w))
     dup_h = (
         anchors.select("h", "doc_id")
         .distinct()
@@ -809,6 +821,13 @@ def substring_dedup_minimized(
         .select("doc_id", "s")
         .distinct()
     )
+    return _flagged_ledger(base, flagged, k)
+
+
+def _flagged_ledger(base: DataFrame, flagged: DataFrame, k: int) -> DataFrame:
+    """(doc_id, s) flagged anchor positions → per-doc span ledger over
+    ALL docs in ``base``: overlapping/adjacent k-char anchors merge
+    into maximal spans (gaps-and-islands, per-doc window state only)."""
     w1 = Window.partitionBy("doc_id").orderBy("s")
     isl = (
         flagged.withColumn("prev", F.lag("s").over(w1))
@@ -851,6 +870,73 @@ def substring_dedup_minimized(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def substring_dedup_minimized_incremental(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    k: int = MINIMIZER_K,
+    w: int = MINIMIZER_W,
+) -> DataFrame:
+    """Incremental minimizer-anchored substring dedup: a NEW batch
+    against a STANDING corpus — the daily-ingest member of the
+    minimized family (dense analogue: substring_dedup_incremental).
+    The standing corpus owns by definition; a new document flags every
+    anchor whose exact k-gram text was SELECTED anywhere in the index.
+    Winnowing guarantee carries over: any >= w + k - 1 = 40-char run a
+    new doc shares with any index doc selects the same minimum-key
+    anchor in both copies, so it always flags. Output: the per-new-doc
+    ledger (doc_id, n_chars, n_flagged_spans, flagged_chars,
+    flagged_frac) over ALL new docs.
+
+    Scale: both sides compute selection MAP-SIDE (zero shuffle); the
+    standing side persists as one (h, wt) row per DISTINCT selected
+    anchor (~70 B x 8% of corpus chars — ~12x smaller than the dense
+    window index, the same cut as the batch form); the batch's anchors
+    semi-join the index hash set (8-byte keys), text is rebuilt and
+    compared only for hash hits — batch-side duplication volume, never
+    corpus volume."""
+    from yamr_spark.materialize import materialize
+
+    def _base(docs: DataFrame) -> DataFrame:
+        return docs.select(
+            "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+        )
+
+    nbase = materialize(_base(new_docs))
+    neligible = nbase.filter(F.col("n_chars") >= k)
+    ieligible = _base(index_docs).filter(F.col("n_chars") >= k)
+    # standing anchor index: one row per distinct selected (h, text)
+    idx = (
+        _minimizer_anchors(ieligible, k, w)
+        .join(ieligible, "doc_id")
+        .select(
+            "h",
+            F.expr(f"substring(text, cast(s as int), {k})").alias("wt"),
+        )
+        .distinct()
+    )
+    anchors = materialize(_minimizer_anchors(neligible, k, w))
+    cand_pos = (
+        anchors.join(idx.select("h").distinct(), "h")
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("ss"))
+    )
+    wt_struct = (
+        f"transform(ss, s -> struct(s AS s, "
+        f"substring(text, cast(s as int), {k}) AS wt))"
+    )
+    cand_txt = (
+        cand_pos.join(neligible, "doc_id")
+        .select("doc_id", F.explode(F.expr(wt_struct)).alias("w"))
+        .select("doc_id", F.col("w.s").alias("s"), F.col("w.wt").alias("wt"))
+    )
+    flagged = (
+        cand_txt.join(idx.select("wt").distinct(), "wt")
+        .select("doc_id", "s")
+        .distinct()
+    )
+    return _flagged_ledger(nbase, flagged, k)
 
 
 def dedup_ladder(docs: DataFrame, width: int = 8) -> DataFrame:

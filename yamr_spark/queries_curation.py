@@ -1944,3 +1944,106 @@ def q_substring_dedup_minimized(spark, sf_dir):
     anchors merge into maximal char spans; per-doc ledger over ALL
     documents."""
     return C.substring_dedup_minimized(table(spark, sf_dir, "documents"))
+
+
+def _min_sel_ctes(p: str, flt: str) -> str:
+    """Winnowing-selection + anchor-text CTE block for the minimized
+    oracle, prefixed with ``p`` over documents filtered by ``flt`` —
+    the same composite-key min replay as the full-corpus form."""
+    return f"""
+    {p}pos AS (
+      SELECT doc_id, text,
+             CAST(greatest(length(text) - {_MIN_K - 1}, 1) AS BIGINT)
+               AS n_grams,
+             unnest(range(1, greatest(length(text) - {_MIN_K - 1}, 1) + 1))
+               AS i
+      FROM mibase WHERE n_chars >= {_MIN_K} AND ({flt})
+    ),
+    {p}keys AS (
+      SELECT doc_id, n_grams, i AS pos,
+             md5(substring(text, CAST(i AS INT), {_MIN_K})) || '#' ||
+               lpad(CAST({_MIN_PM} - i AS VARCHAR), 12, '0') AS key
+      FROM {p}pos
+    ),
+    {p}sel AS (
+      SELECT doc_id, n_grams, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {_MIN_W - 1}
+                            FOLLOWING) AS sk
+      FROM {p}keys
+    ),
+    {p}anch AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             {_MIN_PM} - CAST(substring(sk, 34, 12) AS BIGINT) AS s
+      FROM {p}sel
+      WHERE pos <= greatest(n_grams - {_MIN_W - 1}, 1)
+    ),
+    {p}txt AS MATERIALIZED (
+      SELECT a.doc_id, a.s,
+             substring(b.text, CAST(a.s AS INT), {_MIN_K}) AS wt
+      FROM {p}anch a JOIN mibase b USING (doc_id)
+    )"""
+
+
+@register(
+    "substring_dedup_minimized_incremental",
+    oracle=f"""
+    WITH mibase AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    {_min_sel_ctes("ix", "doc_id % 2 = 0")},
+    {_min_sel_ctes("nw", "doc_id % 2 = 1")},
+    iwts AS (SELECT DISTINCT wt FROM ixtxt),
+    nflag AS (
+      SELECT DISTINCT t.doc_id, t.s
+      FROM nwtxt t JOIN iwts USING (wt)
+    ),
+    nlag AS (
+      SELECT doc_id, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+      FROM nflag
+    ),
+    nisl AS (
+      SELECT doc_id, s,
+             SUM(CASE WHEN prev IS NULL OR s > prev + {_MIN_K}
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM nlag
+    ),
+    nspans AS (
+      SELECT doc_id,
+             CAST(MAX(s) - MIN(s) + {_MIN_K} AS BIGINT) AS span_chars
+      FROM nisl GROUP BY doc_id, isl
+    ),
+    nper AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_flagged_spans,
+             CAST(SUM(span_chars) AS BIGINT) AS flagged_chars
+      FROM nspans GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_chars,
+           CAST(COALESCE(p.n_flagged_spans, 0) AS BIGINT) AS n_flagged_spans,
+           CAST(COALESCE(p.flagged_chars, 0) AS BIGINT) AS flagged_chars,
+           CASE WHEN b.n_chars > 0
+                THEN CAST(ROUND(COALESCE(p.flagged_chars, 0)
+                                * 1.0 / b.n_chars, 6) AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS flagged_frac
+    FROM mibase b LEFT JOIN nper p USING (doc_id)
+    WHERE b.doc_id % 2 = 1
+    """,
+)
+def q_substring_dedup_minimized_incremental(spark, sf_dir):
+    """Incremental minimizer-anchored substring dedup: odd doc_ids
+    arrive as the new batch against the even-doc standing corpus (the
+    substring_dedup_incremental fixture). The standing side persists
+    one (hash, text) row per distinct selected anchor — ~12x smaller
+    than the dense window index; the batch's map-side-selected anchors
+    semi-join it on 8-byte hashes, text verifies exactly. Per-new-doc
+    flagged-span ledger."""
+    docs = table(spark, sf_dir, "documents")
+    return C.substring_dedup_minimized_incremental(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+    )

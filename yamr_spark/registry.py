@@ -501,6 +501,7 @@ _R07_TAIL = [
 # window slots before any stale restamp.
 _R14_BACKFILL: list[str] = [
     "substring_dedup_minimized",
+    "substring_dedup_minimized_incremental",
 ]
 
 # ROUND-13 WINDOW (the driver checks the first 50 of queries()):
