@@ -728,3 +728,67 @@ def test_streaming_substring_index_compaction(spark, sf_dir, tmp_path):
         if r.n_tokens >= 8
     }
     assert got == want
+
+
+def test_streaming_minimized_index_matches_batch_replay(spark, sf_dir, tmp_path):
+    """The anchor-index service equals the incremental batch operator
+    replayed per batch (batch 1 vs seed; batch 2 vs seed + batch 1),
+    and a restart against the committed checkpoint replays nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yamr_spark.operators.curation import (
+        substring_dedup_minimized_incremental,
+    )
+    from yamr_spark.streaming.lsh import stage_stream_files
+    from yamr_spark.streaming.substring import (
+        build_anchor_index,
+        read_minimized_ledgers,
+        stream_minimized_into_index,
+    )
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    index_dir = str(tmp_path / "index")
+    stream_dir = str(tmp_path / "stream")
+    results_dir = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+    build_anchor_index(docs.where(F.col("doc_id") % 2 == 0), index_dir)
+    stage_stream_files(
+        docs, stream_dir, [F.col("doc_id") % 4 == 1, F.col("doc_id") % 4 == 3]
+    )
+    stream_minimized_into_index(
+        spark, stream_dir, docs.schema, index_dir, results_dir, ckpt
+    )
+    got = {
+        int(r.doc_id): (
+            int(r.n_chars), int(r.n_flagged_spans), int(r.flagged_chars)
+        )
+        for r in read_minimized_ledgers(spark, results_dir).collect()
+    }
+    b1 = substring_dedup_minimized_incremental(
+        docs.where(F.col("doc_id") % 4 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+    )
+    b2 = substring_dedup_minimized_incremental(
+        docs.where(F.col("doc_id") % 4 == 3),
+        docs.where((F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 4 == 1)),
+    )
+    want = {}
+    for df in (b1, b2):
+        for r in df.collect():
+            want[int(r.doc_id)] = (
+                int(r.n_chars), int(r.n_flagged_spans), int(r.flagged_chars)
+            )
+    assert got == want
+
+    # restart: committed checkpoint, no new files -> nothing replays
+    n_res = len([f for f in os.listdir(results_dir) if f.endswith(".parquet")])
+    stream_minimized_into_index(
+        spark, stream_dir, docs.schema, index_dir, results_dir, ckpt
+    )
+    assert (
+        len([f for f in os.listdir(results_dir) if f.endswith(".parquet")])
+        == n_res
+    )

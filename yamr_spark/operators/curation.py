@@ -872,6 +872,32 @@ def _flagged_ledger(base: DataFrame, flagged: DataFrame, k: int) -> DataFrame:
     )
 
 
+def minimizer_anchor_table(
+    docs: DataFrame, k: int = MINIMIZER_K, w: int = MINIMIZER_W
+) -> DataFrame:
+    """(doc_id, n_chars, s, h, wt) — every winnowing-selected anchor
+    with its 60-bit hash and exact k-gram text, for callers that
+    persist or stream the anchor set (streaming/substring.py's
+    minimized index). Selection is the map-side rule of
+    :func:`_minimizer_anchors`; the text column makes the standing-
+    index row self-verifying."""
+    base = docs.select(
+        "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+    )
+    eligible = base.filter(F.col("n_chars") >= k)
+    return (
+        _minimizer_anchors(eligible, k, w)
+        .join(eligible, "doc_id")
+        .select(
+            "doc_id",
+            "n_chars",
+            "s",
+            "h",
+            F.expr(f"substring(text, cast(s as int), {k})").alias("wt"),
+        )
+    )
+
+
 def substring_dedup_minimized_incremental(
     new_docs: DataFrame,
     index_docs: DataFrame,

@@ -693,6 +693,141 @@ def q_streaming_kmv_distinct(spark, sf_dir):
     return read_kmv_store(spark, store, k=64)
 
 
+def _minimized_stream_oracle() -> str:
+    """Closed-form replay of the minimized-anchor stream: one winnowing
+    selection block over ALL documents (selection is per-doc, so one
+    block serves seed and batches), then batch-k anchors match the
+    anchor texts of index0 ∪ batches<k."""
+    from yamr_spark.operators.curation import (
+        MINIMIZER_K as K,
+        MINIMIZER_W as W,
+        _MINIMIZER_POS_MAX as PM,
+    )
+
+    return f"""
+    WITH mibase AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    mpos AS (
+      SELECT doc_id, text,
+             CAST(greatest(length(text) - {K - 1}, 1) AS BIGINT) AS n_grams,
+             unnest(range(1, greatest(length(text) - {K - 1}, 1) + 1)) AS i
+      FROM mibase WHERE n_chars >= {K}
+    ),
+    mkeys AS (
+      SELECT doc_id, n_grams, i AS pos,
+             md5(substring(text, CAST(i AS INT), {K})) || '#' ||
+               lpad(CAST({PM} - i AS VARCHAR), 12, '0') AS key
+      FROM mpos
+    ),
+    msel AS (
+      SELECT doc_id, n_grams, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {W - 1}
+                            FOLLOWING) AS sk
+      FROM mkeys
+    ),
+    manch AS (
+      SELECT DISTINCT doc_id,
+             {PM} - CAST(substring(sk, 34, 12) AS BIGINT) AS s
+      FROM msel
+      WHERE pos <= greatest(n_grams - {W - 1}, 1)
+    ),
+    mtxt AS MATERIALIZED (
+      SELECT a.doc_id, a.s,
+             substring(b.text, CAST(a.s AS INT), {K}) AS wt
+      FROM manch a JOIN mibase b USING (doc_id)
+    ),
+    hits AS (
+      SELECT DISTINCT n.doc_id, n.s
+      FROM mtxt n JOIN mtxt e ON n.wt = e.wt
+      WHERE (n.doc_id % 4 = 1 AND e.doc_id % 2 = 0)
+         OR (n.doc_id % 4 = 3 AND (e.doc_id % 2 = 0 OR e.doc_id % 4 = 1))
+    ),
+    hlag AS (
+      SELECT doc_id, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+      FROM hits
+    ),
+    hisl AS (
+      SELECT doc_id, s,
+             SUM(CASE WHEN prev IS NULL OR s > prev + {K} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM hlag
+    ),
+    hspans AS (
+      SELECT doc_id, CAST(MAX(s) - MIN(s) + {K} AS BIGINT) AS span_chars
+      FROM hisl GROUP BY doc_id, isl
+    ),
+    hper AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_flagged_spans,
+             CAST(SUM(span_chars) AS BIGINT) AS flagged_chars
+      FROM hspans GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_chars,
+           CAST(COALESCE(p.n_flagged_spans, 0) AS BIGINT) AS n_flagged_spans,
+           CAST(COALESCE(p.flagged_chars, 0) AS BIGINT) AS flagged_chars,
+           CASE WHEN b.n_chars > 0
+                THEN CAST(ROUND(COALESCE(p.flagged_chars, 0)
+                                * 1.0 / b.n_chars, 6) AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS flagged_frac
+    FROM mibase b LEFT JOIN hper p USING (doc_id)
+    WHERE b.doc_id % 2 = 1
+    """
+
+
+@register("streaming_minimized_index", oracle=_minimized_stream_oracle())
+def q_streaming_minimized_index(spark, sf_dir):
+    """Online minimizer-anchored substring dedup: the anchor-index
+    SERVICE — the streaming member of the minimized family, with the
+    standing index at ~2/(w+1) of corpus char offsets (one (h, wt) row
+    per distinct SELECTED anchor — ~12.6x fewer rows than the dense
+    window index, the state you can actually keep hot at 100 TB). Even
+    doc_ids seed the index; odd docs arrive in two deterministic
+    micro-batches (doc_id%4==1 then %4==3); each batch's per-doc
+    flagged-span ledger is computed against STRICTLY EARLIER state,
+    then its anchors join the index. Same setup-marker + always-drain
+    discipline, batch_id self-exclusion, and compaction as the
+    word-window service."""
+    import os
+    import shutil
+
+    from yamr_spark.streaming.lsh import stage_stream_files
+    from yamr_spark.streaming.substring import (
+        build_anchor_index,
+        read_minimized_ledgers,
+        stream_minimized_into_index,
+    )
+    from yamr_spark.tmpdirs import session_dir
+
+    docs = table(spark, sf_dir, "documents")
+    base = session_dir(f"stream_minsub:{sf_dir}", "yamr_stream_minsub_")
+    index_dir = os.path.join(base, "index")
+    stream_dir = os.path.join(base, "stream")
+    results_dir = os.path.join(base, "results")
+    ckpt = os.path.join(base, "ckpt")
+    staged_ok = os.path.join(base, "_staged_ok")
+    if not os.path.exists(staged_ok):
+        for d in (index_dir, stream_dir, results_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+        build_anchor_index(docs.where(F.col("doc_id") % 2 == 0), index_dir)
+        stage_stream_files(
+            docs,
+            stream_dir,
+            [F.col("doc_id") % 4 == 1, F.col("doc_id") % 4 == 3],
+        )
+        with open(staged_ok, "w"):
+            pass
+    stream_minimized_into_index(
+        spark, stream_dir, docs.schema, index_dir, results_dir, ckpt
+    )
+    return read_minimized_ledgers(spark, results_dir)
+
+
+
 @register(
     "streaming_substring_index",
     oracle="""

@@ -502,6 +502,7 @@ _R07_TAIL = [
 _R14_BACKFILL: list[str] = [
     "substring_dedup_minimized",
     "substring_dedup_minimized_incremental",
+    "streaming_minimized_index",
 ]
 
 # ROUND-13 WINDOW (the driver checks the first 50 of queries()):

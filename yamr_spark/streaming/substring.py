@@ -223,3 +223,102 @@ def read_ledgers(spark: SparkSession, results_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "dropped_tokens")
         .distinct()
     )
+
+
+# --- Minimizer-anchored streaming index --------------------------------------
+#
+# Same service shape as the word-window index above, with the batch-side
+# unit swapped for the winnowing-selected anchor k-grams of
+# operators/curation.py (k=16, w=25 — the >= 40-char duplicate
+# guarantee). The standing index holds one (h, wt) row per DISTINCT
+# SELECTED anchor: ~2/(w+1) of corpus char offsets (~12.6x fewer rows
+# than the dense window index, measured in SCALE.md r13), which is the
+# difference between an index you can keep hot and one you archive.
+# Delivery contract, batch_id partitioning, self-exclusion probe, and
+# compaction are shared with the word-window form verbatim.
+
+
+def build_anchor_index(spark_or_docs, index_dir: str | None = None, **kw) -> None:
+    """Materialize the standing ANCHOR index seed: distinct (h, wt)
+    selected-anchor rows under batch_id=-1. Accepts (docs, index_dir)
+    like build_window_index."""
+    from yamr_spark.operators.curation import minimizer_anchor_table
+
+    docs, path = spark_or_docs, index_dir
+    _write_index_partition(minimizer_anchor_table(docs, **kw), path, -1)
+
+
+def stream_minimized_into_index(
+    spark: SparkSession,
+    stream_dir: str,
+    schema,
+    index_dir: str,
+    results_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain the staged document stream against the standing ANCHOR
+    index: per micro-batch, flag the batch docs' anchors whose exact
+    k-gram text is already in the index (excluding the batch's own
+    partition — the replay contract of the module docstring), append
+    the per-doc flagged-span ledgers, then overwrite the batch's
+    ``batch_id=`` partition with its distinct anchors."""
+    from pyspark.sql import functions as F
+
+    from yamr_spark.operators.curation import (
+        MINIMIZER_K,
+        _flagged_ledger,
+        minimizer_anchor_table,
+    )
+
+    def _ingest(batch_df: DataFrame, bid: int) -> None:
+        anch = minimizer_anchor_table(batch_df)
+        anch.persist()
+        base = batch_df.select(
+            "doc_id", F.length("text").cast("long").alias("n_chars")
+        )
+        try:
+            recover(index_dir)
+            has_index = os.path.isdir(index_dir) and any(
+                f.startswith("batch_id=") for f in os.listdir(index_dir)
+            )
+            if has_index:
+                idx = spark.read.parquet(index_dir).where(
+                    F.col("batch_id") != int(bid)
+                )
+                flagged = (
+                    anch.join(idx, ["h", "wt"], "left_semi")
+                    .select("doc_id", "s")
+                    .distinct()
+                )
+            else:
+                flagged = anch.select("doc_id", "s").limit(0)
+            _flagged_ledger(base, flagged, MINIMIZER_K).write.mode(
+                "append"
+            ).parquet(results_dir)
+            _write_index_partition(anch, index_dir, bid)
+        finally:
+            anch.unpersist()
+
+    (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir + "/*")
+        .writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_minimized_ledgers(spark: SparkSession, results_dir: str) -> DataFrame:
+    """The accumulated per-doc flagged-span ledgers, exact under
+    at-least-once delivery via distinct()."""
+    return (
+        spark.read.parquet(results_dir)
+        .select(
+            "doc_id", "n_chars", "n_flagged_spans", "flagged_chars",
+            "flagged_frac",
+        )
+        .distinct()
+    )
