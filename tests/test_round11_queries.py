@@ -88,6 +88,7 @@ def test_ann_recall_frame_laws(spark, sf_dir):
         "ivf",
         "ivf_pq",
         "ivf_pq_kmeans",
+        "ivf_pq_frozen",  # production frozen-param build (r13)
         "pq_adc",
         "quantized",
         "ivfadc_residual",
