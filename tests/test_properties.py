@@ -597,3 +597,88 @@ def test_substring_dedup_matches_bruteforce(spark, corpus):
         for r in substring_dedup_docs(df, width=width).collect()
     }
     assert got == _sd_model(corpus, width)
+
+
+# --- minimizer-anchored substring dedup vs pure-python model -----------------
+
+_min_texts = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=40), min_size=2, max_size=5
+)
+
+
+def _min_model(texts, k, w):
+    """Pure-python replay of substring_dedup_minimized: md5-keyed
+    rightmost-min winnowing selection, exact-text verify among
+    selecting docs, keep-lowest-owner, gap-k span merge."""
+    import hashlib
+
+    PM = 999_999_999_999
+    anchors = {}  # doc -> set of selected 1-based positions
+    for d, text in enumerate(texts):
+        anchors[d] = set()
+        if len(text) < k:
+            continue
+        n = max(len(text) - k + 1, 1)
+        keys = [
+            (
+                hashlib.md5(text[j - 1 : j - 1 + k].encode()).hexdigest(),
+                PM - j,
+                j,
+            )
+            for j in range(1, n + 1)
+        ]
+        for i in range(1, max(n - w + 1, 1) + 1):
+            win = keys[i - 1 : min(i - 1 + w, n)]
+            anchors[d].add(min(win)[2])
+    # verify: anchor k-gram text selected in >= 2 docs; min doc owns
+    from collections import defaultdict
+
+    occ = defaultdict(set)
+    for d, ss in anchors.items():
+        for s in ss:
+            occ[texts[d][s - 1 : s - 1 + k]].add(d)
+    owner = {t: min(ds) for t, ds in occ.items() if len(ds) >= 2}
+    out = {}
+    for d, text in enumerate(texts):
+        flags = sorted(
+            s
+            for s in anchors[d]
+            if texts[d][s - 1 : s - 1 + k] in owner
+            and owner[texts[d][s - 1 : s - 1 + k]] != d
+        )
+        spans, start, prev = [], None, None
+        for s in flags:
+            if prev is None or s > prev + k:
+                if start is not None:
+                    spans.append((start, prev))
+                start = s
+            prev = s
+        if start is not None:
+            spans.append((start, prev))
+        flagged = sum(e - b + k for b, e in spans)
+        out[d] = (len(text), len(spans), flagged)
+    return out
+
+
+@given(texts=_min_texts)
+@_SETTINGS
+def test_minimized_dedup_matches_model(spark, texts):
+    """substring_dedup_minimized == the pure-python selection/verify/
+    merge model on random small-alphabet corpora (dense collisions, so
+    selection ties, sub-k docs, clipped windows, and multi-owner cases
+    all get exercised)."""
+    from yamr_spark.operators.curation import substring_dedup_minimized
+
+    k, w = 4, 3
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        int(r["doc_id"]): (
+            int(r["n_chars"]),
+            int(r["n_flagged_spans"]),
+            int(r["flagged_chars"]),
+        )
+        for r in substring_dedup_minimized(df, k=k, w=w).collect()
+    }
+    assert got == _min_model(texts, k, w)

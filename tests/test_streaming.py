@@ -792,3 +792,35 @@ def test_streaming_minimized_index_matches_batch_replay(spark, sf_dir, tmp_path)
         len([f for f in os.listdir(results_dir) if f.endswith(".parquet")])
         == n_res
     )
+
+    # full replay (fresh checkpoint = every batch re-runs against an
+    # index already holding its own anchors): the own-batch_id
+    # exclusion + dynamic overwrite must keep ledgers and index rows
+    # byte-stable — the same crash-window contract as the word form
+    import shutil
+
+    idx_rows = spark.read.parquet(index_dir).count()
+    shutil.rmtree(ckpt)
+    stream_minimized_into_index(
+        spark, stream_dir, docs.schema, index_dir, results_dir, ckpt
+    )
+    got_replay = {
+        int(r.doc_id): (
+            int(r.n_chars), int(r.n_flagged_spans), int(r.flagged_chars)
+        )
+        for r in read_minimized_ledgers(spark, results_dir).collect()
+    }
+    assert got_replay == want
+    assert spark.read.parquet(index_dir).count() == idx_rows
+
+    # bounded-index mode: the anchor store shares the (h, wt) batch_id
+    # layout, so the word form's compaction applies verbatim
+    from yamr_spark.streaming.substring import compact_window_index
+
+    pre = spark.read.parquet(index_dir)
+    n_distinct = pre.select("h", "wt").distinct().count()
+    folded = compact_window_index(
+        spark, index_dir, upto=10**9, stream_stopped=True
+    )
+    assert folded == 3  # seed + 2 batches
+    assert spark.read.parquet(index_dir).count() == n_distinct
