@@ -932,8 +932,12 @@ def substring_dedup_minimized_incremental(
     nbase = materialize(_base(new_docs))
     neligible = nbase.filter(F.col("n_chars") >= k)
     ieligible = _base(index_docs).filter(F.col("n_chars") >= k)
-    # standing anchor index: one row per distinct selected (h, text)
-    idx = (
+    # standing anchor index: one row per distinct selected (h, text).
+    # MATERIALIZED: both the hash semi-join and the text verify consume
+    # it, and without the barrier the corpus-sized selection pass would
+    # execute once per consumer (a production deployment persists this
+    # frame — streaming/substring.py's anchor index is exactly it).
+    idx = materialize(
         _minimizer_anchors(ieligible, k, w)
         .join(ieligible, "doc_id")
         .select(

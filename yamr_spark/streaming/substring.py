@@ -238,14 +238,13 @@ def read_ledgers(spark: SparkSession, results_dir: str) -> DataFrame:
 # compaction are shared with the word-window form verbatim.
 
 
-def build_anchor_index(spark_or_docs, index_dir: str | None = None, **kw) -> None:
+def build_anchor_index(docs: DataFrame, index_dir: str, **kw) -> None:
     """Materialize the standing ANCHOR index seed: distinct (h, wt)
-    selected-anchor rows under batch_id=-1. Accepts (docs, index_dir)
-    like build_window_index."""
+    selected-anchor rows under batch_id=-1 (kw: k/w selection params,
+    defaulting to the operator constants)."""
     from yamr_spark.operators.curation import minimizer_anchor_table
 
-    docs, path = spark_or_docs, index_dir
-    _write_index_partition(minimizer_anchor_table(docs, **kw), path, -1)
+    _write_index_partition(minimizer_anchor_table(docs, **kw), index_dir, -1)
 
 
 def stream_minimized_into_index(
