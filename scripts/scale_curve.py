@@ -1122,6 +1122,55 @@ def r13b_experiment(spark, sf_dir: str, out_dir: str) -> None:
     _print_table(results, [1, 3])
 
 
+def r13c_experiment(spark, sf_dir: str, out_dir: str) -> None:
+    """Per-batch cost of the streaming ANCHOR index as the standing
+    corpus grows (the 'probe cost = batch volume, never corpus volume'
+    claim): seed the anchor index from ×1/×4/×16 salted corpora, then
+    ingest the SAME fixed batch (the ×1 replica's odd docs) through
+    stream_minimized_into_index and time the drain. The batch side is
+    constant; only the standing index scales — a linear-in-corpus probe
+    would show ×16 wall growth, a batch-bound probe stays near-flat
+    (the standing side is one broadcast-batch-side semi-join scan)."""
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from yamr_spark.streaming.lsh import stage_stream_files
+    from yamr_spark.streaming.substring import (
+        build_anchor_index,
+        stream_minimized_into_index,
+    )
+
+    paths = build_scaled(spark, sf_dir, out_dir)
+    batch_src = spark.read.parquet(paths[1]).where(FF.col("doc_id") % 2 == 1)
+    results: dict[str, dict[int, float]] = {}
+    for k in FACTORS:
+        seed = spark.read.parquet(paths[k]).where(FF.col("doc_id") % 2 == 0)
+        base = os.path.join(out_dir, f"r13c_x{k}")
+        best = None
+        for rep in range(REPS):
+            rd = os.path.join(base, f"rep{rep}")
+            shutil.rmtree(rd, ignore_errors=True)
+            index_dir = os.path.join(rd, "index")
+            stream_dir = os.path.join(rd, "stream")
+            build_anchor_index(seed, index_dir)
+            stage_stream_files(batch_src, stream_dir, [FF.lit(True)])
+            idx_rows = spark.read.parquet(index_dir).count()
+            t0 = time.perf_counter()
+            stream_minimized_into_index(
+                spark, stream_dir, batch_src.schema, index_dir,
+                os.path.join(rd, "results"), os.path.join(rd, "ckpt"),
+            )
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        results.setdefault("anchor_index_batch_ingest", {})[k] = round(best, 2)
+        print(json.dumps({
+            "op": "anchor_index_batch_ingest", "factor": k,
+            "sec": round(best, 2), "index_rows": idx_rows,
+        }))
+    _print_table(results, FACTORS)
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = pos[0] if pos else os.environ.get(
@@ -1196,6 +1245,10 @@ def main() -> None:
         return
     if "--r13b" in sys.argv:
         r13b_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
+    if "--r13c" in sys.argv:
+        r13c_experiment(spark, sf_dir, out_dir)
         spark.stop()
         return
     if "--recall" in sys.argv:
