@@ -505,24 +505,85 @@ _R14_BACKFILL: list[str] = [
     "streaming_minimized_index",
 ]
 
-# ROUND-13 WINDOW (the driver checks the first 50 of queries()):
-# exactly the r12 verdict's #1 + #6 plan, plus one changed-plan
-# restamp. Slot 1-8: _R13_BACKFILL — the 8 round-12 registrations,
-# never-stamped (all ALL-MATCH under the r12 judge's replica run).
-# Slot 9: ann_recall_at_k — its OUTPUT changed this round (7th panel
-# row: the frozen-param build, VERDICT r12 #2), and a changed plan must
-# earn a fresh stamp (the r09 quality_stratified_sample precedent); its
-# r11 stamp certifies a 6-row result that no longer exists. Slots
-# 10-16: _R06_TAIL — the 7 remaining r06 stamps, the oldest cohort.
-# Slots 17-50: the 34 alphabetically-first r07 stamps (the next-oldest
-# cohort; the displaced 35th heads _R07_TAIL). 8 + 1 + 7 + 34 = 50.
-# r13's own registrations queue in _R14_BACKFILL below the window.
+# The r09-stamp cohort (48 queries) is the oldest after the r14 window
+# retires the 9-query _R07_TAIL. The alphabetically-first 36 fill the
+# r14 window behind the backfill + changed-plan restamps + tail; the
+# 12-entry remainder (streaming_kmv_distinct .. window_tumbling_counts)
+# heads the r15 stale queue and should open the r15 window after
+# _R15_BACKFILL.
+_R09_RESTAMPS = [
+    "asof_click_purchase",
+    "benchmark_decontaminate",
+    "cms_user_frequency",
+    "containment_pairs_bidir",
+    "corpus_curation",
+    "dedup_exact",
+    "embedding_near_dup_p2",
+    "grouping_sets_pricing",
+    "hash_split_counts",
+    "hashed_doc_embeddings",
+    "hybrid_rrf_search",
+    "ivf_probe_partitioned",
+    "jsonl_corrupt_handling",
+    "jsonl_roundtrip_stats",
+    "math_price_features",
+    "mmr_diverse_topk",
+    "multimodal_frame_counts",
+    "multimodal_large_assets",
+    "multimodal_meta",
+    "ngram_novelty",
+    "null_handling_props",
+    "order_value_buckets",
+    "orders_per_month",
+    "part_name_search",
+    "pca_top_components",
+    "pii_scrub_stats",
+    "pivot_user_event_counts",
+    "quota_sample_lang",
+    "range_click_near_purchase",
+    "repetition_stats",
+    "salted_value_sum",
+    "split_store_train_counts",
+    "sql_revenue_by_segment",
+    "streaming_click_purchase_join",
+    "streaming_cms_frequency",
+    "streaming_dedup_events",
+]
+
+# Queries registered during round 14 itself (build order): never-stamped,
+# so they head the post-window queue per the debt rule — they take r15
+# window slots before any stale restamp.
+_R15_BACKFILL: list[str] = [
+    "ivf_pq_store_frozen_m16",
+]
+
+# ROUND-14 WINDOW (the driver checks the first 50 of queries()):
+# the r13 verdict's #1 plan with two changed-plan adjustments its own
+# #2/#3 tasks force. Slots 1-3: _R14_BACKFILL — the 3 round-13
+# registrations, never-stamped (all ALL-MATCH under the r13 judge's
+# replica run). Slot 4: ann_recall_at_k — its OUTPUT changed this
+# round (8th panel row: the production-geometry m=16/k=64 frozen
+# build, VERDICT r13 #3); a changed result must earn a fresh stamp
+# (the r13 ann_recall_at_k precedent — its r13 stamp certifies a
+# 7-row result that no longer exists). Slot 5:
+# streaming_substring_index — same output, but its standing-index
+# plan was rewritten this round (h-bucketed layout + broadcast probe,
+# VERDICT r13 #2), so the certification should cover the plan that
+# now ships. Slots 6-14: _R07_TAIL — the 9 remaining r07 stamps, the
+# oldest cohort (extinct after this window). Slots 15-50: the 36
+# alphabetically-first r09 stamps. 3 + 1 + 1 + 9 + 36 = 50. r14's own
+# registrations queue in _R15_BACKFILL below the window.
 DRIVER_PRIORITY = (
-    _R13_BACKFILL + ["ann_recall_at_k"] + _R06_TAIL + _R07_RESTAMPS
+    _R14_BACKFILL
+    + ["ann_recall_at_k", "streaming_substring_index"]
+    + _R07_TAIL
+    + _R09_RESTAMPS
 )
 for _n in (
-    _R14_BACKFILL
-    + _R07_TAIL
+    _R15_BACKFILL
+    + _R13_BACKFILL
+    + _R06_TAIL
+    + _R07_RESTAMPS
     + _R12_BACKFILL
     + _R11_BACKFILL
     + ["ann_ivf_pq_topk", "ann_recall_at_k"]
