@@ -1148,6 +1148,11 @@ def r13c_experiment(spark, sf_dir: str, out_dir: str) -> None:
         seed = spark.read.parquet(paths[k]).where(FF.col("doc_id") % 2 == 0)
         base = os.path.join(out_dir, f"r13c_x{k}")
         best = None
+        # every rep rebuilds an identical index (same seed), so the row
+        # count is captured once, before the rep loop's timing (ADVICE
+        # r13: reading it from the last rep quietly reports a stale
+        # value if the loop ever varies the seed)
+        idx_rows = None
         for rep in range(REPS):
             rd = os.path.join(base, f"rep{rep}")
             shutil.rmtree(rd, ignore_errors=True)
@@ -1155,7 +1160,8 @@ def r13c_experiment(spark, sf_dir: str, out_dir: str) -> None:
             stream_dir = os.path.join(rd, "stream")
             build_anchor_index(seed, index_dir)
             stage_stream_files(batch_src, stream_dir, [FF.lit(True)])
-            idx_rows = spark.read.parquet(index_dir).count()
+            if idx_rows is None:
+                idx_rows = spark.read.parquet(index_dir).count()
             t0 = time.perf_counter()
             stream_minimized_into_index(
                 spark, stream_dir, batch_src.schema, index_dir,

@@ -146,12 +146,23 @@ def main(argv: list[str] | None = None) -> int:
         "VERDICT r12 #7; pass 0 for the reference-faithful unbounded "
         "print, which collects the ENTIRE result to the driver)"
     )
-    runp.add_argument("--limit", type=int, default=10000, help=limit_help)
+
+    def _nonneg_limit(v: str) -> int:
+        # the unbounded-collect mode must only be reachable by the
+        # documented --limit 0, not by any negative value (ADVICE r13)
+        n = int(v)
+        if n < 0:
+            raise argparse.ArgumentTypeError(
+                "--limit must be >= 0 (0 = unbounded reference mode)"
+            )
+        return n
+
+    runp.add_argument("--limit", type=_nonneg_limit, default=10000, help=limit_help)
 
     resp = sub.add_parser("task-result", help="print a finished result dir")
     resp.add_argument("result_dir")
     resp.add_argument("--value-type", default="double")
-    resp.add_argument("--limit", type=int, default=10000, help=limit_help)
+    resp.add_argument("--limit", type=_nonneg_limit, default=10000, help=limit_help)
 
     args = p.parse_args(argv)
 

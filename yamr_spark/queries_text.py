@@ -162,23 +162,26 @@ def _winnow_fps_bucketed(spark, sf_dir: str):
         # a table location, or one session's stage would clobber the
         # other's live table mid-read.
         app = _re.sub(r"\W", "_", spark.sparkContext.applicationId).strip("_")
-        name = (
-            "winnow_fps_b_"
-            + _re.sub(r"\W", "_", sf_dir).strip("_")
-            + "_"
-            + app
-        )
+        stem = "winnow_fps_b_" + _re.sub(r"\W", "_", sf_dir).strip("_") + "_"
+        name = stem + app
         # idempotent across PROCESSES: a previous session's managed-table
         # location survives in spark-warehouse and saveAsTable refuses to
-        # reuse it — drop the catalog entry AND the leftover directory
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # reuse it — drop the catalog entry AND the leftover directory.
+        # The name embeds the applicationId, so leftover directories
+        # belong to ENDED sessions (no live readers) and would otherwise
+        # accumulate unboundedly across sessions (ADVICE r13): sweep
+        # every stale <stem>* sibling, not just this session's own name.
         import os
         import shutil as _sh
         from urllib.parse import urlparse as _up
 
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
         wh = _up(spark.conf.get("spark.sql.warehouse.dir", "")).path
-        if wh:
-            _sh.rmtree(os.path.join(wh, name), ignore_errors=True)
+        if wh and os.path.isdir(wh):
+            for d in os.listdir(wh):
+                if d.startswith(stem):
+                    spark.sql(f"DROP TABLE IF EXISTS {d}")
+                    _sh.rmtree(os.path.join(wh, d), ignore_errors=True)
         write_bucketed(fps, name, 32, ["fp"])
         _WINNOW_BUCKET_CACHE[key] = name
     return spark.table(name)
