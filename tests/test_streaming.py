@@ -824,3 +824,82 @@ def test_streaming_minimized_index_matches_batch_replay(spark, sf_dir, tmp_path)
     )
     assert folded == 3  # seed + 2 batches
     assert spark.read.parquet(index_dir).count() == n_distinct
+    # the fold rewrote the merged partition under the same hb= buckets
+    (merged_dir,) = [
+        d for d in os.listdir(index_dir) if d.startswith("batch_id=")
+    ]
+    assert any(
+        d.startswith("hb=")
+        for d in os.listdir(os.path.join(index_dir, merged_dir))
+    )
+
+
+def test_substring_index_bucketed_probe_plan_and_values(spark, sf_dir, tmp_path):
+    """The h-bucketed standing-index probe (VERDICT r13 'What's missing'
+    #1): the store lays out two-level batch_id=/hb= partitions with a
+    self-describing layout file; probe_matched_keys joins with ZERO
+    standing-side exchange (the batch's hashes broadcast INTO the
+    standing scan — the only shuffles in the plan are the batch-side
+    hash distinct and the duplication-bound matched-key distinct), its
+    standing scan carries the hb partition filter, and its result
+    equals the old shuffle semi-join exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yamr_spark.plans import plan_text
+    from yamr_spark.streaming.substring import (
+        _LAYOUT,
+        _window_table,
+        build_window_index,
+        probe_matched_keys,
+    )
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    index_dir = str(tmp_path / "index")
+    build_window_index(docs.where(F.col("doc_id") % 2 == 0), index_dir)
+    assert os.path.exists(os.path.join(index_dir, _LAYOUT))
+    seed = os.path.join(index_dir, "batch_id=-1")
+    assert any(d.startswith("hb=") for d in os.listdir(seed))
+
+    batch = _window_table(docs.where(F.col("doc_id") % 2 == 1))
+    matched = probe_matched_keys(spark, index_dir, 0, batch)
+    plan = matched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # exactly 2 shuffle exchanges: batch hkeys distinct + matched-keys
+    # distinct (plus the batch-side BroadcastExchange); the standing
+    # scan feeds the broadcast join with NO exchange
+    lines = plan.splitlines()
+    hash_ex = [ln for ln in lines if "Exchange hashpartitioning" in ln]
+    other_ex = [
+        ln
+        for ln in lines
+        if "Exchange" in ln
+        and "hashpartitioning" not in ln
+        and "BroadcastExchange" not in ln
+    ]
+    assert len(hash_ex) == 2 and not other_ex, plan
+    fmt = plan_text(matched, "formatted")
+    scan_blocks = [
+        b for b in fmt.split("\n\n")
+        if "Scan parquet" in b and "batch_id" in b
+    ]
+    assert scan_blocks and all(
+        "PartitionFilters" in b and "hb" in b for b in scan_blocks
+    ), fmt
+
+    # value parity with the pre-bucketing shuffle semi-join
+    idx = spark.read.parquet(index_dir).where(F.col("batch_id") != 0)
+    ref = (
+        idx.join(batch.select("h", "wt").distinct(), ["h", "wt"], "left_semi")
+        .select("h", "wt")
+        .distinct()
+    )
+    got = {(r.h, r.wt) for r in matched.collect()}
+    want = {(r.h, r.wt) for r in ref.collect()}
+    assert got and got == want
+
+    # empty batch -> empty matched set (touched-bucket list is empty)
+    empty = probe_matched_keys(spark, index_dir, 0, batch.limit(0))
+    assert empty.count() == 0

@@ -97,6 +97,7 @@ def compact_prefix(
     merge_fn: Callable[[DataFrame], DataFrame],
     upto: int,
     stream_stopped: bool = False,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Fold every ``batch_id`` partition with id <= ``upto`` into one
     merged partition (the smallest folded id), using ``merge_fn`` to
@@ -116,7 +117,13 @@ def compact_prefix(
     r10): after the query is cleanly STOPPED no replay of the newest
     batch is possible, so the caller may fold the full prefix including
     the newest partition. The caller asserts the stop — the store has
-    no way to observe it."""
+    no way to observe it.
+
+    ``partition_by`` rewrites the merged partition under sub-partition
+    directories (the substring index's ``hb=`` hash buckets): the
+    staged dir gets one subdir per value — the whole stage still moves
+    into place with the same single rename, so the crash protocol is
+    unchanged."""
     recover(store_dir)  # guarantees: no marker, no stage, no .tmp left
     dirs = _batch_dirs(store_dir)
     if dirs and upto >= dirs[-1][0] and not stream_stopped:
@@ -131,11 +138,26 @@ def compact_prefix(
         return len(folded)
     target_id = folded[0][0]
     stage = os.path.join(store_dir, _STAGE)
-    merged = merge_fn(spark.read.parquet(*[p for _, p in folded]))
+    # basePath anchors partition discovery at the store root: folded
+    # dirs with sub-partition levels (the substring index's hb=
+    # buckets) would otherwise conflict as multiple roots. merge_fns
+    # project their own columns, so the extra batch_id column is inert.
+    merged = merge_fn(
+        spark.read.option("basePath", store_dir).parquet(*[p for _, p in folded])
+    )
     # computation barrier INSIDE the protected window is unnecessary:
     # the write below reads the old partitions and writes the hidden
     # stage — no path it reads is deleted until the marker commit
-    merged.coalesce(1).write.mode("overwrite").parquet(stage)
+    if partition_by:
+        # one task per sub-partition value -> one file per subdir
+        (
+            merged.repartition(*partition_by)
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(stage)
+        )
+    else:
+        merged.coalesce(1).write.mode("overwrite").parquet(stage)
     marker = os.path.join(store_dir, _MARKER)
     with open(marker + ".tmp", "w") as fh:
         json.dump(
