@@ -88,7 +88,8 @@ def test_ann_recall_frame_laws(spark, sf_dir):
         "ivf",
         "ivf_pq",
         "ivf_pq_kmeans",
-        "ivf_pq_frozen",  # production frozen-param build (r13)
+        "ivf_pq_frozen",  # frozen-param build, worst-case geometry (r13)
+        "ivf_pq_frozen_m16",  # frozen build, production m=16/k=64 (r14)
         "pq_adc",
         "quantized",
         "ivfadc_residual",
@@ -184,6 +185,29 @@ def test_ivf_pq_store_probe_matches_in_memory(spark, sf_dir, tmp_path):
     exp = {
         (r.query_id, r.rnk): (r.neighbor_id, r.adist)
         for r in S.ivf_pq_topk(emb).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_ivf_pq_store_m16_probe_matches_in_memory(spark, sf_dir, tmp_path):
+    """The PRODUCTION-geometry (m=16/k=64) store probe must reproduce
+    ivf_pq_topk at the same geometry exactly — the m16 roundtrip is
+    value-identical to the in-memory plan, like the m=4 form (r14)."""
+    import os
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks_kmeans(emb, m=16, k=64)
+    store = os.path.join(str(tmp_path), "pqstore16")
+    S.write_ivf_pq_store(emb, store, m=16, k=64, books=books)
+    got = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adist)
+        for r in S.ivf_pq_store_topk(
+            spark, store, emb, m=16, k=64, books=books
+        ).collect()
+    }
+    exp = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.adist)
+        for r in S.ivf_pq_topk(emb, m=16, k=64, books=books).collect()
     }
     assert got == exp and len(got) > 0
 
