@@ -220,6 +220,75 @@ def test_minimized_flags_all_non_owners(spark):
     assert out[5]["flagged_chars"] == 0
 
 
+def test_minimizer_chunked_selection_equals_dense(spark, sf_dir):
+    """The outlier-document window-block path must select EXACTLY the
+    dense projection's (doc_id, s, h) set: force chunk far below every
+    document's window count so ALL real corpus docs route through the
+    chunked path, and compare against the default (all-dense) run.
+    This is the guard's exactness law on real data, not a toy doc."""
+    from pyspark.sql import functions as F
+
+    from yamr_spark.operators.curation import (
+        MINIMIZER_K,
+        MINIMIZER_W,
+        _minimizer_anchors,
+    )
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(120)
+    eligible = docs.select("doc_id", "text").filter(
+        F.length("text") >= MINIMIZER_K
+    )
+    dense = {
+        (r.doc_id, r.s, r.h)
+        for r in _minimizer_anchors(eligible, MINIMIZER_K, MINIMIZER_W).collect()
+    }
+    chunked = {
+        (r.doc_id, r.s, r.h)
+        for r in _minimizer_anchors(
+            eligible, MINIMIZER_K, MINIMIZER_W, chunk=7
+        ).collect()
+    }
+    assert dense and chunked == dense
+
+
+def test_minimized_outlier_doc_guard(spark):
+    """A document beyond the chunk threshold routes through the
+    window-block path INSIDE the public operator (bounded per-row
+    state) and still honors the >= 40-char winnowing guarantee across
+    a block boundary: the planted duplicate straddles the first/second
+    block and must flag in the long non-owner doc."""
+    import random
+
+    from yamr_spark.operators.curation import substring_dedup_minimized
+
+    rng = random.Random(42)
+    alpha = "abcdefghij "
+    # ~30k-char outlier with a 60-char run planted right at the block
+    # boundary (chunk=5000 windows), owned by short doc 1
+    run = "the quick brown fox jumps over the lazy dog again and again"
+    body = "".join(rng.choice(alpha) for _ in range(30_000))
+    long_text = body[:4_980] + run + body[4_980:]
+    df = spark.createDataFrame(
+        [(1, f"archive {run} copy"), (2, long_text)],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup_minimized(df, chunk=5_000).collect()
+    }
+    assert out[1]["flagged_chars"] == 0  # owner keeps
+    assert out[2]["n_flagged_spans"] >= 1
+    assert 0 < out[2]["flagged_chars"] <= len(run)
+    # and the ledger is identical to the unchunked computation
+    ref = {
+        r["doc_id"]: r for r in substring_dedup_minimized(df).collect()
+    }
+    for d in (1, 2):
+        assert out[d]["flagged_chars"] == ref[d]["flagged_chars"]
+        assert out[d]["n_flagged_spans"] == ref[d]["n_flagged_spans"]
+
+
 def test_minimized_incremental_index_owns(spark):
     """Incremental minimized form: a new doc sharing a >=40-char run
     with the INDEX flags it; sharing only with another NEW doc does

@@ -696,9 +696,86 @@ MINIMIZER_W = 25
 # rightmost-min tiebreak encoding, same discipline as operators/text.py
 # winnowing (bounds document length at 10^12 chars)
 _MINIMIZER_POS_MAX = 999_999_999_999
+# Outlier-document guard (VERDICT r13 #5): the map-side selection
+# builds a transient per-row gram-key array of ~45 B per document char;
+# documents whose window count exceeds this split into window-BLOCKS of
+# this many windows (chunk rows of ~chunk+w+k-2 chars), bounding the
+# per-row state at ~45 MB no matter the document size. Blocks partition
+# the window-start range exactly and each carries the full w+k-2-char
+# lookback, so the selected (position, k-gram) set is IDENTICAL to the
+# unchunked rule (test-pinned).
+MINIMIZER_CHUNK = 1_000_000
 
 
-def _minimizer_anchors(eligible: DataFrame, k: int, w: int) -> DataFrame:
+def _minimizer_anchors_chunked(
+    eligible: DataFrame, k: int, w: int, chunk: int
+) -> DataFrame:
+    """The outlier-document path of :func:`_minimizer_anchors`: split
+    each document's window-start range 1..W (W = len - (k+w-2)) into
+    blocks of ``chunk`` starts, explode blocks to rows carrying ONLY
+    the block's text slice (nw + w + k - 2 chars), run the identical
+    gram-key / window-min / distinct selection per block with GLOBAL
+    positions baked into the keys, and drop the cross-block duplicate
+    selections (an anchor can win windows in two adjacent blocks).
+    Exactness: blocks partition the window range and every window's w
+    grams lie inside its block's slice, so each window computes the
+    same minimum key as the unchunked projection."""
+    wexpr = f"(length(text) - {k + w - 2})"
+    nw = f"least({chunk}, {wexpr} - bs + 1)"
+    blocks = (
+        eligible.select("doc_id", "text")
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.expr(f"sequence(1, {wexpr}, {chunk})")).alias("bs"),
+        )
+        .select(
+            "doc_id",
+            F.col("bs").cast("long").alias("bs"),
+            F.expr(f"cast({nw} as long)").alias("nw"),
+            F.expr(
+                f"substring(text, cast(bs as int), {nw} + {w + k - 2})"
+            ).alias("ctext"),
+        )
+    )
+    gram_keys = (
+        f"transform(sequence(1, nw + {w - 1}), j -> "
+        f"concat(md5(cast(substring(ctext, cast(j as int), {k}) as binary)), "
+        f"'#', lpad(cast({_MINIMIZER_POS_MAX}L - (bs + j - 1) as string), "
+        f"12, '0')))"
+    )
+    sel_keys = (
+        f"array_distinct(transform(sequence(1, nw), "
+        f"i -> array_min(slice(__g, cast(i as int), {w}))))"
+    )
+    return (
+        blocks.select(
+            "doc_id", "bs", "nw", "ctext", F.expr(gram_keys).alias("__g")
+        )
+        .select("doc_id", "bs", "ctext", F.explode(F.expr(sel_keys)).alias("__sk"))
+        .select(
+            "doc_id",
+            "bs",
+            "ctext",
+            (
+                F.lit(_MINIMIZER_POS_MAX)
+                - F.substring("__sk", 34, 12).cast("long")
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "s",
+            F.expr(
+                hash60_sql(f"substring(ctext, cast(s - bs + 1 as int), {k})")
+            ).alias("h"),
+        )
+        .dropDuplicates(["doc_id", "s"])
+    )
+
+
+def _minimizer_anchors(
+    eligible: DataFrame, k: int, w: int, chunk: int = MINIMIZER_CHUNK
+) -> DataFrame:
     """(doc_id, s, h) — the winnowing-selected anchor k-grams of every
     document, computed entirely MAP-SIDE: one higher-order projection
     per doc builds the gram-key array (md5hex || '#' || lpad(POS_MAX -
@@ -706,7 +783,14 @@ def _minimizer_anchors(eligible: DataFrame, k: int, w: int) -> DataFrame:
     discipline), a second takes array_min over each w-slice and
     distincts the selections; h is the 60-bit hash of the anchor's
     exact text (the 8-byte shuffle key). ``eligible`` must be
-    pre-filtered to length(text) >= k."""
+    pre-filtered to length(text) >= k. Documents longer than
+    ``chunk`` + w + k - 2 chars route through the window-block path
+    (:func:`_minimizer_anchors_chunked`) so the transient gram-key
+    array stays bounded — same selected set, enforced, not advisory
+    (VERDICT r13 #5)."""
+    thresh = chunk + w + k - 2
+    short = eligible.filter(F.length("text") <= thresh)
+    long_docs = eligible.filter(F.length("text") > thresh)
     n_grams = f"greatest(length(text) - {k - 1}, 1)"
     gram_keys = (
         f"transform(sequence(1, {n_grams}), j -> "
@@ -718,8 +802,8 @@ def _minimizer_anchors(eligible: DataFrame, k: int, w: int) -> DataFrame:
         f"sequence(1, greatest({n_grams} - {w - 1}, 1)), "
         f"i -> array_min(slice(__g, i, {w}))))"
     )
-    return (
-        eligible.select("doc_id", "text", F.expr(gram_keys).alias("__g"))
+    dense = (
+        short.select("doc_id", "text", F.expr(gram_keys).alias("__g"))
         .select("doc_id", "text", F.explode(F.expr(sel_keys)).alias("__sk"))
         .select(
             "doc_id",
@@ -737,10 +821,14 @@ def _minimizer_anchors(eligible: DataFrame, k: int, w: int) -> DataFrame:
             ).alias("h"),
         )
     )
+    return dense.unionByName(_minimizer_anchors_chunked(long_docs, k, w, chunk))
 
 
 def substring_dedup_minimized(
-    docs: DataFrame, k: int = MINIMIZER_K, w: int = MINIMIZER_W
+    docs: DataFrame,
+    k: int = MINIMIZER_K,
+    w: int = MINIMIZER_W,
+    chunk: int = MINIMIZER_CHUNK,
 ) -> DataFrame:
     """Minimizer-ANCHORED exact substring dedup at character
     granularity — the scale path beside :func:`substring_dedup_chars`
@@ -771,8 +859,10 @@ def substring_dedup_minimized(
     Scale: selection runs MAP-SIDE as one higher-order projection per
     document (gram-key array -> window array_min -> distinct anchors) —
     ZERO shuffle until anchors exist; the per-row transient gram-key
-    array is ~45 bytes/char of the document (fine for few-MB docs;
-    chunk first for outliers). Phase 1 shuffles (doc_id, s, hash60)
+    array is ~45 bytes/char of the document, and documents beyond
+    ``chunk`` windows route through the window-block path
+    automatically (bounded per-row state, identical selection —
+    VERDICT r13 #5, enforced). Phase 1 shuffles (doc_id, s, hash60)
     anchor rows only; phase 2 rebuilds k-gram text via one 1:1 join on
     doc_id for hash-duplicated anchors only — batch-duplication volume,
     never corpus volume."""
@@ -784,7 +874,7 @@ def substring_dedup_minimized(
         )
     )
     eligible = base.filter(F.col("n_chars") >= k)
-    anchors = materialize(_minimizer_anchors(eligible, k, w))
+    anchors = materialize(_minimizer_anchors(eligible, k, w, chunk))
     dup_h = (
         anchors.select("h", "doc_id")
         .distinct()
@@ -873,7 +963,10 @@ def _flagged_ledger(base: DataFrame, flagged: DataFrame, k: int) -> DataFrame:
 
 
 def minimizer_anchor_table(
-    docs: DataFrame, k: int = MINIMIZER_K, w: int = MINIMIZER_W
+    docs: DataFrame,
+    k: int = MINIMIZER_K,
+    w: int = MINIMIZER_W,
+    chunk: int = MINIMIZER_CHUNK,
 ) -> DataFrame:
     """(doc_id, n_chars, s, h, wt) — every winnowing-selected anchor
     with its 60-bit hash and exact k-gram text, for callers that
@@ -886,7 +979,7 @@ def minimizer_anchor_table(
     )
     eligible = base.filter(F.col("n_chars") >= k)
     return (
-        _minimizer_anchors(eligible, k, w)
+        _minimizer_anchors(eligible, k, w, chunk)
         .join(eligible, "doc_id")
         .select(
             "doc_id",
@@ -903,6 +996,7 @@ def substring_dedup_minimized_incremental(
     index_docs: DataFrame,
     k: int = MINIMIZER_K,
     w: int = MINIMIZER_W,
+    chunk: int = MINIMIZER_CHUNK,
 ) -> DataFrame:
     """Incremental minimizer-anchored substring dedup: a NEW batch
     against a STANDING corpus — the daily-ingest member of the
@@ -938,7 +1032,7 @@ def substring_dedup_minimized_incremental(
     # execute once per consumer (a production deployment persists this
     # frame — streaming/substring.py's anchor index is exactly it).
     idx = materialize(
-        _minimizer_anchors(ieligible, k, w)
+        _minimizer_anchors(ieligible, k, w, chunk)
         .join(ieligible, "doc_id")
         .select(
             "h",
@@ -946,7 +1040,7 @@ def substring_dedup_minimized_incremental(
         )
         .distinct()
     )
-    anchors = materialize(_minimizer_anchors(neligible, k, w))
+    anchors = materialize(_minimizer_anchors(neligible, k, w, chunk))
     cand_pos = (
         anchors.join(idx.select("h").distinct(), "h")
         .groupBy("doc_id")
