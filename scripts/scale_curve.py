@@ -1122,6 +1122,86 @@ def r13b_experiment(spark, sf_dir: str, out_dir: str) -> None:
     _print_table(results, [1, 3])
 
 
+def _build_docs_scaled(spark, sf_dir: str, out_dir: str, k: int) -> str:
+    """A documents-only vocabulary-salted ×k corpus dir (build_sf03's
+    documents rule: replica r rewrites every word with an _r suffix, so
+    replica blocks stay disjoint — the honest linear setup), for
+    queries whose only input is the documents table."""
+    import shutil
+
+    dst = os.path.join(out_dir, f"docs_x{k}")
+    marker = os.path.join(dst, "_BUILD_COMPLETE")
+    if os.path.exists(marker):
+        return dst
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst, exist_ok=True)
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = base.count()
+    parts = [
+        base.select(
+            (F.col("doc_id") + F.lit(r * n)).alias("doc_id"),
+            (
+                F.col("text")
+                if r == 0
+                else F.regexp_replace("text", r"(\w+)", rf"$1_{r}")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for r in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(dst, "documents.parquet")
+    )
+    with open(marker, "w"):
+        pass
+    return dst
+
+
+def r14b_experiment(spark, sf_dir: str, out_dir: str) -> None:
+    """containment_pairs_stratified scaling exponent (VERDICT r13 #6):
+    the r13 composite point had it at 2.7× for 3× data — the worst
+    composite ratio, ambiguous between fixed-cost amortization on a
+    small base and pair-count superlinearity. Extend the curve to ×9
+    (registered query, warm min-of-REPS per scale) and report the
+    3→9 segment exponent log3(t9/t3): candidates are bounded by
+    docs × probes_per_doc × max_df — linear in corpus — so a healthy
+    data term shows exponent ≤ 1 once fixed costs amortize."""
+    import math
+
+    from pyspark.sql import functions as FF  # noqa: F401 (parity w/ peers)
+
+    from yamr_spark.registry import all_queries
+
+    qs = all_queries()
+    name = "containment_pairs_stratified"
+    results: dict[str, dict[int, float]] = {}
+    times: dict[int, float] = {}
+    for k in (1, 3, 9):
+        d = sf_dir if k == 1 else _build_docs_scaled(spark, sf_dir, out_dir, k)
+        qs[name](spark, d).write.format("noop").mode("overwrite").save()
+        best = None
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            qs[name](spark, d).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[k] = best
+        results.setdefault(name, {})[k] = round(best, 2)
+        print(json.dumps({"op": name, "factor": k, "sec": round(best, 2)}))
+    expo = math.log(times[9] / times[3]) / math.log(3)
+    print(json.dumps({
+        "op": name, "segment": "3->9",
+        "exponent_log3": round(expo, 3),
+        "ratio_3_to_9": round(times[9] / times[3], 2),
+    }))
+    _print_table(results, [1, 3, 9])
+
+
 def r13c_experiment(spark, sf_dir: str, out_dir: str) -> None:
     """Per-batch cost of the streaming ANCHOR index as the standing
     corpus grows (the 'probe cost = batch volume, never corpus volume'
@@ -1255,6 +1335,10 @@ def main() -> None:
         return
     if "--r13c" in sys.argv:
         r13c_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
+    if "--r14b" in sys.argv:
+        r14b_experiment(spark, sf_dir, out_dir)
         spark.stop()
         return
     if "--recall" in sys.argv:
