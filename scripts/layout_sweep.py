@@ -7,6 +7,7 @@ flake was exactly this). Strict canon: float bits via hex, type-family
 tags, no rounding.
 
 Run: python scripts/layout_sweep.py [start] [end]   (name-index slice)
+     python scripts/layout_sweep.py <substr> ...    (name filter)
 Expect final line RESULT: ALL-INVARIANT. Last full run: r10, 230/230.
 """
 
@@ -70,10 +71,13 @@ def rows_at(name, parts):
 def main():
     fails = []
     names = sorted(qs)
-    lo, hi = (
-        (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 else (0, len(names))
-    )
-    for name in names[lo:hi]:
+    args = sys.argv[1:]
+    if args and not all(a.lstrip("-").isdigit() for a in args):
+        # name-substring filter (drive.py convention)
+        names = [n for n in names if any(a in n for a in args)]
+    elif len(args) > 1:
+        names = names[int(args[0]) : int(args[1])]
+    for name in names:
         try:
             a, b = rows_at(name, 8), rows_at(name, 37)
             if a != b:
