@@ -105,6 +105,7 @@ FAMILIES: dict[str, list[str]] = {
         "ivf_pq_store_probe",
         "ivf_pq_store_incremental",
         "ivf_pq_store_frozen",
+        "ivf_pq_store_frozen_m16",
         "hybrid_rrf_search",
         "mmr_diverse_topk",
         "pca_top_components",
@@ -259,6 +260,7 @@ def main() -> None:
         "ivf_pq_store_probe",
         "ivf_pq_store_incremental",
         "ivf_pq_store_frozen",
+        "ivf_pq_store_frozen_m16",
     ):
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 

@@ -167,21 +167,40 @@ def _winnow_fps_bucketed(spark, sf_dir: str):
         # idempotent across PROCESSES: a previous session's managed-table
         # location survives in spark-warehouse and saveAsTable refuses to
         # reuse it — drop the catalog entry AND the leftover directory.
-        # The name embeds the applicationId, so leftover directories
-        # belong to ENDED sessions (no live readers) and would otherwise
-        # accumulate unboundedly across sessions (ADVICE r13): sweep
-        # every stale <stem>* sibling, not just this session's own name.
+        # The name embeds the applicationId, so directories would
+        # accumulate unboundedly across sessions (ADVICE r13). Two
+        # complementary cleanups, both safe under CONCURRENT sessions
+        # sharing a warehouse (a create-time sweep of every sibling
+        # deleted a live peer's table mid-read — caught by the r14 full
+        # suite running beside a driver replica): (1) this session drops
+        # its OWN table at exit; (2) residue of crashed sessions —
+        # anything under the stem untouched for a day — is swept here.
+        import atexit
         import os
         import shutil as _sh
+        import time as _time
         from urllib.parse import urlparse as _up
 
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         wh = _up(spark.conf.get("spark.sql.warehouse.dir", "")).path
         if wh and os.path.isdir(wh):
             for d in os.listdir(wh):
-                if d.startswith(stem):
+                p = os.path.join(wh, d)
+                try:
+                    stale = _time.time() - os.path.getmtime(p) > 86_400
+                except OSError:
+                    continue
+                if d.startswith(stem) and d != name and stale:
                     spark.sql(f"DROP TABLE IF EXISTS {d}")
-                    _sh.rmtree(os.path.join(wh, d), ignore_errors=True)
+                    _sh.rmtree(p, ignore_errors=True)
+
+        def _drop_own(path=os.path.join(wh, name) if wh else None):
+            # plain directory removal: the JVM may already be gone at
+            # interpreter exit, so no spark.sql here
+            if path:
+                _sh.rmtree(path, ignore_errors=True)
+
+        atexit.register(_drop_own)
         write_bucketed(fps, name, 32, ["fp"])
         _WINNOW_BUCKET_CACHE[key] = name
     return spark.table(name)
