@@ -903,3 +903,8 @@ def test_substring_index_bucketed_probe_plan_and_values(spark, sf_dir, tmp_path)
     # empty batch -> empty matched set (touched-bucket list is empty)
     empty = probe_matched_keys(spark, index_dir, 0, batch.limit(0))
     assert empty.count() == 0
+
+    # bulk mode (probe_broadcast=False): same pruned scan probed with
+    # a planner-chosen semi-join — identical result set
+    bulk = probe_matched_keys(spark, index_dir, 0, batch, broadcast=False)
+    assert {(r.h, r.wt) for r in bulk.collect()} == want

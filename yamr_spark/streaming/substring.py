@@ -41,9 +41,10 @@ pruned columnar scan + batch-windows × (broadcast-hash probe + text
 verify) + one partition overwrite; the old shuffle semi-join re-
 exchanged the FULL standing index every batch. The broadcast probe is
 sized for the micro-batch regime (batch hash set ≪ executor memory);
-bulk backfills should use the batch operator
-(``substring_dedup_incremental``) whose shuffle join is the right
-plan at that volume. New docs match only STRICTLY EARLIER state, so
+for bulk backfills pass ``probe_broadcast=False`` (same pruned scan,
+Catalyst/AQE-planned semi-join) or use the batch operator
+(``substring_dedup_incremental``) outright. New docs match only
+STRICTLY EARLIER state, so
 results are deterministic given the batch sequence and the
 closed-form oracle replay holds (batch k matches index0 ∪ batches<k).
 
@@ -159,7 +160,11 @@ def build_window_index(
 
 
 def probe_matched_keys(
-    spark: SparkSession, index_dir: str, bid: int, batch_keys: DataFrame
+    spark: SparkSession,
+    index_dir: str,
+    bid: int,
+    batch_keys: DataFrame,
+    broadcast: bool = True,
 ) -> DataFrame:
     """The standing index's (h, wt) rows whose hash appears in the
     probing batch — computed with ZERO standing-side exchange and a
@@ -175,7 +180,14 @@ def probe_matched_keys(
        distinct-ed and returned; the caller broadcasts them back over
        the batch windows for the exact text verify.
 
-    ``batch_keys`` needs only an ``h`` column."""
+    ``batch_keys`` needs only an ``h`` column.
+
+    ``broadcast=False`` is the BULK mode: when one "batch" is a
+    backfill too large to broadcast its hash set, the same pruned,
+    self-excluded standing scan is probed with a plain (shuffle-
+    planned) semi-join instead — Catalyst/AQE picks the join strategy
+    from observed sizes. Identical result set (test-pinned); the
+    micro-batch default stays exchange-free."""
     n_hb = _layout_n_hb(index_dir)
     hkeys = batch_keys.select("h").distinct()
     touched = [
@@ -189,8 +201,9 @@ def probe_matched_keys(
     idx = spark.read.parquet(index_dir).where(
         (F.col("batch_id") != int(bid)) & F.col("hb").isin(touched)
     )
+    probe = F.broadcast(hkeys) if broadcast else hkeys
     return (
-        idx.join(F.broadcast(hkeys), "h", "left_semi")
+        idx.join(probe, "h", "left_semi")
         .select("h", "wt")
         .distinct()
     )
@@ -265,6 +278,7 @@ def stream_substring_into_index(
     results_dir: str,
     checkpoint_dir: str,
     width: int = _WIDTH,
+    probe_broadcast: bool = True,
 ) -> None:
     """Drain the staged document stream: per micro-batch, compute each
     doc's dropped-span ledger against the standing window index
@@ -285,8 +299,11 @@ def stream_substring_into_index(
                 f.startswith("batch_id=") for f in os.listdir(index_dir)
             )
             if has_index:
-                matched = probe_matched_keys(spark, index_dir, bid, wins)
-                hits = wins.join(F.broadcast(matched), ["h", "wt"], "left_semi")
+                matched = probe_matched_keys(
+                    spark, index_dir, bid, wins, broadcast=probe_broadcast
+                )
+                mk = F.broadcast(matched) if probe_broadcast else matched
+                hits = wins.join(mk, ["h", "wt"], "left_semi")
             else:
                 hits = wins.limit(0)
             _ledger(wins, hits, width).write.mode("append").parquet(results_dir)
@@ -351,6 +368,7 @@ def stream_minimized_into_index(
     index_dir: str,
     results_dir: str,
     checkpoint_dir: str,
+    probe_broadcast: bool = True,
 ) -> None:
     """Drain the staged document stream against the standing ANCHOR
     index: per micro-batch, flag the batch docs' anchors whose exact
@@ -380,9 +398,12 @@ def stream_minimized_into_index(
                 f.startswith("batch_id=") for f in os.listdir(index_dir)
             )
             if has_index:
-                matched = probe_matched_keys(spark, index_dir, bid, anch)
+                matched = probe_matched_keys(
+                    spark, index_dir, bid, anch, broadcast=probe_broadcast
+                )
+                mk = F.broadcast(matched) if probe_broadcast else matched
                 flagged = (
-                    anch.join(F.broadcast(matched), ["h", "wt"], "left_semi")
+                    anch.join(mk, ["h", "wt"], "left_semi")
                     .select("doc_id", "s")
                     .distinct()
                 )
