@@ -908,3 +908,56 @@ def test_substring_index_bucketed_probe_plan_and_values(spark, sf_dir, tmp_path)
     # a planner-chosen semi-join — identical result set
     bulk = probe_matched_keys(spark, index_dir, 0, batch, broadcast=False)
     assert {(r.h, r.wt) for r in bulk.collect()} == want
+
+
+def test_substring_index_layout_is_self_describing(spark, sf_dir, tmp_path):
+    """A store seeded with a non-default bucket count must keep that
+    layout for every later write and probe (the recorded n_hb wins over
+    the module default — one store never mixes bucket counts), and the
+    streamed ledgers must equal the batch-operator replay under the
+    custom layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yamr_spark.operators.curation import substring_dedup_incremental
+    from yamr_spark.streaming.lsh import stage_stream_files
+    from yamr_spark.streaming.substring import (
+        build_window_index,
+        read_ledgers,
+        stream_substring_into_index,
+    )
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    index_dir = str(tmp_path / "index")
+    build_window_index(docs.where(F.col("doc_id") % 2 == 0), index_dir, n_hb=4)
+    stage_stream_files(
+        docs, str(tmp_path / "stream"), [F.col("doc_id") % 2 == 1]
+    )
+    stream_substring_into_index(
+        spark, str(tmp_path / "stream"), docs.schema, index_dir,
+        str(tmp_path / "results"), str(tmp_path / "ckpt"),
+    )
+    # every batch partition (seed AND streamed) uses the recorded 4
+    for d in os.listdir(index_dir):
+        if d.startswith("batch_id="):
+            hbs = {
+                int(x.split("=", 1)[1])
+                for x in os.listdir(os.path.join(index_dir, d))
+                if x.startswith("hb=")
+            }
+            assert hbs and hbs <= set(range(4)), (d, hbs)
+    got = {
+        int(r.doc_id): (int(r.n_tokens), int(r.dropped_tokens))
+        for r in read_ledgers(spark, str(tmp_path / "results")).collect()
+    }
+    want = {
+        int(r.doc_id): (int(r.n_tokens), int(r.dropped_tokens))
+        for r in substring_dedup_incremental(
+            docs.where(F.col("doc_id") % 2 == 1),
+            docs.where(F.col("doc_id") % 2 == 0),
+        ).collect()
+        if r.n_tokens >= 8
+    }
+    assert got == want
