@@ -1257,6 +1257,79 @@ def r13c_experiment(spark, sf_dir: str, out_dir: str) -> None:
     _print_table(results, FACTORS)
 
 
+def r14c_experiment(spark, sf_dir: str, out_dir: str) -> None:
+    """The anchor-index ingest point at a ×64 standing corpus: same
+    harness as r13c (fixed batch = the ×1 replica's odd docs; only the
+    standing seed scales), pushed to 64× to pin the 'per-batch cost
+    tracks batch volume' claim an order of magnitude past the r13/r14
+    ×16 cells — the winnow family's ×64 discipline applied to the
+    streaming anchor store."""
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from yamr_spark.streaming.lsh import stage_stream_files
+    from yamr_spark.streaming.substring import (
+        build_anchor_index,
+        stream_minimized_into_index,
+    )
+
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = base.count()
+    factors = [1, 16, 64]
+    paths = {}
+    for k in factors:
+        path = os.path.join(out_dir, f"documents_x{k}.parquet")
+        if not os.path.exists(path):
+            parts = [
+                base.select(
+                    (F.col("doc_id") + F.lit(r * n)).alias("doc_id"),
+                    (
+                        F.col("text")
+                        if r == 0
+                        else F.regexp_replace("text", r"(\w+)", rf"$1_{r}")
+                    ).alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+                for r in range(k)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.repartition(max(4, 2 * k)).write.mode("overwrite").parquet(path)
+        paths[k] = path
+    batch_src = spark.read.parquet(paths[1]).where(FF.col("doc_id") % 2 == 1)
+    results: dict[str, dict[int, float]] = {}
+    for k in factors:
+        seed = spark.read.parquet(paths[k]).where(FF.col("doc_id") % 2 == 0)
+        best = None
+        idx_rows = None
+        for rep in range(REPS):
+            rd = os.path.join(out_dir, f"r14c_x{k}", f"rep{rep}")
+            shutil.rmtree(rd, ignore_errors=True)
+            index_dir = os.path.join(rd, "index")
+            stream_dir = os.path.join(rd, "stream")
+            build_anchor_index(seed, index_dir)
+            stage_stream_files(batch_src, stream_dir, [FF.lit(True)])
+            if idx_rows is None:
+                idx_rows = spark.read.parquet(index_dir).count()
+            t0 = time.perf_counter()
+            stream_minimized_into_index(
+                spark, stream_dir, batch_src.schema, index_dir,
+                os.path.join(rd, "results"), os.path.join(rd, "ckpt"),
+            )
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        results.setdefault("anchor_index_batch_ingest", {})[k] = round(best, 2)
+        print(json.dumps({
+            "op": "anchor_index_batch_ingest", "factor": k,
+            "sec": round(best, 2), "index_rows": idx_rows,
+        }))
+    _print_table(results, factors)
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = pos[0] if pos else os.environ.get(
@@ -1339,6 +1412,10 @@ def main() -> None:
         return
     if "--r14b" in sys.argv:
         r14b_experiment(spark, sf_dir, out_dir)
+        spark.stop()
+        return
+    if "--r14c" in sys.argv:
+        r14c_experiment(spark, sf_dir, out_dir)
         spark.stop()
         return
     if "--recall" in sys.argv:
