@@ -153,3 +153,68 @@ def test_compact_stream_stopped_folds_newest(spark, cms_store):
     assert folded == 3
     assert _batch_ids(cms_store) == [0]
     assert _served_cms(spark, cms_store) == before
+
+
+def test_substring_store_crash_windows_with_hb_layout(spark, sf_dir, tmp_path):
+    """The crash protocol over the hb-PARTITIONED substring store (r14:
+    the staged dir now contains hb= subdirectories and moves into place
+    with the same single rename): a crash after the marker with a
+    partial delete recovers to the identical served match set, and the
+    recovered merged partition keeps the bucket layout."""
+    from yamr_spark.streaming.substring import (
+        _window_table,
+        build_window_index,
+        compact_window_index,
+        probe_matched_keys,
+        substring_merge,
+    )
+    from yamr_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    store = os.path.join(str(tmp_path), "index")
+    build_window_index(docs.where(F.col("doc_id") % 4 == 0), store)
+    # two more committed batches, overlapping windows across partitions
+    from yamr_spark.streaming.substring import _write_index_partition
+
+    _write_index_partition(
+        _window_table(docs.where(F.col("doc_id") % 4 == 2)), store, 0
+    )
+    _write_index_partition(
+        _window_table(docs.where(F.col("doc_id") % 2 == 0)), store, 1
+    )
+    batch = _window_table(docs.where(F.col("doc_id") % 2 == 1))
+
+    def served():
+        return sorted(
+            (r.h, r.wt)
+            for r in probe_matched_keys(spark, store, 99, batch).collect()
+        )
+
+    before = served()
+    assert before
+    # simulate: hb-partitioned stage written + marker committed + one
+    # folded partition already deleted, then crash
+    stage = os.path.join(store, "_compact_stage")
+    merged = substring_merge(
+        spark.read.option("basePath", store).parquet(
+            os.path.join(store, "batch_id=-1"), os.path.join(store, "batch_id=0")
+        )
+    )
+    merged.repartition("hb").write.mode("overwrite").partitionBy("hb").parquet(
+        stage
+    )
+    with open(os.path.join(store, "_compact_commit.json"), "w") as fh:
+        json.dump(
+            {"delete": ["batch_id=-1", "batch_id=0"], "target": "batch_id=-1"},
+            fh,
+        )
+    shutil.rmtree(os.path.join(store, "batch_id=0"))
+    assert recover(store) == "completed interrupted compaction"
+    assert _batch_ids(store) == [-1, 1]
+    merged_dir = os.path.join(store, "batch_id=-1")
+    assert any(d.startswith("hb=") for d in os.listdir(merged_dir))
+    assert served() == before
+    # and the normal clean-stop fold still serves identically
+    compact_window_index(spark, store, upto=10**9, stream_stopped=True)
+    assert _batch_ids(store) == [-1]
+    assert served() == before
