@@ -166,6 +166,7 @@ FAMILIES: dict[str, list[str]] = {
         "substring_dedup_chars",
         "substring_dedup_minimized",
         "substring_dedup_minimized_incremental",
+        "substring_dedup_minimized_chunked",
     ],
     # multimodal decode seams (Arrow mapInPandas)
     "multimodal": [

@@ -1851,9 +1851,7 @@ _MIN_W = C.MINIMIZER_W
 _MIN_PM = C._MINIMIZER_POS_MAX
 
 
-@register(
-    "substring_dedup_minimized",
-    oracle=f"""
+_MINIMIZED_ORACLE = f"""
     WITH mbase AS (
       SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
       FROM documents
@@ -1932,8 +1930,10 @@ _MIN_PM = C._MINIMIZER_POS_MAX
                                 * 1.0 / b.n_chars, 6) AS DOUBLE)
                 ELSE CAST(0.0 AS DOUBLE) END AS flagged_frac
     FROM mbase b LEFT JOIN mper p USING (doc_id)
-    """,
-)
+    """
+
+
+@register("substring_dedup_minimized", oracle=_MINIMIZED_ORACLE)
 def q_substring_dedup_minimized(spark, sf_dir):
     """Minimizer-anchored char substring dedup (VERDICT r12 #4): the
     scale path beside the dense 40-char form — winnowing selection
@@ -1944,6 +1944,23 @@ def q_substring_dedup_minimized(spark, sf_dir):
     anchors merge into maximal char spans; per-doc ledger over ALL
     documents."""
     return C.substring_dedup_minimized(table(spark, sf_dir, "documents"))
+
+
+@register("substring_dedup_minimized_chunked", oracle=_MINIMIZED_ORACLE)
+def q_substring_dedup_minimized_chunked(spark, sf_dir):
+    """The minimized dedup's OUTLIER-DOCUMENT path under driver
+    certification (VERDICT r13 #5 follow-through): chunk=600 drops the
+    window-block threshold below most corpus documents, so the
+    window-block selection (global positions baked into per-block keys,
+    cross-block duplicate drop) runs against the SAME closed-form
+    oracle as the dense projection — the selected anchor set is
+    chunk-invariant by construction, and this query makes the driver
+    prove it per round rather than trusting the unit test. Documents
+    at or under the threshold still take the dense path, so one run
+    certifies both paths and their union."""
+    return C.substring_dedup_minimized(
+        table(spark, sf_dir, "documents"), chunk=600
+    )
 
 
 def _min_sel_ctes(p: str, flt: str) -> str:

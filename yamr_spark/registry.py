@@ -555,6 +555,7 @@ _R09_RESTAMPS = [
 # window slots before any stale restamp.
 _R15_BACKFILL: list[str] = [
     "ivf_pq_store_frozen_m16",
+    "substring_dedup_minimized_chunked",
 ]
 
 # ROUND-14 WINDOW (the driver checks the first 50 of queries()):
