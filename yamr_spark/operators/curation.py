@@ -26,6 +26,17 @@ from yamr_spark.operators.dedup import word_shingles
 _TOKS = f"filter(split(lower(text), '{WORD_BREAK_SQL}'), x -> length(x) > 0)"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scan-spread (tables.spread_scan) for this module's map-heavy
+    roots: tokenize / per-char gram hashing / window explosion all run
+    INSIDE the scan stage, and a single-row-group input plans that
+    stage as one task (guide §2.5) — spread after projecting to the
+    columns the operator needs. No-op at production scale."""
+    from yamr_spark.tables import spread_scan
+
+    return spread_scan(df)
+
+
 def benchmark_decontaminate(
     docs: DataFrame,
     n: int = 5,
@@ -89,7 +100,9 @@ def chunk_dup_stats(docs: DataFrame, width: int = 8) -> DataFrame:
         f"array_distinct(transform({chunks_expr}, c -> {hash60_sql('c')}))"
     )
     ch = (
-        docs.select("doc_id", F.expr(_TOKS).alias("__toks"))
+        _spread(docs.select("doc_id", "text")).select(
+            "doc_id", F.expr(_TOKS).alias("__toks")
+        )
         .filter(F.size("__toks") >= width)
         .select("doc_id", F.explode(hashed_chunks).alias("chunk"))
     )
@@ -227,7 +240,9 @@ def span_dup_stats(docs: DataFrame, width: int = 8) -> DataFrame:
     # (warm min-of-3 at sf0.1: 2.67 s -> 2.18 s). ~30 bytes/row of
     # ints/longs, far smaller than the text it derives from.
     wins = materialize(
-        docs.select("doc_id", F.expr(_TOKS).alias("__toks"))
+        _spread(docs.select("doc_id", "text")).select(
+            "doc_id", F.expr(_TOKS).alias("__toks")
+        )
         .filter(F.size("__toks") >= width)
         .select(
             "doc_id",
@@ -297,7 +312,9 @@ def _verified_dup_windows(docs: DataFrame, width: int) -> DataFrame:
     from yamr_spark.materialize import materialize
 
     toks = materialize(
-        docs.select("doc_id", F.expr(_TOKS).alias("__toks"))
+        _spread(docs.select("doc_id", "text")).select(
+            "doc_id", F.expr(_TOKS).alias("__toks")
+        )
         .select(
             "doc_id",
             F.size("__toks").cast("long").alias("n_tokens"),
@@ -470,7 +487,9 @@ def substring_dedup_incremental(
     from yamr_spark.materialize import materialize
 
     def _wins(docs: DataFrame) -> DataFrame:
-        toks = docs.select("doc_id", F.expr(_TOKS).alias("__toks")).select(
+        toks = _spread(docs.select("doc_id", "text")).select(
+            "doc_id", F.expr(_TOKS).alias("__toks")
+        ).select(
             "doc_id",
             F.size("__toks").cast("long").alias("n_tokens"),
             "__toks",
@@ -593,7 +612,7 @@ def substring_dedup_chars(docs: DataFrame, length: int = 40) -> DataFrame:
     from yamr_spark.materialize import materialize
 
     base = materialize(
-        docs.select(
+        _spread(docs.select("doc_id", "text")).select(
             "doc_id", "text", F.length("text").cast("long").alias("n_chars")
         )
     )
@@ -869,7 +888,7 @@ def substring_dedup_minimized(
     from yamr_spark.materialize import materialize
 
     base = materialize(
-        docs.select(
+        _spread(docs.select("doc_id", "text")).select(
             "doc_id", "text", F.length("text").cast("long").alias("n_chars")
         )
     )
@@ -974,7 +993,7 @@ def minimizer_anchor_table(
     minimized index). Selection is the map-side rule of
     :func:`_minimizer_anchors`; the text column makes the standing-
     index row self-verifying."""
-    base = docs.select(
+    base = _spread(docs.select("doc_id", "text")).select(
         "doc_id", "text", F.length("text").cast("long").alias("n_chars")
     )
     eligible = base.filter(F.col("n_chars") >= k)
@@ -1019,7 +1038,7 @@ def substring_dedup_minimized_incremental(
     from yamr_spark.materialize import materialize
 
     def _base(docs: DataFrame) -> DataFrame:
-        return docs.select(
+        return _spread(docs.select("doc_id", "text")).select(
             "doc_id", "text", F.length("text").cast("long").alias("n_chars")
         )
 
@@ -1077,10 +1096,23 @@ def dedup_ladder(docs: DataFrame, width: int = 8) -> DataFrame:
     Scale: rungs 1-2 are hash-keyed groupBy-min joins (64-byte keys,
     bodies never move); rung 3 is substring_dedup_docs' two-phase
     shuffle; the funnel report is four 1-row aggregates unioned."""
-    n_tok = F.expr(f"cast(size({_TOKS}) as bigint)")
-    base = docs.select("doc_id", "text", n_tok.alias("n_tok"))
+    from yamr_spark.materialize import materialize
 
-    exact_keep = (
+    n_tok = F.expr(f"cast(size({_TOKS}) as bigint)")
+    # MATERIALIZED + scan-spread: ``base`` (scan + full tokenize) feeds
+    # every rung and the funnel report — left lazy the tokenize subtree
+    # re-executes per consumer (~6× in this plan); spread first so the
+    # one tokenize pass parallelizes (guide §2.5).
+    base = materialize(
+        _spread(docs.select("doc_id", "text")).select(
+            "doc_id", "text", n_tok.alias("n_tok")
+        )
+    )
+
+    # keep-lists are MATERIALIZED (id-only frames): s1 is referenced by
+    # norm_keep, s2 and the funnel report — each reference re-runs the
+    # digest groupBy unless its keep-list is a checkpointed frame.
+    exact_keep = materialize(
         base.groupBy(F.sha2(F.col("text"), 256).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
@@ -1090,15 +1122,13 @@ def dedup_ladder(docs: DataFrame, width: int = 8) -> DataFrame:
     collapsed = F.regexp_replace(
         F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+", " "
     )
-    norm_keep = (
+    norm_keep = materialize(
         s1.select("doc_id", F.sha2(F.lower(collapsed), 256).alias("nh"))
         .groupBy("nh")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
     s2 = s1.join(norm_keep, "doc_id")
-
-    from yamr_spark.materialize import materialize
 
     s2m = materialize(s2)
     led = substring_dedup_docs(s2m.select("doc_id", "text"), width=width)
@@ -1230,7 +1260,11 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
     per-doc novel counts then fall out of the tiny min-table by grouping
     on the winner, and join the per-doc shingle counts on doc_id.
     """
-    sh = word_shingles(docs, n=n)
+    from yamr_spark.materialize import materialize
+
+    # MATERIALIZED: the per-doc count and the first-appearance min both
+    # read ``sh`` — one tokenize+shingle pass instead of two.
+    sh = materialize(word_shingles(docs, n=n))
     per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
@@ -1307,7 +1341,7 @@ def pack_sequences(
     from yamr_spark.functions import hash60
 
     h = hash60(F.col("doc_id").cast("string"))
-    base = docs.select(
+    base = _spread(docs.select("doc_id", "text")).select(
         F.col("doc_id"),
         _ntok_col().alias("n_tok"),
         h.alias("h60"),
@@ -1542,7 +1576,7 @@ def chunk_documents(
         f"s -> struct(array_join(slice({t}, s + 1, {width}), ' ') AS txt, "
         f"size(slice({t}, s + 1, {width})) AS n)) END"
     )
-    return docs.select(
+    return _spread(docs.select(id_col, text_col)).select(
         F.col(id_col), F.posexplode(F.expr(chunks)).alias("chunk_idx", "ch")
     ).select(
         id_col,
@@ -1702,7 +1736,7 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
         counts.append(F.regexp_count(red, F.lit(pat)).cast("long").alias(f"n_{name}"))
         red = F.regexp_replace(red, pat, repl)
     keep = [c for c in docs.columns if c != text_col]
-    return docs.select(*keep, *counts, red.alias(text_col))
+    return _spread(docs).select(*keep, *counts, red.alias(text_col))
 
 
 def domain_epoch_allocation(
@@ -1862,8 +1896,12 @@ def llm_prep_pipeline_v3(
             "doc_id"
         )
     s6 = s5.join(flagged, "doc_id", "left_anti").transform(materialize)
-    q = quality_score(docs).select("doc_id", "quality").join(
-        s6.select("doc_id"), "doc_id", "left_semi"
+    # MATERIALIZED: both the percentile scalar and the s7 gate read
+    # ``q`` — left lazy the quality_score scan re-executes per consumer.
+    q = materialize(
+        quality_score(docs).select("doc_id", "quality").join(
+            s6.select("doc_id"), "doc_id", "left_semi"
+        )
     )
     thr = q.agg(F.expr("percentile(quality, 0.75)").alias("thr"))
     s7 = (
@@ -2168,17 +2206,33 @@ def token_budget_pack(
     # bucket = floor(pri / (2^60 / n_buckets)): top bits of the 60-bit
     # priority, so bucket order IS coarse priority order.
     stride = (1 << 60) // n_buckets
-    base = docs.select(
-        "lang",
-        "doc_id",
-        F.greatest(F.size(ws), F.lit(1)).cast("long").alias("n_tok"),
-        hash60(F.concat(F.lit("tbp:"), F.col("doc_id").cast("string"))).alias("pri"),
-        # integer `div`, never double division: pri is up to 2^60 and
-        # doubles carry 53 bits, so float division can misbucket a
-        # priority within ~64 of a stride boundary, breaking the
-        # bucket-order-monotone-in-pri invariant the two-phase ==
-        # flat-prefix proof rests on (ADVICE r07)
-    ).withColumn("bucket", F.expr(f"pri div {stride}"))
+    from yamr_spark.materialize import materialize
+
+    # MATERIALIZED: four consumers read ``base`` (per_bucket, kept_full,
+    # kept_boundary, totals) — left lazy, the tokenize pass over ``docs``
+    # executes four times, and when ``docs`` is itself an expensive
+    # pipeline stage (llm_prep_pipeline_v4 feeds its whole cleaned-train
+    # funnel in here) the entire upstream subtree replays per consumer.
+    # ``base`` is narrow (lang, id, n_tok, pri, bucket ≈ 40 B/doc), the
+    # scale-safe materialization unit. Scan-spread first: the tokenize
+    # is the map-heavy step (guide §2.5).
+    base = materialize(
+        _spread(docs.select("lang", "doc_id", "text"))
+        .select(
+            "lang",
+            "doc_id",
+            F.greatest(F.size(ws), F.lit(1)).cast("long").alias("n_tok"),
+            hash60(
+                F.concat(F.lit("tbp:"), F.col("doc_id").cast("string"))
+            ).alias("pri"),
+            # integer `div`, never double division: pri is up to 2^60 and
+            # doubles carry 53 bits, so float division can misbucket a
+            # priority within ~64 of a stride boundary, breaking the
+            # bucket-order-monotone-in-pri invariant the two-phase ==
+            # flat-prefix proof rests on (ADVICE r07)
+        )
+        .withColumn("bucket", F.expr(f"pri div {stride}"))
+    )
 
     per_bucket = base.groupBy("lang", "bucket").agg(F.sum("n_tok").alias("btok"))
     wb = (

@@ -66,6 +66,21 @@ def _toks_expr(text_col: str):
     )
 
 
+def _doc_toks(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, __toks) — the shared tokenize root of every shingle /
+    signature builder, with the scan SPREAD to the session's parallelism
+    before the map-heavy tokenize+shingle+hash work (guide §2.5: a
+    single-row-group file plans as one scan task, serializing the whole
+    map stage on one core; at production scale the scan has many splits
+    and the spread is a metadata-only no-op). Projects to (id, text)
+    first so the spread exchange carries only what tokenize needs."""
+    from yamr_spark.tables import spread_scan
+
+    return spread_scan(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    ).select("doc_id", _toks_expr("__text").alias("__toks"))
+
+
 def _shingle_array_sql(n: int) -> str:
     """SQL fragment: array of word n-grams over a bound ``__toks`` column."""
     return (
@@ -95,7 +110,7 @@ def word_shingles(
     """
     shingles = F.expr(_shingle_array_sql(n))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), _toks_expr(text_col).alias("__toks"))
+        _doc_toks(docs, text_col, id_col)
         .filter(F.size("__toks") >= n)
         .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
     )
@@ -112,7 +127,7 @@ def word_shingle_hashes(
     ~16-byte rows instead of raw text. The hash is oracle-reproducible
     (functions.hash60) and collision-free in practice (~k²/2⁶¹)."""
     return (
-        docs.select(F.col(id_col).alias("doc_id"), _toks_expr(text_col).alias("__toks"))
+        _doc_toks(docs, text_col, id_col)
         .filter(F.size("__toks") >= n)
         .select("doc_id", F.explode(F.expr(_hashed_shingle_array_sql(n))).alias("sh"))
     )
@@ -129,7 +144,7 @@ def word_shingle_sets(
     exploded stream back with a groupBy."""
     shingles = F.expr(_shingle_array_sql(n))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), _toks_expr(text_col).alias("__toks"))
+        _doc_toks(docs, text_col, id_col)
         .filter(F.size("__toks") >= n)
         .select(
             "doc_id", F.sort_array(F.array_distinct(shingles)).alias("ss")
@@ -148,7 +163,7 @@ def word_shingle_hash_sets(
     columnar ``array_intersect`` verify compares 8-byte longs instead of
     variable-length text. Entirely map-side, zero shuffle."""
     return (
-        docs.select(F.col(id_col).alias("doc_id"), _toks_expr(text_col).alias("__toks"))
+        _doc_toks(docs, text_col, id_col)
         .filter(F.size("__toks") >= n)
         .select(
             "doc_id",
@@ -404,9 +419,13 @@ def minhash_near_dup(
         .distinct()
     )
     docs_c = docs.join(cand_ids, id_col, "left_semi")
-    sh = word_shingle_hashes(
-        docs_c, n=n, text_col=text_col, id_col=id_col
-    ).withColumnRenamed("sh", "shingle")
+    # MATERIALIZED: the intersection join reads ``sh`` twice (sa / sb) —
+    # left lazy, the candidate-doc shingle build executes twice.
+    sh = materialize(
+        word_shingle_hashes(
+            docs_c, n=n, text_col=text_col, id_col=id_col
+        ).withColumnRenamed("sh", "shingle")
+    )
     sizes = sigs.select("doc_id", "sz")
     return jaccard_for_pairs(cands, sh, sizes=sizes).filter(
         F.col("jaccard") >= threshold
@@ -441,11 +460,10 @@ def pigeonhole_blocks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
 
 
 def _token_counts(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    toks = F.expr(
-        f"filter(split(lower({text_col}), '{WORD_BREAK_SQL}'), x -> length(x) > 0)"
-    )
+    # spread root: see _doc_toks — the explode+count is map-heavy
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
+        _doc_toks(docs, text_col, id_col)
+        .select("doc_id", F.explode("__toks").alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("w"))
     )
@@ -779,7 +797,7 @@ def ngram_jaccard_pairs(
     )
     # map-side per-doc FULL distinct-shingle count (zero shuffle)
     sizes = (
-        docs.select(F.col(id_col).alias("doc_id"), _toks_expr(text_col).alias("__toks"))
+        _doc_toks(docs, text_col, id_col)
         .filter(F.size("__toks") >= n)
         .select("doc_id", F.expr(f"size({_hashed_shingle_array_sql(n)})").alias("sz"))
     )
@@ -890,9 +908,13 @@ def minhash_estimate_vs_exact(
         .distinct()
     )
     docs_c = docs.join(cand_ids, id_col, "left_semi")
-    sh = word_shingle_hashes(
-        docs_c, n=n, text_col=text_col, id_col=id_col
-    ).withColumnRenamed("sh", "shingle")
+    # MATERIALIZED: the intersection join reads ``sh`` twice (sa / sb) —
+    # left lazy, the candidate-doc shingle build executes twice.
+    sh = materialize(
+        word_shingle_hashes(
+            docs_c, n=n, text_col=text_col, id_col=id_col
+        ).withColumnRenamed("sh", "shingle")
+    )
     exact = jaccard_for_pairs(cands, sh, sizes=sigs.select("doc_id", "sz"))
 
     per_pair = est.join(exact, ["doc_a", "doc_b"]).withColumn(
@@ -977,10 +999,18 @@ def fuzzy_match_pairs(
     bound) discards most survivors before the distance evaluates.
     Levenshtein is a builtin Column function on both engines, so the
     oracle replays it exactly."""
-    keyed = rows.select(
-        F.col(id_col).alias("id"),
-        F.col(name_col).alias("name"),
-        *[F.col(c) for c in block_cols],
+    from yamr_spark.tables import spread_scan
+
+    # scan-spread (guide §2.5): the banded-Levenshtein evaluation runs in
+    # the self-join's output partitioning, which for a broadcast join is
+    # the STREAM side's scan partitioning — one task on a single-row-group
+    # input. No-op on multi-split scans.
+    keyed = spread_scan(
+        rows.select(
+            F.col(id_col).alias("id"),
+            F.col(name_col).alias("name"),
+            *[F.col(c) for c in block_cols],
+        )
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     cond = (F.col("a.id") < F.col("b.id")) & (
@@ -1051,9 +1081,13 @@ def containment_pairs(
         .distinct()
     )
     docs_c = docs.join(cand_ids, id_col, "left_semi")
-    sh = word_shingle_hashes(
-        docs_c, n=n, text_col=text_col, id_col=id_col
-    ).withColumnRenamed("sh", "shingle")
+    # MATERIALIZED: the intersection join reads ``sh`` twice (sa / sb) —
+    # left lazy, the candidate-doc shingle build executes twice.
+    sh = materialize(
+        word_shingle_hashes(
+            docs_c, n=n, text_col=text_col, id_col=id_col
+        ).withColumnRenamed("sh", "shingle")
+    )
     inter = (
         cands.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(

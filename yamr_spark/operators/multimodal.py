@@ -28,6 +28,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scan-spread (tables.spread_scan) before the Arrow decode seams
+    and signature builders: a single-row-group scan plans as one task,
+    which also means ONE python worker decodes every payload while the
+    rest idle (guide §2.5/§4). No-op on multi-split scans."""
+    from yamr_spark.tables import spread_scan
+
+    return spread_scan(df)
+
+
 # --- payload construction ---------------------------------------------------
 
 
@@ -120,7 +130,7 @@ def decode_image_stats(df: DataFrame) -> DataFrame:
                 rows, columns=["doc_id", "width", "height", "mean_px", "std_px"]
             )
 
-    return df.select("doc_id", "payload").mapInPandas(run, DECODE_SCHEMA)
+    return _spread(df.select("doc_id", "payload")).mapInPandas(run, DECODE_SCHEMA)
 
 
 RESIZE_SCHEMA = T.StructType(
@@ -159,7 +169,7 @@ def resize_thumbnail(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
                 rows.append((doc_id, thumb.tobytes(), out_w, out_h))
             yield pd.DataFrame(rows, columns=["doc_id", "thumb", "thumb_w", "thumb_h"])
 
-    return df.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+    return _spread(df.select("doc_id", "payload")).mapInPandas(run, RESIZE_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -189,7 +199,7 @@ def sample_frames(df: DataFrame, frame_bytes: int = 256, every_k: int = 4) -> Da
                     frames.append(buf[i * frame_bytes : (i + 1) * frame_bytes])
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
-    return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+    return _spread(df.select("doc_id", "payload")).mapInPandas(run, FRAME_SCHEMA)
 
 
 def modality_interleave(
@@ -297,7 +307,7 @@ def audio_frame_energy(df: DataFrame, frame: int = 64) -> DataFrame:
                 rows, columns=["doc_id", "frame_idx", "n_samples", "rms"]
             )
 
-    return df.select("doc_id", "payload").mapInPandas(run, AUDIO_SCHEMA)
+    return _spread(df.select("doc_id", "payload")).mapInPandas(run, AUDIO_SCHEMA)
 
 
 def _ascii_only(df: DataFrame, text_col: str) -> DataFrame:
@@ -377,8 +387,9 @@ def frame_signatures(
     need = frame * n_frames
     L = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
     return (
-        _ascii_only(df, text_col)
-        .filter(L >= need)
+        _spread(
+            _ascii_only(df, text_col).filter(L >= need).select(id_col, text_col)
+        )
         .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
         .withColumn("__syms", F.expr(_frame_symbols_expr(frame, n_frames, qstep)))
         .select("doc_id", F.col("__syms").alias("syms"))
@@ -415,7 +426,7 @@ def image_ahash_bands(
     L = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
     W = F.when(L >= 64, F.lit(64)).otherwise(L)
     H = F.when(L >= 64, (L / 64).cast("int")).otherwise(F.lit(1))
-    base = _ascii_only(df, text_col).select(
+    base = _spread(_ascii_only(df, text_col).select(id_col, text_col)).select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("__t"),
         W.cast("int").alias("__w"),

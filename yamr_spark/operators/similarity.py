@@ -29,6 +29,17 @@ def _vec_double(col: str):
     return F.expr(f"transform({col}, x -> cast(x as double))")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scan-spread (tables.spread_scan) for this module's vector roots:
+    the interpreted per-element dot/norm/subspace arithmetic is the
+    dominant map-side cost, and a single-row-group embeddings file plans
+    the whole stage as one task (guide §2.5). No-op on multi-split
+    scans (production layouts)."""
+    from yamr_spark.tables import spread_scan
+
+    return spread_scan(df)
+
+
 def _dot(a: str, b: str):
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
@@ -114,7 +125,9 @@ def brute_force_topk(
     the queries x corpus pairs evaluates one interpreted dot product,
     not three — the norm is the identical left-fold the oracle's
     sqrt(list_dot_product(x,x)) computes, so rounding parity holds."""
-    vecs = emb.select(F.col(id_col).alias("qid"), _vec_double(vec_col).alias("va"))
+    vecs = _spread(emb.select(id_col, vec_col)).select(
+        F.col(id_col).alias("qid"), _vec_double(vec_col).alias("va")
+    )
     queries = (
         vecs.filter(F.col("qid") < num_queries)
         .withColumnRenamed("qid", "query_id")
@@ -181,7 +194,7 @@ def _scored_against_centroids(
     (broadcast) centroid. Norms are precomputed ONCE per side before the
     cross join — the same sqrt(dot(x,x)) the oracle computes, just not
     re-evaluated c× per vector — so only the dot product runs per pair."""
-    vecs = emb.select(
+    vecs = _spread(emb.select(id_col, vec_col)).select(
         F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("va")
     ).withColumn("na", _norm("va"))
     cn = cents.withColumn("nb", _norm("cvec"))
@@ -302,7 +315,9 @@ def embedding_near_dup_multi(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+    vecs = _spread(emb.select(id_col, vec_col)).select(
+        F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
+    )
     return _attach_and_score(cands, vecs, threshold)
 
 
@@ -330,7 +345,9 @@ def ivf_topk(
     for the same ``cents``, so results are identical by construction."""
     from pyspark.sql import Window
 
-    vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+    vecs = _spread(emb.select(id_col, vec_col)).select(
+        F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
+    )
     # query → nprobe nearest centroids (broadcast queries × centroids; tiny)
     probes = _query_probes(
         emb, num_queries=num_queries, c=c, nprobe=nprobe, id_col=id_col,
@@ -491,7 +508,9 @@ def kmeans_refine(
     At 100 TB: sample-then-refine (train on a 0.1% sample, assign all) is
     the standard cheat; the operator is the same plan either way."""
     cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
-    vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("va"))
+    vecs = _spread(emb.select(id_col, vec_col)).select(
+        F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("va")
+    )
 
     for _ in range(iters):
         # same partial-aggregated max_by argmax as ivf_assign: the map
@@ -606,7 +625,8 @@ def embedding_near_dup(
     # table (the same left-fold the oracle's sqrt(dot(v,v)) evaluates),
     # so each candidate pair costs one interpreted dot, not three
     vecs = (
-        emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+        _spread(emb.select(id_col, vec_col))
+        .select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
         .withColumn("nv", _norm("v"))
         .join(assign, "vec_id")
         .transform(materialize)
@@ -679,7 +699,7 @@ def srp_signature(
         )
         bit_terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i}L ELSE 0L END)")
     sig = " + ".join(bit_terms)
-    return emb.select(
+    return _spread(emb.select(id_col, vec_col)).select(
         F.col(id_col).alias("vec_id"), F.expr(sig).alias("srp")
     )
 
@@ -743,7 +763,9 @@ def srp_near_dup(
         )
         .distinct()
     )
-    vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+    vecs = _spread(emb.select(id_col, vec_col)).select(
+        F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
+    )
     return _attach_and_score(cands, vecs, threshold)
 
 
@@ -828,7 +850,9 @@ def srp_estimate_vs_exact(
             ),
         )
     )
-    vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+    vecs = _spread(emb.select(id_col, vec_col)).select(
+        F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
+    )
     scored = _attach_and_score(cands, vecs, threshold=-1.0)
     preds = F.array(*[F.lit(p) for p in srp_predicted_cosines(bits)])
     per = hams.join(scored, ["vec_a", "vec_b"]).withColumn(
@@ -878,7 +902,8 @@ def semdedup(
         "vec_id", "centroid_id"
     )
     vecs = (
-        emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+        _spread(emb.select(id_col, vec_col))
+        .select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
         .withColumn("nv", _norm("v"))
         .join(assign, "vec_id")
         .transform(materialize)
@@ -961,7 +986,7 @@ def quantize_stats(
     rounded then summed through DECIMAL so the group aggregate is
     independent of aggregation order (hash-comparable across engines)."""
     q = quantize_int8(emb, id_col=id_col, vec_col=vec_col)
-    j = emb.select(
+    j = _spread(emb.select(id_col, vec_col, "label")).select(
         F.col(id_col), _vec_double(vec_col).alias("v"), "label"
     ).join(q, id_col)
     recon = "zip_with(qvec, v, (qi, x) -> cast(qi as double) * scale / 127.0)"
@@ -1061,7 +1086,7 @@ def hard_negative_mining(
     the corpus side would be IVF-pruned exactly like ann_ivf_topk."""
     from pyspark.sql import Window
 
-    vecs = emb.select(
+    vecs = _spread(emb).select(
         F.col(id_col).alias("qid"),
         _vec_double(vec_col).alias("va"),
         F.col(label_col).alias("lbl"),
@@ -1151,6 +1176,7 @@ def hard_negative_mining_ivf(
             _vec_double(vec_col).alias("vb"),
             F.col(label_col).alias("negative_label"),
         )
+        .transform(_spread)
         .join(assign, "negative_id")
         .withColumn("nb", _norm("vb"))
     )
@@ -1202,7 +1228,7 @@ def embedding_covariance(
     explode form is kept registered because it is exactly
     SQL-replayable."""
     v = _vec_double(vec_col)
-    base = emb.select(v.alias("v"))
+    base = _spread(emb.select(vec_col)).select(v.alias("v"))
     n = base.agg(F.count("*").alias("n"))
     sums = (
         base.select(F.posexplode(F.slice("v", 1, max_dim)).alias("i", "x"))
@@ -1295,7 +1321,9 @@ def embedding_covariance_gemm(
         " x -> cast(coalesce(try_cast(round(x, 6) as decimal(25,6)),"
         " cast(0 as decimal(25,6))) * 1000000 as long))"
     )
-    base = emb.select(quant.alias("q")).where(F.size("q") > 0)
+    base = _spread(emb.select(vec_col)).select(quant.alias("q")).where(
+        F.size("q") > 0
+    )
     n = base.agg(F.count("*").alias("n"))
     sums = (
         base.select(F.posexplode("q").alias("i", "sx"))
@@ -1712,7 +1740,9 @@ def mmr_topk(
     expressions, sharing the NaN/zero-norm NULL-cosine contract."""
     if k < 1 or top_n < k:
         raise ValueError(f"need top_n >= k >= 1, got top_n={top_n}, k={k}")
-    vecs = emb.select("vec_id", _vec_double("embedding").alias("v"))
+    vecs = _spread(emb.select("vec_id", "embedding")).select(
+        "vec_id", _vec_double("embedding").alias("v")
+    )
     q = vecs.where(F.col("vec_id") == query_id).select(F.col("v").alias("va"))
     cands = materialize(
         with_cosine(
@@ -1828,7 +1858,7 @@ def _pq_subspace_dists(
     fold runs in array-index order on both engines, so the doubles are
     bit-identical cross-engine (the cosine discipline)."""
     dsub = d // m
-    vsubs = emb.select(
+    vsubs = _spread(emb.select(id_col, vec_col)).select(
         F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
     ).select(
         "vec_id",
@@ -2069,7 +2099,8 @@ def pq_codebooks_kmeans(
     books = pq_codebooks(emb, m=m, k=k, d=d, id_col=id_col, vec_col=vec_col)
     dsub = d // m
     vsubs = (
-        emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+        _spread(emb.select(id_col, vec_col))
+        .select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
         .select(
             "vec_id",
             F.explode(
@@ -2253,7 +2284,9 @@ def ivf_pq_residual_topk(
         assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col, cents=cents)
     assign = assign.select("vec_id", "centroid_id")
 
-    vecs = emb.select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
+    vecs = _spread(emb.select(id_col, vec_col)).select(
+        F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
+    )
     resid = (
         vecs.join(assign, "vec_id")
         .join(F.broadcast(cents), "centroid_id")

@@ -34,6 +34,18 @@ def _tokens_col() -> Column:
     return F.expr(_TOKENS)
 
 
+def _spread_docs(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id, text[, extra]) spread to the session's parallelism
+    (tables.spread_scan) before a map-heavy tokenize/explode root: a
+    single-row-group scan plans as one task and serializes the whole
+    map stage on one core (guide §2.5); at production scale this is a
+    metadata-only no-op. Project-first so the exchange carries only the
+    needed columns."""
+    from yamr_spark.tables import spread_scan
+
+    return spread_scan(docs.select("doc_id", "text", *extra_cols))
+
+
 def tfidf_top_terms(
     docs: DataFrame, top_n: int = 3, max_df_frac: float | None = None
 ) -> DataFrame:
@@ -54,7 +66,7 @@ def tfidf_top_terms(
     it's a fraction, not an absolute df."""
     from pyspark.sql import Window
 
-    tokens = docs.select("doc_id", F.explode(_tokens_col()).alias("token"))
+    tokens = _spread_docs(docs).select("doc_id", F.explode(_tokens_col()).alias("token"))
     tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
@@ -97,7 +109,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
     toks = _tokens_col()
     ws = F.expr("filter(split(text, '\\\\s+'), x -> length(x) > 0)")
     bpe_pat = BPE_REGEX.replace("\\", "\\\\").replace("'", "\\'")
-    return docs.select(
+    return _spread_docs(docs).select(
         "doc_id",
         # long casts throughout: Spark size()/length() are int32, the
         # DuckDB oracle's len()/length() are int64 — align the schemas
@@ -137,7 +149,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         + F.when(punct_ratio <= 0.1, F.lit(0.15)).otherwise(F.lit(0.0))
         + F.when(digit_ratio <= 0.2, F.lit(0.15)).otherwise(F.lit(0.0))
     )
-    return docs.select(
+    return _spread_docs(docs).select(
         "doc_id",
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
@@ -171,7 +183,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     sel = [F.col("doc_id")]
     sel += [scores[lg].cast("long").alias(f"score_{lg}") for lg in langs]
     sel.append(pred.alias("pred_lang"))
-    return docs.select(*sel)
+    return _spread_docs(docs).select(*sel)
 
 
 def repetition_stats(docs: DataFrame) -> DataFrame:
@@ -196,7 +208,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     # null text → empty token array (NOT size()=-1): both sides of the
     # oracle pair define n_tokens=0 / dup_bigram_ratio=0 for null docs
     null_safe_toks = F.coalesce(_tokens_col(), F.expr("cast(array() as array<string>)"))
-    scalar_side = docs.select("doc_id", null_safe_toks.alias("__toks")).select(
+    scalar_side = _spread_docs(docs).select("doc_id", null_safe_toks.alias("__toks")).select(
         "doc_id",
         F.size("__toks").cast("long").alias("n_tokens"),
         F.expr(bigrams).alias("__bg"),
@@ -212,7 +224,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         ).alias("dup_bigram_ratio"),
     )
     tf = (
-        docs.select("doc_id", F.explode(_tokens_col()).alias("token"))
+        _spread_docs(docs).select("doc_id", F.explode(_tokens_col()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("c"))
     )
@@ -239,7 +251,7 @@ def doc_fingerprint(docs: DataFrame, n: int = 8) -> DataFrame:
         f"transform(sequence(1, greatest(length(text) - {n - 1}, 1)), "
         f"i -> md5(cast(substring(text, i, {n}) as binary)))"
     )
-    return docs.select(
+    return _spread_docs(docs).select(
         "doc_id",
         F.array_min(grams).alias("fp_min"),
         F.array_max(grams).alias("fp_max"),
@@ -294,10 +306,16 @@ def winnowing_fingerprints(
     exchange). Gram rows ≈ characters, the same stream width as the
     shingle/dedup family.
     """
+    from yamr_spark.tables import spread_scan
+
     g = F.expr(
         f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
         f"i -> struct(i AS pos, md5(cast(substring({text_col}, i, {k}) as binary)) AS h))"
     )
+    # scan-spread before the per-char md5 gram build (guide §2.5): the
+    # k-gram hashing is the dominant map-side cost and a single-row-group
+    # scan would run it on one task; no-op on multi-split scans.
+    docs = spread_scan(docs.select(id_col, text_col))
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
         F.greatest(F.length(text_col) - (k - 1), F.lit(1))
@@ -435,7 +453,7 @@ def bm25_search(
     TakeOrderedAndProject (per-partition heaps), no global sort."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    toks = docs.select("doc_id", F.explode(_tokens_col()).alias("token"))
+    toks = _spread_docs(docs).select("doc_id", F.explode(_tokens_col()).alias("token"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     corpus = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -508,7 +526,7 @@ def unigram_lm_score(
     no matter how noisy the corpus."""
     from yamr_spark.materialize import materialize
 
-    toks = docs.select("doc_id", F.explode(_tokens_col()).alias("token")).transform(
+    toks = _spread_docs(docs).select("doc_id", F.explode(_tokens_col()).alias("token")).transform(
         materialize
     )
     uni = toks.groupBy("token").agg(F.count("*").alias("cnt"))
@@ -637,7 +655,7 @@ def normalization_dedup_stats(docs: DataFrame) -> DataFrame:
     identical shape to exact_dedup (64-byte shuffle keys, bodies never
     move)."""
     collapsed = F.regexp_replace(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ")
-    per = docs.select(
+    per = _spread_docs(docs).select(
         "doc_id",
         (
             F.length("text")
@@ -677,8 +695,15 @@ def lm_quality_bucket_per_doc(docs: DataFrame) -> DataFrame:
     (the quality_stratified_sample discipline)."""
     from yamr_spark.operators.ranking import exact_global_rank
 
+    from yamr_spark.materialize import materialize
+
     lm = unigram_lm_score(docs)
-    scored = lm.join(docs.select("doc_id", "lang"), "doc_id")
+    # MATERIALIZED: ``scored`` has two full consumers — the per-lang
+    # count collect below and exact_global_rank's range pass — and
+    # without the barrier the whole LM-scoring subtree (model groupBy +
+    # scoring join) executes once per consumer. Narrow rows (id, score,
+    # n_tokens, lang): the scale-safe unit.
+    scored = materialize(lm.join(docs.select("doc_id", "lang"), "doc_id"))
     ranked = exact_global_rank(
         scored, ["lang", "lm_score", "doc_id"], rank_col="grnk"
     )
@@ -794,7 +819,7 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 3) -> DataFrame:
     from yamr_spark.materialize import materialize
 
     words = (
-        docs.select(F.explode(_tokens_col()).alias("w"))
+        _spread_docs(docs).select(F.explode(_tokens_col()).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
         # sentinel-padded symbol string: ' h e l l o '
@@ -900,7 +925,7 @@ def bpe_learn_merges_batched(
     from yamr_spark.materialize import materialize
 
     words = (
-        docs.select(F.explode(_tokens_col()).alias("w"))
+        _spread_docs(docs).select(F.explode(_tokens_col()).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
         .select(
@@ -1000,7 +1025,7 @@ def vocab_coverage(docs: DataFrame, caps: list[int] = (10, 100, 1000)) -> DataFr
     from pyspark.sql import Window
 
     tc = (
-        docs.select(F.explode(_tokens_col()).alias("token"))
+        _spread_docs(docs).select(F.explode(_tokens_col()).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
@@ -1098,7 +1123,7 @@ def gopher_filters(
         f" x -> length(x) > 0), x -> x IN ({stoplist})))"
     ) / nd
     uniq_ratio = F.size(F.array_distinct(toks)) / nd
-    flagged = docs.select(
+    flagged = _spread_docs(docs, "lang").select(
         "lang",
         (~n.between(min_words, max_words)).cast("long").alias("f_nwords"),
         (~mean_wlen.between(min_mean_wlen, max_mean_wlen))
@@ -1178,7 +1203,13 @@ def ngram_repetition_profile(
     contribute defined zeros, not NULL dropouts."""
     from pyspark.sql import Window
 
-    toks = docs.select("doc_id", _tokens_col().alias("t"))
+    from yamr_spark.materialize import materialize
+
+    # MATERIALIZED: gram_counts(2) and gram_counts(dup_n) both read
+    # ``toks`` — one tokenize pass instead of one per gram width.
+    toks = materialize(
+        _spread_docs(docs).select("doc_id", _tokens_col().alias("t"))
+    )
 
     def gram_counts(n: int) -> DataFrame:
         return (
@@ -1268,7 +1299,11 @@ def bigram_lm_score(
     the production bound for everything else."""
     from yamr_spark.materialize import materialize
 
-    toks = docs.select("doc_id", _tokens_col().alias("t"))
+    # MATERIALIZED: the bigram stream and the vocab count both read
+    # ``toks`` — one tokenize pass instead of two.
+    toks = materialize(
+        _spread_docs(docs).select("doc_id", _tokens_col().alias("t"))
+    )
     bg = (
         toks.where(F.size("t") >= 2)
         .select(
@@ -1429,7 +1464,7 @@ def hashed_doc_embeddings(
     constant, never a per-row blowup."""
     from yamr_spark.functions import hash60
 
-    tokens = docs.select("doc_id", F.explode(_tokens_col()).alias("token"))
+    tokens = _spread_docs(docs).select("doc_id", F.explode(_tokens_col()).alias("token"))
     tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     hashed = tf.select(
         "doc_id",
@@ -1786,7 +1821,7 @@ def heavy_hitters_exact(docs: DataFrame, k: int = 200) -> DataFrame:
     from yamr_spark.materialize import materialize
 
     m = 65536
-    toks = docs.select(F.explode(_tokens_col()).alias("term"))
+    toks = _spread_docs(docs).select(F.explode(_tokens_col()).alias("term"))
 
     # one Arrow pass emits BOTH the batch-local candidates and the
     # batch's token total (the NULL-term row), so the corpus is scanned

@@ -1326,8 +1326,15 @@ def q_llm_prep_pipeline_v4(spark, sf_dir):
     )
     from yamr_spark.queries_dedup import _near_dup_pairs_shared
 
+    from yamr_spark.materialize import materialize
+
     docs = table(spark, sf_dir, "documents")
-    high_dup = (
+    # MATERIALIZED: ``kept`` is referenced twice below (the split-assign
+    # input and the train semi-join), so an un-materialized high_dup
+    # re-runs the whole span_dup_stats funnel per reference (the r14
+    # plan audit counted 106 Exchanges in this one query). The frame is
+    # tiny (doc_ids of ≥80%-duplicated docs), the scale-safe unit.
+    high_dup = materialize(
         span_dup_stats(docs)
         .where(F.col("dup_frac") >= 0.8)
         .select("doc_id")

@@ -95,3 +95,31 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every table (lazy — just plan roots, nothing is read yet)."""
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Give a narrow scan-rooted frame at least the session's default
+    parallelism before heavy map-side work (optimization guide §2.5:
+    "input skew — one huge unsplittable file … repartition immediately
+    after the read").
+
+    A single small parquet file is one row group, which plans as ONE
+    scan task — so an operator whose cost is deliberately map-side
+    (per-char gram hashing, shingle explosion, interpreted vector
+    arithmetic) serializes on one core while the rest of the machine
+    idles, and the single map task also writes the whole first shuffle
+    alone. At production scale a scan carries many splits and this is a
+    metadata-only no-op (the partition check reads the file listing,
+    not data). Keyless round-robin repartition is deterministic under
+    retries (sortBeforeRepartition, SPARK-23207) and every registered
+    query's values are partitioning-invariant (layout-sweep-certified),
+    so results are unchanged.
+
+    Call AFTER projecting to the columns the operator needs: the spread
+    is an exchange, so it must carry the narrow projection, not the
+    full row (guide §2.3 "project before the exchange")."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
