@@ -398,12 +398,24 @@ def test_q21_single_fact_shuffle_for_double_exists(spark, sf_dir):
 
 def test_chunking_is_map_side_only(spark, sf_dir):
     """chunk_documents: tokenize → sequence → slice → posexplode is one
-    map-side stage — ZERO exchanges. Chunking 100 TB must be
-    embarrassingly parallel."""
+    map-side stage — ZERO exchanges on a production (multi-split) scan.
+    Chunking 100 TB must be embarrassingly parallel. At bench scale the
+    root is scan-spread (tables.spread_scan — a round-robin exchange
+    that exists only because the single-row-group fixture plans as one
+    task, r14), so the production shape is asserted by making the scan
+    estimate many splits, under which the spread must be a no-op."""
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+    try:
+        df = all_queries()["chunk_documents"](spark, sf_dir)
+        assert shuffle_count(df) == 0, "chunking grew a shuffle"
+        rs = read_schema(df)
+        assert "lang" not in rs and "source" not in rs, rs
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    # bench scale: at most the one spread exchange, nothing keyed
     df = all_queries()["chunk_documents"](spark, sf_dir)
-    assert shuffle_count(df) == 0, "chunking grew a shuffle"
-    rs = read_schema(df)
-    assert "lang" not in rs and "source" not in rs, rs
+    assert shuffle_count(df) <= 1, "chunking grew a keyed shuffle"
 
 
 def test_bm25_topk_and_partial_agg(spark, sf_dir):
@@ -558,9 +570,20 @@ def test_round5_query_plan_shapes(spark, sf_dir):
     # corpus never shuffles for the join
     assert "BroadcastNestedLoop" in plan_text(qtopk), "query side should broadcast"
 
+    # pii_redact's regex-dense root is scan-spread at bench scale (r14:
+    # a round-robin exchange over (doc_id, text) that no-ops on
+    # multi-split production scans) — production shape stays one
+    # lang-keyed exchange, asserted under a many-split scan estimate
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+    try:
+        pii = qs["pii_redaction_stats"](spark, sf_dir)
+        assert shuffle_count(pii) == 1, "one lang-keyed exchange only"
+        assert has_partial_aggregate(pii)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
     pii = qs["pii_redaction_stats"](spark, sf_dir)
-    assert shuffle_count(pii) == 1, "one lang-keyed exchange only"
-    assert has_partial_aggregate(pii)
+    assert shuffle_count(pii) <= 2, "spread + one lang-keyed exchange"
 
     vc = qs["vocab_coverage"](spark, sf_dir)
     assert has_partial_aggregate(vc)

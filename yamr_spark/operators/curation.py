@@ -27,11 +27,18 @@ _TOKS = f"filter(split(lower(text), '{WORD_BREAK_SQL}'), x -> length(x) > 0)"
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Scan-spread (tables.spread_scan) for this module's map-heavy
-    roots: tokenize / per-char gram hashing / window explosion all run
-    INSIDE the scan stage, and a single-row-group input plans that
-    stage as one task (guide §2.5) — spread after projecting to the
-    columns the operator needs. No-op at production scale."""
+    """Scan-spread (tables.spread_scan) for this module's CHAR-heavy
+    roots: per-char gram hashing / minimizer winnowing / regex-dense
+    redaction run INSIDE the scan stage, and a single-row-group input
+    plans that stage as one task (guide §2.5) — spread after projecting
+    to the columns the operator needs; no-op at production scale. The
+    round-14 quiet A/B kept it exactly where it wins at bench scale
+    (substring char family −2.8 to −4.3 s each, chunk_documents −0.6,
+    pii_redact −0.2, span/window builders flat-to-better) and removed
+    it from the word-tokenize roots (chunk_dup_stats, incremental
+    word dedup, ladder, packers: +0.3-2.5 s each with a root exchange —
+    their explodes feed partial aggregates one task handles well at
+    this scale)."""
     from yamr_spark.tables import spread_scan
 
     return spread_scan(df)
@@ -100,7 +107,7 @@ def chunk_dup_stats(docs: DataFrame, width: int = 8) -> DataFrame:
         f"array_distinct(transform({chunks_expr}, c -> {hash60_sql('c')}))"
     )
     ch = (
-        _spread(docs.select("doc_id", "text")).select(
+        (docs.select("doc_id", "text")).select(
             "doc_id", F.expr(_TOKS).alias("__toks")
         )
         .filter(F.size("__toks") >= width)
@@ -487,7 +494,7 @@ def substring_dedup_incremental(
     from yamr_spark.materialize import materialize
 
     def _wins(docs: DataFrame) -> DataFrame:
-        toks = _spread(docs.select("doc_id", "text")).select(
+        toks = (docs.select("doc_id", "text")).select(
             "doc_id", F.expr(_TOKS).alias("__toks")
         ).select(
             "doc_id",
@@ -1104,7 +1111,7 @@ def dedup_ladder(docs: DataFrame, width: int = 8) -> DataFrame:
     # re-executes per consumer (~6× in this plan); spread first so the
     # one tokenize pass parallelizes (guide §2.5).
     base = materialize(
-        _spread(docs.select("doc_id", "text")).select(
+        (docs.select("doc_id", "text")).select(
             "doc_id", "text", n_tok.alias("n_tok")
         )
     )
@@ -1341,7 +1348,7 @@ def pack_sequences(
     from yamr_spark.functions import hash60
 
     h = hash60(F.col("doc_id").cast("string"))
-    base = _spread(docs.select("doc_id", "text")).select(
+    base = (docs.select("doc_id", "text")).select(
         F.col("doc_id"),
         _ntok_col().alias("n_tok"),
         h.alias("h60"),
@@ -2217,7 +2224,7 @@ def token_budget_pack(
     # scale-safe materialization unit. Scan-spread first: the tokenize
     # is the map-heavy step (guide §2.5).
     base = materialize(
-        _spread(docs.select("lang", "doc_id", "text"))
+        (docs.select("lang", "doc_id", "text"))
         .select(
             "lang",
             "doc_id",

@@ -68,16 +68,15 @@ def _toks_expr(text_col: str):
 
 def _doc_toks(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc_id, __toks) — the shared tokenize root of every shingle /
-    signature builder, with the scan SPREAD to the session's parallelism
-    before the map-heavy tokenize+shingle+hash work (guide §2.5: a
-    single-row-group file plans as one scan task, serializing the whole
-    map stage on one core; at production scale the scan has many splits
-    and the spread is a metadata-only no-op). Projects to (id, text)
-    first so the spread exchange carries only what tokenize needs."""
-    from yamr_spark.tables import spread_scan
-
-    return spread_scan(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    signature builder. NOT scan-spread: the round-14 quiet A/B measured
+    the shingle consumers net-slower with a root exchange (simhash
+    +0.57 s, the estimate panels +0.3-1.5 s, minhash/jaccard flat) —
+    tokenize→shingle feeds partial-aggregated groupBys that one task
+    handles efficiently at single-row-group scale, while the spread
+    multiplies shuffle blocks; multi-split production scans parallelize
+    without help."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     ).select("doc_id", _toks_expr("__text").alias("__toks"))
 
 

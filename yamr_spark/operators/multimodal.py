@@ -29,13 +29,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Scan-spread (tables.spread_scan) before the Arrow decode seams
-    and signature builders: a single-row-group scan plans as one task,
-    which also means ONE python worker decodes every payload while the
-    rest idle (guide §2.5/§4). No-op on multi-split scans."""
-    from yamr_spark.tables import spread_scan
-
-    return spread_scan(df)
+    """Identity since round 14: spreading the payload scan before the
+    Arrow decode seams means SHUFFLING the binary payloads themselves
+    (guide §8's anti-pattern — the exchange carries the heavy bytes),
+    and the quiet A/B measured every decode-seam query slower with it
+    (decode_stats +0.67 s, frame/audio signatures +0.6-1.0 s) at bench
+    scale. A multi-file production payload table parallelizes at the
+    scan, payload bytes never crossing an exchange."""
+    return df
 
 
 # --- payload construction ---------------------------------------------------

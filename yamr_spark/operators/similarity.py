@@ -30,11 +30,14 @@ def _vec_double(col: str):
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Scan-spread (tables.spread_scan) for this module's vector roots:
-    the interpreted per-element dot/norm/subspace arithmetic is the
-    dominant map-side cost, and a single-row-group embeddings file plans
-    the whole stage as one task (guide §2.5). No-op on multi-split
-    scans (production layouts)."""
+    """Scan-spread (tables.spread_scan) for the PAIRWISE-distance roots
+    only (semdedup, embedding_near_dup/_multi): there the per-row map
+    cost is O(candidates × dim) interpreted arithmetic and the round-14
+    quiet A/B measured a real win (semdedup −0.4 s at sf0.1). The other
+    vector roots (top-k scoring, covariance, quantize, PQ) LOSE from a
+    root exchange at bench scale — their per-row work is one dot/code
+    per centroid feeding partial aggregates — so they project without
+    spreading. No-op on multi-split scans (production layouts)."""
     from yamr_spark.tables import spread_scan
 
     return spread_scan(df)
@@ -125,7 +128,7 @@ def brute_force_topk(
     the queries x corpus pairs evaluates one interpreted dot product,
     not three — the norm is the identical left-fold the oracle's
     sqrt(list_dot_product(x,x)) computes, so rounding parity holds."""
-    vecs = _spread(emb.select(id_col, vec_col)).select(
+    vecs = (emb.select(id_col, vec_col)).select(
         F.col(id_col).alias("qid"), _vec_double(vec_col).alias("va")
     )
     queries = (
@@ -194,7 +197,7 @@ def _scored_against_centroids(
     (broadcast) centroid. Norms are precomputed ONCE per side before the
     cross join — the same sqrt(dot(x,x)) the oracle computes, just not
     re-evaluated c× per vector — so only the dot product runs per pair."""
-    vecs = _spread(emb.select(id_col, vec_col)).select(
+    vecs = (emb.select(id_col, vec_col)).select(
         F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("va")
     ).withColumn("na", _norm("va"))
     cn = cents.withColumn("nb", _norm("cvec"))
@@ -345,7 +348,7 @@ def ivf_topk(
     for the same ``cents``, so results are identical by construction."""
     from pyspark.sql import Window
 
-    vecs = _spread(emb.select(id_col, vec_col)).select(
+    vecs = (emb.select(id_col, vec_col)).select(
         F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
     )
     # query → nprobe nearest centroids (broadcast queries × centroids; tiny)
@@ -508,7 +511,7 @@ def kmeans_refine(
     At 100 TB: sample-then-refine (train on a 0.1% sample, assign all) is
     the standard cheat; the operator is the same plan either way."""
     cents = centroids(emb, c=c, id_col=id_col, vec_col=vec_col)
-    vecs = _spread(emb.select(id_col, vec_col)).select(
+    vecs = (emb.select(id_col, vec_col)).select(
         F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("va")
     )
 
@@ -699,7 +702,7 @@ def srp_signature(
         )
         bit_terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i}L ELSE 0L END)")
     sig = " + ".join(bit_terms)
-    return _spread(emb.select(id_col, vec_col)).select(
+    return (emb.select(id_col, vec_col)).select(
         F.col(id_col).alias("vec_id"), F.expr(sig).alias("srp")
     )
 
@@ -763,7 +766,7 @@ def srp_near_dup(
         )
         .distinct()
     )
-    vecs = _spread(emb.select(id_col, vec_col)).select(
+    vecs = (emb.select(id_col, vec_col)).select(
         F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
     )
     return _attach_and_score(cands, vecs, threshold)
@@ -850,7 +853,7 @@ def srp_estimate_vs_exact(
             ),
         )
     )
-    vecs = _spread(emb.select(id_col, vec_col)).select(
+    vecs = (emb.select(id_col, vec_col)).select(
         F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
     )
     scored = _attach_and_score(cands, vecs, threshold=-1.0)
@@ -986,7 +989,7 @@ def quantize_stats(
     rounded then summed through DECIMAL so the group aggregate is
     independent of aggregation order (hash-comparable across engines)."""
     q = quantize_int8(emb, id_col=id_col, vec_col=vec_col)
-    j = _spread(emb.select(id_col, vec_col, "label")).select(
+    j = (emb.select(id_col, vec_col, "label")).select(
         F.col(id_col), _vec_double(vec_col).alias("v"), "label"
     ).join(q, id_col)
     recon = "zip_with(qvec, v, (qi, x) -> cast(qi as double) * scale / 127.0)"
@@ -1086,7 +1089,7 @@ def hard_negative_mining(
     the corpus side would be IVF-pruned exactly like ann_ivf_topk."""
     from pyspark.sql import Window
 
-    vecs = _spread(emb).select(
+    vecs = (emb).select(
         F.col(id_col).alias("qid"),
         _vec_double(vec_col).alias("va"),
         F.col(label_col).alias("lbl"),
@@ -1228,7 +1231,7 @@ def embedding_covariance(
     explode form is kept registered because it is exactly
     SQL-replayable."""
     v = _vec_double(vec_col)
-    base = _spread(emb.select(vec_col)).select(v.alias("v"))
+    base = (emb.select(vec_col)).select(v.alias("v"))
     n = base.agg(F.count("*").alias("n"))
     sums = (
         base.select(F.posexplode(F.slice("v", 1, max_dim)).alias("i", "x"))
@@ -1321,7 +1324,7 @@ def embedding_covariance_gemm(
         " x -> cast(coalesce(try_cast(round(x, 6) as decimal(25,6)),"
         " cast(0 as decimal(25,6))) * 1000000 as long))"
     )
-    base = _spread(emb.select(vec_col)).select(quant.alias("q")).where(
+    base = (emb.select(vec_col)).select(quant.alias("q")).where(
         F.size("q") > 0
     )
     n = base.agg(F.count("*").alias("n"))
@@ -1740,7 +1743,7 @@ def mmr_topk(
     expressions, sharing the NaN/zero-norm NULL-cosine contract."""
     if k < 1 or top_n < k:
         raise ValueError(f"need top_n >= k >= 1, got top_n={top_n}, k={k}")
-    vecs = _spread(emb.select("vec_id", "embedding")).select(
+    vecs = (emb.select("vec_id", "embedding")).select(
         "vec_id", _vec_double("embedding").alias("v")
     )
     q = vecs.where(F.col("vec_id") == query_id).select(F.col("v").alias("va"))
@@ -1858,7 +1861,7 @@ def _pq_subspace_dists(
     fold runs in array-index order on both engines, so the doubles are
     bit-identical cross-engine (the cosine discipline)."""
     dsub = d // m
-    vsubs = _spread(emb.select(id_col, vec_col)).select(
+    vsubs = (emb.select(id_col, vec_col)).select(
         F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
     ).select(
         "vec_id",
@@ -2099,7 +2102,7 @@ def pq_codebooks_kmeans(
     books = pq_codebooks(emb, m=m, k=k, d=d, id_col=id_col, vec_col=vec_col)
     dsub = d // m
     vsubs = (
-        _spread(emb.select(id_col, vec_col))
+        (emb.select(id_col, vec_col))
         .select(F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v"))
         .select(
             "vec_id",
@@ -2284,7 +2287,7 @@ def ivf_pq_residual_topk(
         assign = ivf_assign(emb, c=c, id_col=id_col, vec_col=vec_col, cents=cents)
     assign = assign.select("vec_id", "centroid_id")
 
-    vecs = _spread(emb.select(id_col, vec_col)).select(
+    vecs = (emb.select(id_col, vec_col)).select(
         F.col(id_col).alias("vec_id"), _vec_double(vec_col).alias("v")
     )
     resid = (

@@ -34,13 +34,28 @@ def _tokens_col() -> Column:
     return F.expr(_TOKENS)
 
 
+def _docs(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id, text[, extra]) projection for a tokenize/explode root.
+
+    Round-14 measurement note: these roots were briefly scan-spread
+    (tables.spread_scan) to the session parallelism, but the quiet
+    interleaved A/B showed tokenize→aggregate DAGs LOSE from the root
+    exchange at bench scale (bm25_search 1.22→2.80 s, tfidf 1.49→2.54,
+    word_count 0.40→1.22 spread-on vs off): the explode feeds partial
+    aggregation, which one task does efficiently on a single-row-group
+    scan, while spreading multiplies shuffle blocks (M×R) and task
+    overhead. Spread stays only where per-byte map work dominates
+    (char-granularity hashing — see operators/curation.py — and
+    pairwise vector distance)."""
+    return docs.select("doc_id", "text", *extra_cols)
+
+
 def _spread_docs(docs: DataFrame, *extra_cols: str) -> DataFrame:
     """(doc_id, text[, extra]) spread to the session's parallelism
-    (tables.spread_scan) before a map-heavy tokenize/explode root: a
-    single-row-group scan plans as one task and serializes the whole
-    map stage on one core (guide §2.5); at production scale this is a
-    metadata-only no-op. Project-first so the exchange carries only the
-    needed columns."""
+    (tables.spread_scan) before a root whose MAP work dominates (the
+    regex-census quality score — measured win in the round-14 A/B); at
+    production scale this is a metadata-only no-op. Project-first so
+    the exchange carries only the needed columns."""
     from yamr_spark.tables import spread_scan
 
     return spread_scan(docs.select("doc_id", "text", *extra_cols))
@@ -66,8 +81,14 @@ def tfidf_top_terms(
     it's a fraction, not an absolute df."""
     from pyspark.sql import Window
 
-    tokens = _spread_docs(docs).select("doc_id", F.explode(_tokens_col()).alias("token"))
-    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    from yamr_spark.materialize import materialize
+
+    tokens = _docs(docs).select("doc_id", F.explode(_tokens_col()).alias("token"))
+    # tf feeds BOTH the df aggregate and the scored join — materialize
+    # so the tokenize+tf shuffle runs once, not once per consumer
+    tf = materialize(
+        tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    )
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
@@ -109,7 +130,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
     toks = _tokens_col()
     ws = F.expr("filter(split(text, '\\\\s+'), x -> length(x) > 0)")
     bpe_pat = BPE_REGEX.replace("\\", "\\\\").replace("'", "\\'")
-    return _spread_docs(docs).select(
+    return _docs(docs).select(
         "doc_id",
         # long casts throughout: Spark size()/length() are int32, the
         # DuckDB oracle's len()/length() are int64 — align the schemas
@@ -183,7 +204,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     sel = [F.col("doc_id")]
     sel += [scores[lg].cast("long").alias(f"score_{lg}") for lg in langs]
     sel.append(pred.alias("pred_lang"))
-    return _spread_docs(docs).select(*sel)
+    return _docs(docs).select(*sel)
 
 
 def repetition_stats(docs: DataFrame) -> DataFrame:
@@ -208,7 +229,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     # null text → empty token array (NOT size()=-1): both sides of the
     # oracle pair define n_tokens=0 / dup_bigram_ratio=0 for null docs
     null_safe_toks = F.coalesce(_tokens_col(), F.expr("cast(array() as array<string>)"))
-    scalar_side = _spread_docs(docs).select("doc_id", null_safe_toks.alias("__toks")).select(
+    scalar_side = _docs(docs).select("doc_id", null_safe_toks.alias("__toks")).select(
         "doc_id",
         F.size("__toks").cast("long").alias("n_tokens"),
         F.expr(bigrams).alias("__bg"),
@@ -224,7 +245,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         ).alias("dup_bigram_ratio"),
     )
     tf = (
-        _spread_docs(docs).select("doc_id", F.explode(_tokens_col()).alias("token"))
+        _docs(docs).select("doc_id", F.explode(_tokens_col()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("c"))
     )
@@ -251,7 +272,7 @@ def doc_fingerprint(docs: DataFrame, n: int = 8) -> DataFrame:
         f"transform(sequence(1, greatest(length(text) - {n - 1}, 1)), "
         f"i -> md5(cast(substring(text, i, {n}) as binary)))"
     )
-    return _spread_docs(docs).select(
+    return _docs(docs).select(
         "doc_id",
         F.array_min(grams).alias("fp_min"),
         F.array_max(grams).alias("fp_max"),
@@ -306,16 +327,15 @@ def winnowing_fingerprints(
     exchange). Gram rows ≈ characters, the same stream width as the
     shingle/dedup family.
     """
-    from yamr_spark.tables import spread_scan
-
     g = F.expr(
         f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
         f"i -> struct(i AS pos, md5(cast(substring({text_col}, i, {k}) as binary)) AS h))"
     )
-    # scan-spread before the per-char md5 gram build (guide §2.5): the
-    # k-gram hashing is the dominant map-side cost and a single-row-group
-    # scan would run it on one task; no-op on multi-split scans.
-    docs = spread_scan(docs.select(id_col, text_col))
+    # NOT scan-spread: the round-14 A/B measured the winnow family
+    # slower with a root exchange (the gram build feeds straight into a
+    # per-doc window + distinct, which one task pipelines efficiently
+    # at single-row-group scale; multi-split scans parallelize anyway)
+    docs = docs.select(id_col, text_col)
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
         F.greatest(F.length(text_col) - (k - 1), F.lit(1))
@@ -453,7 +473,7 @@ def bm25_search(
     TakeOrderedAndProject (per-partition heaps), no global sort."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    toks = _spread_docs(docs).select("doc_id", F.explode(_tokens_col()).alias("token"))
+    toks = _docs(docs).select("doc_id", F.explode(_tokens_col()).alias("token"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     corpus = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -526,7 +546,7 @@ def unigram_lm_score(
     no matter how noisy the corpus."""
     from yamr_spark.materialize import materialize
 
-    toks = _spread_docs(docs).select("doc_id", F.explode(_tokens_col()).alias("token")).transform(
+    toks = _docs(docs).select("doc_id", F.explode(_tokens_col()).alias("token")).transform(
         materialize
     )
     uni = toks.groupBy("token").agg(F.count("*").alias("cnt"))
@@ -655,7 +675,7 @@ def normalization_dedup_stats(docs: DataFrame) -> DataFrame:
     identical shape to exact_dedup (64-byte shuffle keys, bodies never
     move)."""
     collapsed = F.regexp_replace(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+", " ")
-    per = _spread_docs(docs).select(
+    per = _docs(docs).select(
         "doc_id",
         (
             F.length("text")
@@ -819,7 +839,7 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 3) -> DataFrame:
     from yamr_spark.materialize import materialize
 
     words = (
-        _spread_docs(docs).select(F.explode(_tokens_col()).alias("w"))
+        _docs(docs).select(F.explode(_tokens_col()).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
         # sentinel-padded symbol string: ' h e l l o '
@@ -925,7 +945,7 @@ def bpe_learn_merges_batched(
     from yamr_spark.materialize import materialize
 
     words = (
-        _spread_docs(docs).select(F.explode(_tokens_col()).alias("w"))
+        _docs(docs).select(F.explode(_tokens_col()).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
         .select(
@@ -1025,7 +1045,7 @@ def vocab_coverage(docs: DataFrame, caps: list[int] = (10, 100, 1000)) -> DataFr
     from pyspark.sql import Window
 
     tc = (
-        _spread_docs(docs).select(F.explode(_tokens_col()).alias("token"))
+        _docs(docs).select(F.explode(_tokens_col()).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
@@ -1123,7 +1143,7 @@ def gopher_filters(
         f" x -> length(x) > 0), x -> x IN ({stoplist})))"
     ) / nd
     uniq_ratio = F.size(F.array_distinct(toks)) / nd
-    flagged = _spread_docs(docs, "lang").select(
+    flagged = _docs(docs, "lang").select(
         "lang",
         (~n.between(min_words, max_words)).cast("long").alias("f_nwords"),
         (~mean_wlen.between(min_mean_wlen, max_mean_wlen))
@@ -1208,7 +1228,7 @@ def ngram_repetition_profile(
     # MATERIALIZED: gram_counts(2) and gram_counts(dup_n) both read
     # ``toks`` — one tokenize pass instead of one per gram width.
     toks = materialize(
-        _spread_docs(docs).select("doc_id", _tokens_col().alias("t"))
+        _docs(docs).select("doc_id", _tokens_col().alias("t"))
     )
 
     def gram_counts(n: int) -> DataFrame:
@@ -1302,7 +1322,7 @@ def bigram_lm_score(
     # MATERIALIZED: the bigram stream and the vocab count both read
     # ``toks`` — one tokenize pass instead of two.
     toks = materialize(
-        _spread_docs(docs).select("doc_id", _tokens_col().alias("t"))
+        _docs(docs).select("doc_id", _tokens_col().alias("t"))
     )
     bg = (
         toks.where(F.size("t") >= 2)
@@ -1464,7 +1484,7 @@ def hashed_doc_embeddings(
     constant, never a per-row blowup."""
     from yamr_spark.functions import hash60
 
-    tokens = _spread_docs(docs).select("doc_id", F.explode(_tokens_col()).alias("token"))
+    tokens = _docs(docs).select("doc_id", F.explode(_tokens_col()).alias("token"))
     tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     hashed = tf.select(
         "doc_id",
@@ -1636,14 +1656,24 @@ def sparse_cosine_pairs(
     6dp-rounded tfidf values (identical in both engines); dots and
     norms accumulate 9dp-rounded terms through DECIMAL so no float
     reduction depends on order."""
-    vec = tfidf_top_terms(docs, top_n=top_n, max_df_frac=max_df_frac).select(
-        "doc_id", "token", F.col("tfidf").alias("w")
+    from yamr_spark.materialize import materialize
+
+    # the truncated vector table has THREE consumers (norms, query side,
+    # posting side) and norms two — without barriers each replays the
+    # whole TF-IDF pass (tokenize, tf, df, window top-n). vec is
+    # top_n rows/doc (~tens of B/doc), the scale-safe unit.
+    vec = materialize(
+        tfidf_top_terms(docs, top_n=top_n, max_df_frac=max_df_frac).select(
+            "doc_id", "token", F.col("tfidf").alias("w")
+        )
     )
     dec = lambda c: F.sum(
         F.expr(f"cast(round({c}, 9) as decimal(28,9))")
     )
-    norms = vec.groupBy("doc_id").agg(
-        F.sqrt(dec("w * w").cast("double")).alias("nrm")
+    norms = materialize(
+        vec.groupBy("doc_id").agg(
+            F.sqrt(dec("w * w").cast("double")).alias("nrm")
+        )
     )
     qvec = vec if num_queries is None else vec.where(
         F.col("doc_id") < num_queries
@@ -1821,7 +1851,7 @@ def heavy_hitters_exact(docs: DataFrame, k: int = 200) -> DataFrame:
     from yamr_spark.materialize import materialize
 
     m = 65536
-    toks = _spread_docs(docs).select(F.explode(_tokens_col()).alias("term"))
+    toks = _docs(docs).select(F.explode(_tokens_col()).alias("term"))
 
     # one Arrow pass emits BOTH the batch-local candidates and the
     # batch's token total (the NULL-term row), so the corpus is scanned

@@ -25,13 +25,13 @@ from yamr_spark.functions import WORD_BREAK_RE, non_empty, tokenize
 def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     """C1/C8: flatMap-shaped 1→N transform — one row per word token.
 
-    Scan-spread first (tables.spread_scan): the tokenize+explode is the
-    map-heavy stage and a single-row-group input plans it as one task
-    (guide §2.5); no-op on multi-split scans."""
-    from yamr_spark.tables import spread_scan
-
+    Not scan-spread: the round-14 interleaved A/B measured word_count
+    slower with a root exchange (0.40 s → 1.22 s spread-on at sf0.1) —
+    the explode feeds a partial aggregate, which one task handles
+    efficiently at single-row-group scale, and multi-split production
+    scans parallelize without help."""
     return (
-        spread_scan(df.select(text_col))
+        df.select(text_col)
         .select(F.explode(tokenize(text_col)).alias("word"))
         .filter(non_empty("word"))
     )

@@ -1036,8 +1036,13 @@ def q_basket_type_lift(spark, sf_dir):
     a 100-lineitem order contributes each pair once; the self-join
     keys on orderkey (co-partitioned — cost Σ|basket|², bounded by
     basket width, never corpus²); category frequencies are a
-    broadcast-tiny table joined back."""
-    items = (
+    broadcast-tiny table joined back. items has FOUR consumers (n,
+    freq, both self-join sides) — materialized so the scan + broadcast
+    join + distinct runs once; it is (order, category)-distinct, far
+    smaller than lineitem."""
+    from yamr_spark.materialize import materialize
+
+    items = materialize(
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .join(

@@ -117,9 +117,70 @@ def spread_scan(df: DataFrame) -> DataFrame:
 
     Call AFTER projecting to the columns the operator needs: the spread
     is an exchange, so it must carry the narrow projection, not the
-    full row (guide §2.3 "project before the exchange")."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    full row (guide §2.3 "project before the exchange").
+
+    The "is this scan under-parallel?" check must itself be metadata-
+    cheap: ``df.rdd.getNumPartitions()`` converts the plan to an RDD —
+    measured ~110 ms of driver work PER CALL (~0.3-0.5 s added to every
+    bench query, the dominant cost of the first cut of this helper) —
+    while ``df.inputFiles()`` is a ~9 ms walk of the analyzed plan. The
+    split count is estimated with Spark's own file-packing arithmetic
+    (ceil(Σ(size + openCost) / maxPartitionBytes)); sizes are memoized
+    per path and read via the local filesystem only — any non-local
+    scheme (hdfs:/, s3:/) means a production deployment whose scans
+    carry many splits, so the helper is the designed no-op there
+    without touching the DFS."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
+        # non-scan root (materialized intermediate / in-memory relation):
+        # its partitioning is whatever the upstream stage chose
+        return df
+    est = _estimated_scan_splits(spark, files)
+    if est is not None and est < target:
         return df.repartition(target)
     return df
+
+
+_FILE_SIZES: dict[str, int | None] = {}
+
+
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark byte-size conf value ("128m", "1g", "134217728")."""
+    s = conf_val.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "b": 1}
+    if s and s[-1] in units:
+        return int(float(s[:-1])) * units[s[-1]]
+    return int(s)
+
+
+def _estimated_scan_splits(spark: SparkSession, files: list[str]) -> int | None:
+    """Spark's scan-task estimate from file metadata alone: files are
+    packed into splits of ``maxPartitionBytes``, each charged
+    ``openCostInBytes``. Returns None when any file's size can't be
+    read through the local filesystem (non-local scheme → production
+    DFS → treat as many-split)."""
+    max_pb = _size_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    open_cost = _size_bytes(spark.conf.get("spark.sql.files.openCostInBytes", "4m"))
+    total = 0
+    for uri in files:
+        size = _FILE_SIZES.get(uri)
+        if size is None and uri not in _FILE_SIZES:
+            path = uri
+            if path.startswith("file:"):
+                path = path[5:]
+                while path.startswith("//"):
+                    path = path[1:]
+            size = None
+            if not ("://" in uri and not uri.startswith("file://")):
+                try:
+                    size = os.path.getsize(path)
+                except OSError:
+                    size = None
+            _FILE_SIZES[uri] = size
+        size = _FILE_SIZES[uri]
+        if size is None:
+            return None
+        total += size + open_cost
+    return max(1, -(-total // max_pb))
