@@ -111,3 +111,59 @@ def test_sparse_cosine_values_unchanged(spark, sf_dir):
         assert 0.5 <= r.cosine <= 1.0 + 1e-9
         assert (r.doc_a, r.doc_b) not in seen
         seen.add((r.doc_a, r.doc_b))
+
+
+def test_winnow_near_dup_materializes_rare(spark, sf_dir):
+    """rare (fps distinct ⋈ df-filter) has three consumers (sizes and
+    both self-join sides); without the barrier the r14 plan replayed
+    the distinct + df subtree 4× (22 Exchanges). With it, only the
+    pair aggregate and size joins remain."""
+    from yamr_spark.operators.text import winnow_near_dup
+
+    df = winnow_near_dup(table(spark, sf_dir, "documents"))
+    assert shuffle_count(df) <= 8, shuffle_count(df)
+
+
+def test_simhash_near_dup_materializes_signature(spark, sf_dir):
+    """The signature frame feeds both pigeonhole self-join sides; the
+    barrier keeps one tokenize → token-count → SWAR-sum pipeline
+    (5 Exchanges before, 2 after)."""
+    from yamr_spark.operators.dedup import simhash_near_dup
+
+    df = simhash_near_dup(table(spark, sf_dir, "documents"))
+    assert shuffle_count(df) <= 3, shuffle_count(df)
+
+
+def test_ngram_jaccard_sizes_from_shingle_stream(spark, sf_dir):
+    """sizes must aggregate the materialized hashed-shingle stream, not
+    re-tokenize the corpus: the final plan may tokenize documents at
+    most once (the hotsets/postings root), never a second Generate
+    pass for the size projection."""
+    from yamr_spark.operators.dedup import ngram_jaccard_pairs
+    from yamr_spark.plans import plan_text
+
+    df = ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
+    # the shingle stream is materialized, so the *final* plan reads the
+    # checkpointed RDD: zero parquet re-scans of documents remain
+    assert "parquet" not in plan_text(df).lower(), "sizes re-reads corpus"
+
+
+def test_funnel_stages_scans_events_once_per_stage(spark, sf_dir):
+    """s and c each feed two consumers; barriered, they appear in the
+    final plan as checkpointed-RDD scans and only the p stage still
+    reads events — ONE parquet scan operator (it appears twice in the
+    formatted text: tree + detail listing), where the unbarriered plan
+    held six."""
+    from yamr_spark.plans import plan_text
+
+    df = all_queries()["funnel_stages"](spark, sf_dir)
+    scans = plan_text(df).count("Scan parquet")
+    assert scans == 2, scans
+
+
+def test_llm_prep_v2_values_spot_invariant(spark, sf_dir):
+    """The v2 surv barrier is pure plan surgery — spot-pin the report
+    shape: stage counts positive, split/lang keys distinct."""
+    rows = all_queries()["llm_prep_pipeline_v2"](spark, sf_dir).collect()
+    keys = [(r.split, r.lang) for r in rows]
+    assert len(keys) == len(set(keys)) and all(r.n_docs > 0 for r in rows)

@@ -1658,6 +1658,13 @@ def llm_prep_pipeline_v2(
         .agg(F.min(F.struct("doc_id", "lang")).alias("k"))
         .select(F.col("k.doc_id").alias("doc_id"), F.col("k.lang").alias("lang"))
     )
+    # surv has two consumers (the near-dup stage's semi-join input and
+    # the final keep-list) — barrier so the full-text sha2 groupBy runs
+    # once, not once per consumer (guide §2.4; A/B −1.4 s at sf0.1).
+    # (doc_id, lang) rows — the scale-safe materialization unit.
+    from yamr_spark.materialize import materialize as _mat
+
+    surv = _mat(surv)
     surv_docs = docs.join(surv.select("doc_id"), "doc_id", "left_semi")
     pairs = minhash_near_dup(surv_docs)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")

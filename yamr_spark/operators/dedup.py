@@ -585,7 +585,12 @@ def simhash_near_dup(
     blocks_spec = pigeonhole_blocks(SIMHASH_BITS, max_hamming)
     offsets = [o for o, _ in blocks_spec]
     widths = [w for _, w in blocks_spec]
-    sig = simhash(docs, text_col=text_col, id_col=id_col)
+    # barrier: both sides of the pigeonhole self-join consume the
+    # signature frame — without it the full tokenize → token-count →
+    # SWAR-sum pipeline runs twice, once per join side (guide §2.4;
+    # A/B: 3.20 → 2.45 s at sf0.1). (doc_id, simhash) is 16 B/doc —
+    # the scale-safe materialization unit.
+    sig = materialize(simhash(docs, text_col=text_col, id_col=id_col))
     nibbles = sig.select(
         "doc_id",
         "simhash",
@@ -794,12 +799,14 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter_rare"))
     )
-    # map-side per-doc FULL distinct-shingle count (zero shuffle)
-    sizes = (
-        _doc_toks(docs, text_col, id_col)
-        .filter(F.size("__toks") >= n)
-        .select("doc_id", F.expr(f"size({_hashed_shingle_array_sql(n)})").alias("sz"))
-    )
+    # per-doc FULL distinct-shingle count. The sh stream IS the distinct
+    # (doc_id, hash) set (word_shingle_hashes explodes array_distinct:
+    # same doc set — every doc with >= n tokens has >= 1 shingle — and
+    # count-of-rows == size(hashed array)), so aggregate the already-
+    # materialized stream instead of re-tokenizing the corpus for a
+    # second full pass (guide §2.4; bench-neutral at sf0.1, one fewer
+    # corpus pass at scale).
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # per-doc HOT-shingle arrays: the broadcast hot set filters the
     # stream map-side; rows exist only for docs that contain a
     # stop-shingle, and each array holds ≤ |hot| entries

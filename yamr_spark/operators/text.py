@@ -419,7 +419,15 @@ def winnow_near_dup(
             .transform(materialize)
         )
     dfreq = fps.groupBy("fp").agg(F.count("*").alias("df"))
-    rare = fps.join(dfreq.filter(F.col("df") <= max_df).select("fp"), "fp")
+    # rare has THREE consumers (sizes and both self-join sides) — without
+    # a barrier each replays the distinct + df-filter join (the r14 plan
+    # showed that subtree 4×, ~10 replayed Exchanges; guide §2.4). The
+    # df aggregate stays a partial-aggregated groupBy + broadcast-small
+    # semi-join (never a per-fp window: a hot stop-fingerprint would
+    # buffer its whole posting in one window task at corpus scale).
+    rare = materialize(
+        fps.join(dfreq.filter(F.col("df") <= max_df).select("fp"), "fp")
+    )
     sizes = rare.groupBy("doc_id").agg(F.count("*").alias("nf"))
     a, b = rare.alias("a"), rare.alias("b")
     pairs = (

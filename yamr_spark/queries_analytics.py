@@ -310,13 +310,19 @@ def q_funnel_stages(spark, sf_dir):
     the full event stream and no per-user event sort, so stage cost
     stays O(events of that type). At 100 TB the three stage aggregates
     share the user_id hash partitioning (co-located joins)."""
+    from yamr_spark.materialize import materialize as _mat
+
     ev = table(spark, sf_dir, "events")
-    s = (
+    # each stage frame has TWO consumers (the next stage's join and its
+    # own count leg) — barrier them so each filtered event scan +
+    # aggregate runs once, not once per consumer (guide §2.4; the
+    # unbarriered plan scanned events 6×, barriered 3×)
+    s = _mat(
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
-    c = (
+    c = _mat(
         ev.where(F.col("event_type") == "click")
         .join(s, "user_id")
         .where(F.col("ts") > F.col("t1"))
