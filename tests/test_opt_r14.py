@@ -167,3 +167,41 @@ def test_llm_prep_v2_values_spot_invariant(spark, sf_dir):
     rows = all_queries()["llm_prep_pipeline_v2"](spark, sf_dir).collect()
     keys = [(r.split, r.lang) for r in rows]
     assert len(keys) == len(set(keys)) and all(r.n_docs > 0 for r in rows)
+
+
+def test_containment_probe_hits_shared_values_identical(spark, sf_dir):
+    """Batch 7: stratified and bidir take the raw directed probe hits
+    as an optional precomputed input (one window + probe join per
+    session instead of one per query). Passing the shared frame must
+    yield row-identical results to the internal build for BOTH
+    canonicalizations."""
+    from yamr_spark.operators.dedup import (
+        containment_pairs_bidir,
+        containment_pairs_stratified,
+    )
+    from yamr_spark.queries_dedup import (
+        _containment_probe_hits_shared,
+        _containment_shingles_shared,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sh, rare = _containment_shingles_shared(spark, sf_dir)
+    hits = _containment_probe_hits_shared(spark, sf_dir)
+    assert hits is not None
+    for op in (containment_pairs_stratified, containment_pairs_bidir):
+        base = sorted(
+            map(tuple, op(docs, sh=sh, rare=rare).collect())
+        )
+        shared = sorted(
+            map(tuple, op(docs, sh=sh, rare=rare, probe_hits=hits).collect())
+        )
+        assert base == shared, op.__name__
+
+
+def test_containment_probe_hits_hatch_restores_baseline(spark, sf_dir, monkeypatch):
+    """YAMR_OPT_CPH=0 must return None so the operators rebuild
+    internally — the exact pre-batch-7 plan."""
+    from yamr_spark.queries_dedup import _containment_probe_hits_shared
+
+    monkeypatch.setenv("YAMR_OPT_CPH", "0")
+    assert _containment_probe_hits_shared(spark, sf_dir) is None

@@ -1130,6 +1130,7 @@ def containment_pairs_stratified(
     id_col: str = "doc_id",
     sh: DataFrame | None = None,
     rare: DataFrame | None = None,
+    probe_hits: DataFrame | None = None,
 ) -> DataFrame:
     """ONE-SIDED containment candidates (VERDICT r06 #3): the variant of
     :func:`containment_pairs` whose candidate generation does not depend
@@ -1165,13 +1166,22 @@ def containment_pairs_stratified(
     containment family shares ONE shingle build per (session, corpus)
     — the pair-table sharing discipline (queries_dedup.
     _containment_shingles_shared); semantics are identical either
-    way."""
+    way. ``probe_hits``: optionally pass the precomputed raw directed
+    probe hits (``_containment_probe_candidates(rare, probes_per_doc)``
+    — the window + probe join this family's directed and bidirectional
+    forms both build identically), the same sharing discipline one
+    level up; callers must have built it with the SAME ``rare`` and
+    ``probes_per_doc``."""
     sh, rare = _shingles_and_rare(
         docs, n, max_df, text_col, id_col, sh=sh, rare=rare
     )
+    hits = (
+        probe_hits
+        if probe_hits is not None
+        else _containment_probe_candidates(rare, probes_per_doc)
+    )
     cand = (
-        _containment_probe_candidates(rare, probes_per_doc)
-        .select("src", "dst")
+        hits.select("src", "dst")
         .distinct()
         .transform(materialize)
     )
@@ -1269,6 +1279,7 @@ def containment_pairs_bidir(
     id_col: str = "doc_id",
     sh: DataFrame | None = None,
     rare: DataFrame | None = None,
+    probe_hits: DataFrame | None = None,
 ) -> DataFrame:
     """BIDIRECTIONAL containment (VERDICT r07 #3): one row per
     UNORDERED candidate pair (doc_a < doc_b) carrying BOTH directed
@@ -1290,15 +1301,19 @@ def containment_pairs_bidir(
     over the candidate-pruned shingle stream (shc), sizes from that
     same pruned stream — plus one `least/greatest` canonicalization;
     verifying both directions reuses the SAME intersection count, so
-    bidir costs no second corpus pass. ``sh``/``rare``: see
-    :func:`containment_pairs_stratified` — the family's shared shingle
-    build."""
+    bidir costs no second corpus pass. ``sh``/``rare``/``probe_hits``:
+    see :func:`containment_pairs_stratified` — the family's shared
+    shingle build and shared raw probe hits."""
     sh, rare = _shingles_and_rare(
         docs, n, max_df, text_col, id_col, sh=sh, rare=rare
     )
+    hits = (
+        probe_hits
+        if probe_hits is not None
+        else _containment_probe_candidates(rare, probes_per_doc)
+    )
     cand = (
-        _containment_probe_candidates(rare, probes_per_doc)
-        .select(
+        hits.select(
             F.least("src", "dst").alias("a"),
             F.greatest("src", "dst").alias("b"),
         )

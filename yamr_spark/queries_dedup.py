@@ -77,6 +77,41 @@ def _containment_shingles_shared(
         _SHINGLE_CACHE[key] = hit
     return hit
 
+
+# One raw directed probe-hit table per (session, sf_dir, n, max_df,
+# probes_per_doc) — the sharing discipline one level up the same
+# family: the stratified (directed) and bidir forms both open with the
+# IDENTICAL bottom-k-per-doc window over the shared rare stream plus
+# the probe⋈rare inverted-index join; only the canonicalization of the
+# hits differs (src→dst distinct vs least/greatest distinct). Compute
+# the raw hits once; each query applies its own canonicalization and
+# its own exact verify. Values identical by construction (the
+# operators take the frame as an optional input and the cache feeds
+# exactly what they would build). YAMR_OPT_CPH=0 (read in the query
+# registrations) restores the per-query rebuild for A/B runs.
+_PROBE_HITS_CACHE: dict[tuple[str, str, int, int, int], DataFrame] = {}
+
+
+def _containment_probe_hits_shared(
+    spark, sf_dir: str, n: int = 3, max_df: int = 50, probes: int = 5
+) -> DataFrame | None:
+    import os as _os
+
+    if _os.environ.get("YAMR_OPT_CPH", "1") != "1":
+        return None  # operator rebuilds internally — exact baseline
+    _, rare = _containment_shingles_shared(spark, sf_dir, n=n, max_df=max_df)
+    key = (spark.sparkContext.applicationId, sf_dir, n, max_df, probes)
+    hit = _PROBE_HITS_CACHE.get(key)
+    if hit is None:
+        from yamr_spark.materialize import materialize
+
+        for stale in [k for k in _PROBE_HITS_CACHE if k[0] != key[0]]:
+            del _PROBE_HITS_CACHE[stale]
+        hit = materialize(D._containment_probe_candidates(rare, probes))
+        _PROBE_HITS_CACHE[key] = hit
+    return hit
+
+
 # Shared DuckDB CTEs: tokens and distinct word-3-shingles per document.
 _TOKS_CTE = """
 toks AS (
@@ -821,7 +856,10 @@ def q_containment_pairs_stratified(spark, sf_dir):
     |src∩dst|/|src| verification over the full shingle sets."""
     sh, rare = _containment_shingles_shared(spark, sf_dir)
     return D.containment_pairs_stratified(
-        table(spark, sf_dir, "documents"), sh=sh, rare=rare
+        table(spark, sf_dir, "documents"),
+        sh=sh,
+        rare=rare,
+        probe_hits=_containment_probe_hits_shared(spark, sf_dir),
     )
 
 
@@ -876,7 +914,10 @@ def q_containment_pairs_bidir(spark, sf_dir):
     intersection count (no second corpus pass)."""
     sh, rare = _containment_shingles_shared(spark, sf_dir)
     return D.containment_pairs_bidir(
-        table(spark, sf_dir, "documents"), sh=sh, rare=rare
+        table(spark, sf_dir, "documents"),
+        sh=sh,
+        rare=rare,
+        probe_hits=_containment_probe_hits_shared(spark, sf_dir),
     )
 
 
