@@ -22,13 +22,42 @@ from yamr_spark.registry import all_queries
 from yamr_spark.tables import spread_scan, table
 
 
-def test_spread_scan_reaches_default_parallelism(spark, sf_dir):
+def test_spread_scan_sizes_target_from_data(spark, sf_dir):
+    """r15 revision (VERDICT r14 #2): the spread target derives from
+    DATA (total bytes ÷ (maxPartitionBytes ÷ cost_factor)), capped by
+    the session parallelism — a heavy-kernel declaration still reaches
+    the cap on a single-split scan, while a plain-scan-weight kernel
+    over a tiny input is a no-op instead of manufacturing
+    defaultParallelism empty-ish partitions."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
-    spread = spread_scan(docs)
+    spread = spread_scan(docs, cost_factor=1 << 22)
     assert (
         spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     )
+    assert spread_scan(docs, cost_factor=1) is docs
+
+
+def test_spread_scan_target_proportional_to_bytes(spark, sf_dir):
+    """Between the extremes the width follows the input size: with a
+    cost_factor giving 1 KiB of input per task, a ~6 KiB file must get
+    ceil(bytes/1 KiB) partitions, not the session cap."""
+    import os as _os
+
+    from yamr_spark.tables import _size_bytes
+
+    size = _os.path.getsize(_os.path.join(sf_dir, "documents.parquet"))
+    max_pb = _size_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    cf = max_pb // 1024  # → 1 KiB of input per task
+    expected = min(
+        spark.sparkContext.defaultParallelism, -(-size // 1024)
+    )
+    if expected <= 1 or expected == spark.sparkContext.defaultParallelism:
+        import pytest
+
+        pytest.skip("fixture size does not exercise the interior regime")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    assert spread_scan(docs, cost_factor=cf).rdd.getNumPartitions() == expected
 
 
 def test_spread_scan_noop_when_scan_has_enough_splits(spark, sf_dir):

@@ -44,7 +44,9 @@ lazy-local change: local/disk/parquet all green).
 
 from __future__ import annotations
 
+import contextlib
 import os
+import threading
 import uuid
 
 from pyspark.sql import DataFrame
@@ -53,6 +55,107 @@ from yamr_spark.tmpdirs import session_dir
 
 _MODES = ("local", "disk", "parquet")
 _mode_override: str | None = None
+
+# ── Block-lifetime registry (VERDICT r14 #1/#2) ──────────────────────
+# Every ``local``-mode materialize() persists MEMORY_AND_DISK blocks
+# that outlive the query that built them: the bench runs 152 queries ×
+# 3 passes in ONE application, and without explicit cleanup the blocks
+# accumulate for the whole process (the JVM ContextCleaner only frees
+# them when the driver GCs the RDD reference, which a 32 GiB heap may
+# defer for the entire run). The registry below records the INTERNAL
+# checkpointed RDD handle of every frame materialize() returns, in two
+# buckets:
+#
+# - freeable (default): per-query intermediates — dead the moment the
+#   query's action completes. ``free_blocks()`` unpersists them; the
+#   bench calls it after every query's sink returns.
+# - pinned (inside a ``pinned_blocks()`` scope): frames stashed in the
+#   module-level appId-keyed shared caches, which later queries WILL
+#   consume — unpersisting a localCheckpointed frame makes it
+#   unrecomputable (lineage is truncated), so these are only released
+#   by ``free_shared_caches()``, which also clears the cache dicts so
+#   no consumer can see a freed frame. The bench calls it at the start
+#   of every pass, so min-of-passes prices each shared build exactly
+#   once per pass (VERDICT r14 #5).
+#
+# Tracking stores the internal RDD's integer id, NOT a py4j handle: a
+# held handle would pin the JVM RDD object and silently disable the
+# ContextCleaner for callers that never flush (the driver's own
+# correctness loop), while ids are context-unique and never reused, so
+# freeing a long-gone id is a harmless no-op. The id comes off the
+# LogicalRDD plan (one py4j chain — NOT ``df.rdd``, which converts the
+# plan to an RDD at ~110 ms of driver work per call); release goes
+# through ``SparkContext.unpersistRDD(id)``, the exact call the
+# ContextCleaner itself uses. Tracking is best-effort: on any JVM-side
+# surprise the frame stays untracked and the ContextCleaner handles it
+# as before.
+_TL = threading.local()
+_FREEABLE: list[tuple] = []  # (SparkContext, rdd_id)
+_PINNED_RDDS: list[tuple] = []
+_SHARED_CACHES: list[dict] = []
+
+
+def register_shared_cache(cache: dict) -> dict:
+    """Register a module-level appId-keyed frame cache so
+    ``free_shared_caches()`` can clear it (and release its blocks)."""
+    _SHARED_CACHES.append(cache)
+    return cache
+
+
+@contextlib.contextmanager
+def pinned_blocks():
+    """Scope marker for shared-cache builders: frames materialized
+    inside survive ``free_blocks()`` and are released only by
+    ``free_shared_caches()`` (which also clears the cache dicts, so a
+    freed frame is unreachable). Thread-local, so a streaming
+    foreachBatch thread cannot mis-pin a concurrent query's frames."""
+    depth = getattr(_TL, "pin_depth", 0)
+    _TL.pin_depth = depth + 1
+    try:
+        yield
+    finally:
+        _TL.pin_depth = depth
+
+
+def _track(out: DataFrame) -> None:
+    try:
+        rdd_id = out._jdf.queryExecution().analyzed().rdd().id()
+        sc = out.sparkSession.sparkContext
+    except Exception:
+        return
+    if getattr(_TL, "pin_depth", 0) > 0:
+        _PINNED_RDDS.append((sc, rdd_id))
+    else:
+        _FREEABLE.append((sc, rdd_id))
+
+
+def _unpersist_ids(entries: list[tuple]) -> int:
+    n = len(entries)
+    for sc, rdd_id in entries:
+        try:
+            sc._jsc.sc().unpersistRDD(rdd_id, False)
+        except Exception:
+            pass
+    entries.clear()
+    return n
+
+
+def free_blocks() -> int:
+    """Unpersist every per-query materialized frame created since the
+    last call (non-blocking). Safe ONLY when those frames are dead —
+    i.e. between queries; a localCheckpointed frame cannot be used
+    after its blocks are dropped. Returns the number of RDDs freed."""
+    return _unpersist_ids(_FREEABLE)
+
+
+def free_shared_caches() -> int:
+    """Clear every registered shared cache and unpersist the pinned
+    frames they held. Consumers rebuild on next use (the dicts are
+    cleared FIRST, so no stale frame is reachable). Returns the number
+    of RDDs freed."""
+    for cache in _SHARED_CACHES:
+        cache.clear()
+    return _unpersist_ids(_PINNED_RDDS)
 
 
 def set_mode(mode: str | None) -> None:
@@ -82,7 +185,9 @@ def materialize_eager(df: DataFrame) -> DataFrame:
     ``parquet`` (synchronous write) already barrier; only ``local``
     needs the eager flag."""
     if current_mode() == "local":
-        return df.localCheckpoint(eager=True)
+        out = df.localCheckpoint(eager=True)
+        _track(out)
+        return out
     return materialize(df)
 
 
@@ -126,7 +231,9 @@ def materialize(df: DataFrame) -> DataFrame:
     the committer is deleting)."""
     mode = current_mode()
     if mode == "local":
-        return df.localCheckpoint(eager=False)
+        out = df.localCheckpoint(eager=False)
+        _track(out)
+        return out
     if mode == "disk":
         sc = df.sparkSession.sparkContext
         if sc._jsc.sc().getCheckpointDir().isEmpty():

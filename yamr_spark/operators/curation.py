@@ -38,10 +38,12 @@ def _spread(df: DataFrame) -> DataFrame:
     it from the word-tokenize roots (chunk_dup_stats, incremental
     word dedup, ladder, packers: +0.3-2.5 s each with a root exchange —
     their explodes feed partial aggregates one task handles well at
-    this scale)."""
+    this scale). cost_factor 8192: the per-char md5 kernel runs a hash
+    per input byte (~10³-10⁴× a columnar scan per byte), so 16 KB of
+    input is one scan-task's worth of work."""
     from yamr_spark.tables import spread_scan
 
-    return spread_scan(df)
+    return spread_scan(df, cost_factor=8192)
 
 
 def benchmark_decontaminate(

@@ -1010,13 +1010,16 @@ def fuzzy_match_pairs(
     # scan-spread (guide §2.5): the banded-Levenshtein evaluation runs in
     # the self-join's output partitioning, which for a broadcast join is
     # the STREAM side's scan partitioning — one task on a single-row-group
-    # input. No-op on multi-split scans.
+    # input. No-op on multi-split scans. cost_factor 32768: Σ|block|²
+    # Levenshtein evaluations per row make this the heaviest per-byte
+    # kernel in the engine (~4 KB of input is one task's work).
     keyed = spread_scan(
         rows.select(
             F.col(id_col).alias("id"),
             F.col(name_col).alias("name"),
             *[F.col(c) for c in block_cols],
-        )
+        ),
+        cost_factor=32768,
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     cond = (F.col("a.id") < F.col("b.id")) & (

@@ -37,10 +37,12 @@ def _spread(df: DataFrame) -> DataFrame:
     vector roots (top-k scoring, covariance, quantize, PQ) LOSE from a
     root exchange at bench scale — their per-row work is one dot/code
     per centroid feeding partial aggregates — so they project without
-    spreading. No-op on multi-split scans (production layouts)."""
+    spreading. No-op on multi-split scans (production layouts).
+    cost_factor 8192: O(candidates × dim) interpreted vector arithmetic
+    per row ⇒ 16 KB of input is one scan-task's worth of work."""
     from yamr_spark.tables import spread_scan
 
-    return spread_scan(df)
+    return spread_scan(df, cost_factor=8192)
 
 
 def _dot(a: str, b: str):
@@ -1508,10 +1510,20 @@ def _power_iteration(full: DataFrame, max_dim: int, n_rounds: int):
         "i",
         F.round(F.lit(1.0) / F.sqrt(F.lit(float(max_dim))), 10).alias("v"),
     )
+    # The iterate v is d rows (≤ max_dim) but each round's materialize
+    # leaves it a stats-less LogicalRDD, so without a hint every
+    # matrix·vector join planned as an exchange-backed join of two tiny
+    # tables — 2 exchanges × n_rounds of pure fixed cost (guide §3.1:
+    # "estimates are often badly wrong … use an explicit broadcast hint
+    # when you know a side is small"). Broadcasting v is always right:
+    # it is bounded by the embedding dimension, never the corpus.
     for _ in range(n_rounds):
         w = (
             full.join(
-                v.select(F.col("i").alias("j"), F.col("v").alias("vj")), "j"
+                F.broadcast(
+                    v.select(F.col("i").alias("j"), F.col("v").alias("vj"))
+                ),
+                "j",
             )
             .select(
                 "i",
@@ -1546,8 +1558,14 @@ def _power_iteration(full: DataFrame, max_dim: int, n_rounds: int):
             )
         )
     lam = (
-        full.join(v.select(F.col("i").alias("i"), F.col("v").alias("va")), "i")
-        .join(v.select(F.col("i").alias("j"), F.col("v").alias("vb")), "j")
+        full.join(
+            F.broadcast(v.select(F.col("i").alias("i"), F.col("v").alias("va"))),
+            "i",
+        )
+        .join(
+            F.broadcast(v.select(F.col("i").alias("j"), F.col("v").alias("vb"))),
+            "j",
+        )
         .agg(
             F.round(
                 F.sum(

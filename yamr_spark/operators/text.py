@@ -55,10 +55,11 @@ def _spread_docs(docs: DataFrame, *extra_cols: str) -> DataFrame:
     (tables.spread_scan) before a root whose MAP work dominates (the
     regex-census quality score — measured win in the round-14 A/B); at
     production scale this is a metadata-only no-op. Project-first so
-    the exchange carries only the needed columns."""
+    the exchange carries only the needed columns. cost_factor 8192:
+    the regex census runs dozens of pattern scans per input byte."""
     from yamr_spark.tables import spread_scan
 
-    return spread_scan(docs.select("doc_id", "text", *extra_cols))
+    return spread_scan(docs.select("doc_id", "text", *extra_cols), cost_factor=8192)
 
 
 def tfidf_top_terms(

@@ -49,7 +49,9 @@ sh AS (
 # flag set; compute it once per (application, sf_dir, bench_mod).
 # ``benchmark_decontaminate`` itself stays the UNCACHED representative
 # so the stage's own cost remains measured.
-_FLAGGED_CACHE: dict[tuple[str, str, int], object] = {}
+from yamr_spark.materialize import pinned_blocks, register_shared_cache
+
+_FLAGGED_CACHE: dict[tuple[str, str, int], object] = register_shared_cache({})
 
 
 def _flagged_shared(spark, sf_dir, bench_mod=97):
@@ -60,11 +62,12 @@ def _flagged_shared(spark, sf_dir, bench_mod=97):
 
         for stale in [k for k in _FLAGGED_CACHE if k[0] != key[0]]:
             del _FLAGGED_CACHE[stale]
-        flagged = materialize(
-            C.benchmark_decontaminate(
-                table(spark, sf_dir, "documents"), bench_mod=bench_mod
-            ).select("doc_id")
-        )
+        with pinned_blocks():
+            flagged = materialize(
+                C.benchmark_decontaminate(
+                    table(spark, sf_dir, "documents"), bench_mod=bench_mod
+                ).select("doc_id")
+            )
         _FLAGGED_CACHE[key] = flagged
     return flagged
 

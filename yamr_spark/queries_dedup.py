@@ -25,7 +25,9 @@ from yamr_spark.tables import table
 # holds a materialize()d frame (lineage-truncated: local checkpoint on
 # local[n], parquet staging at cluster scale), so consumers share the
 # computed blocks, not a plan.
-_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+from yamr_spark.materialize import pinned_blocks, register_shared_cache
+
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = register_shared_cache({})
 
 
 def _near_dup_pairs_shared(spark, sf_dir: str) -> DataFrame:
@@ -40,7 +42,10 @@ def _near_dup_pairs_shared(spark, sf_dir: str) -> DataFrame:
         # (app, sf_dir) forever (review r07 finding)
         for stale in [k for k in _PAIR_CACHE if k[0] != key[0]]:
             del _PAIR_CACHE[stale]
-        df = materialize(D.minhash_near_dup(table(spark, sf_dir, "documents")))
+        with pinned_blocks():
+            df = materialize(
+                D.minhash_near_dup(table(spark, sf_dir, "documents"))
+            )
         _PAIR_CACHE[key] = df
     return df
 
@@ -53,11 +58,29 @@ def _near_dup_pairs_shared(spark, sf_dir: str) -> DataFrame:
 # query's cost at sf0.1); compute it once, run both probe/verify
 # pipelines over the shared materialized frames. Values are identical
 # by construction (the operators take the frames as optional inputs).
-_SHINGLE_CACHE: dict[tuple[str, str, int, int], tuple[DataFrame, DataFrame]] = {}
+_SHINGLE_CACHE: dict[
+    tuple[str, str, int, int], tuple[DataFrame, DataFrame]
+] = register_shared_cache({})
+
+# The containment helpers' parameter defaults are DERIVED from the
+# operator signature (ADVICE r14 #2): a future change to the operator's
+# n/max_df/probes_per_doc defaults must not silently feed consumers a
+# probe-hit table built with stale parameters.
+import inspect as _inspect
+
+_CONT_SIG = {
+    name: p.default
+    for name, p in _inspect.signature(
+        D.containment_pairs_stratified
+    ).parameters.items()
+}
 
 
 def _containment_shingles_shared(
-    spark, sf_dir: str, n: int = 3, max_df: int = 50
+    spark,
+    sf_dir: str,
+    n: int = _CONT_SIG["n"],
+    max_df: int = _CONT_SIG["max_df"],
 ) -> tuple[DataFrame, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir, n, max_df)
     hit = _SHINGLE_CACHE.get(key)
@@ -66,13 +89,14 @@ def _containment_shingles_shared(
 
         for stale in [k for k in _SHINGLE_CACHE if k[0] != key[0]]:
             del _SHINGLE_CACHE[stale]
-        sh = materialize(
-            D.word_shingle_hashes(table(spark, sf_dir, "documents"), n=n)
-        )
-        dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
-        rare = materialize(
-            sh.join(dfreq.where(F.col("df") <= max_df).select("sh"), "sh")
-        )
+        with pinned_blocks():
+            sh = materialize(
+                D.word_shingle_hashes(table(spark, sf_dir, "documents"), n=n)
+            )
+            dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+            rare = materialize(
+                sh.join(dfreq.where(F.col("df") <= max_df).select("sh"), "sh")
+            )
         hit = (sh, rare)
         _SHINGLE_CACHE[key] = hit
     return hit
@@ -89,11 +113,17 @@ def _containment_shingles_shared(
 # operators take the frame as an optional input and the cache feeds
 # exactly what they would build). YAMR_OPT_CPH=0 (read in the query
 # registrations) restores the per-query rebuild for A/B runs.
-_PROBE_HITS_CACHE: dict[tuple[str, str, int, int, int], DataFrame] = {}
+_PROBE_HITS_CACHE: dict[
+    tuple[str, str, int, int, int], DataFrame
+] = register_shared_cache({})
 
 
 def _containment_probe_hits_shared(
-    spark, sf_dir: str, n: int = 3, max_df: int = 50, probes: int = 5
+    spark,
+    sf_dir: str,
+    n: int = _CONT_SIG["n"],
+    max_df: int = _CONT_SIG["max_df"],
+    probes: int = _CONT_SIG["probes_per_doc"],
 ) -> DataFrame | None:
     import os as _os
 
@@ -107,7 +137,15 @@ def _containment_probe_hits_shared(
 
         for stale in [k for k in _PROBE_HITS_CACHE if k[0] != key[0]]:
             del _PROBE_HITS_CACHE[stale]
-        hit = materialize(D._containment_probe_candidates(rare, probes))
+        with pinned_blocks():
+            # project to src/dst BEFORE materializing (ADVICE r14 #1):
+            # both canonicalizations consume only these two columns, so
+            # the cached blocks should not carry the join-key `sh`
+            hit = materialize(
+                D._containment_probe_candidates(rare, probes).select(
+                    "src", "dst"
+                )
+            )
         _PROBE_HITS_CACHE[key] = hit
     return hit
 

@@ -30,7 +30,11 @@ def _payload(spark, sf_dir):
 # shift, video shift — share ONE ASCII-gated corpus scan + symbol build
 # per (application, sf_dir, frame, n_frames, qstep). Stale-application
 # keys are evicted so dead sessions never pin frames.
-_SIGS_CACHE: dict[tuple[str, str, int, int, int], object] = {}
+from yamr_spark.materialize import pinned_blocks, register_shared_cache
+
+_SIGS_CACHE: dict[tuple[str, str, int, int, int], object] = register_shared_cache(
+    {}
+)
 
 
 def _sigs_shared(spark, sf_dir, frame=32, n_frames=8, qstep=4096):
@@ -42,11 +46,12 @@ def _sigs_shared(spark, sf_dir, frame=32, n_frames=8, qstep=4096):
 
         for stale in [k for k in _SIGS_CACHE if k[0] != key[0]]:
             del _SIGS_CACHE[stale]
-        sigs = materialize(
-            frame_signatures(
-                table(spark, sf_dir, "documents"), frame, n_frames, qstep
+        with pinned_blocks():
+            sigs = materialize(
+                frame_signatures(
+                    table(spark, sf_dir, "documents"), frame, n_frames, qstep
+                )
             )
-        )
         _SIGS_CACHE[key] = sigs
     return sigs
 

@@ -35,13 +35,15 @@ vecs AS (
 # the frames as optional inputs and the cache feeds them exactly what
 # they would build themselves (re-verified ALL-MATCH via drive.py and
 # under disk/parquet materialize modes — SCALE.md).
-_IVF_CACHE: dict[tuple[str, str, int], tuple] = {}
+from yamr_spark.materialize import pinned_blocks, register_shared_cache
+
+_IVF_CACHE: dict[tuple[str, str, int], tuple] = register_shared_cache({})
 
 # kmeans-refined centroid vectors per (application, sf_dir, c, iters):
 # ann_ivf_kmeans_topk re-runs the Lloyd refinement kmeans_centroids
 # already measures (~1.4 s at sf0.1). ``kmeans_centroids`` stays
 # UNCACHED as the train-step representative.
-_KMEANS_CACHE: dict[tuple[str, str, int, int], object] = {}
+_KMEANS_CACHE: dict[tuple[str, str, int, int], object] = register_shared_cache({})
 
 
 def _ivf_shared(spark, sf_dir: str, c: int = 8):
@@ -60,17 +62,22 @@ def _ivf_shared(spark, sf_dir: str, c: int = 8):
         for stale in [k for k in _IVF_CACHE if k[0] != key[0]]:
             del _IVF_CACHE[stale]
         emb = table(spark, sf_dir, "embeddings")
-        cents = materialize(S.centroids(emb, c=c))
-        assign = materialize(
-            S.ivf_assign(emb, c=c, cents=cents).select("vec_id", "centroid_id")
-        )
+        with pinned_blocks():
+            cents = materialize(S.centroids(emb, c=c))
+            assign = materialize(
+                S.ivf_assign(emb, c=c, cents=cents).select(
+                    "vec_id", "centroid_id"
+                )
+            )
         hit = (cents, assign)
         _IVF_CACHE[key] = hit
     return hit
 
 
-_FROZEN_CACHE: dict[tuple[str, str], tuple] = {}
-_FROZEN_BOOKS_CACHE: dict[tuple[str, str, int, int], object] = {}
+_FROZEN_CACHE: dict[tuple[str, str], tuple] = register_shared_cache({})
+_FROZEN_BOOKS_CACHE: dict[
+    tuple[str, str, int, int], object
+] = register_shared_cache({})
 
 
 def _frozen_shared(spark, sf_dir: str):
@@ -112,12 +119,15 @@ def _frozen_shared(spark, sf_dir: str):
             del _FROZEN_CACHE[stale]
         emb = table(spark, sf_dir, "embeddings")
         sample = emb.filter(F.col("vec_id") < _FROZEN_TRAIN_N)
-        fzcents = materialize(
-            S.kmeans_centroid_vectors(sample, c=8, iters=1)
-        )
-        fzassign = materialize(
-            S.ivf_assign(emb, cents=fzcents).select("vec_id", "centroid_id")
-        )
+        with pinned_blocks():
+            fzcents = materialize(
+                S.kmeans_centroid_vectors(sample, c=8, iters=1)
+            )
+            fzassign = materialize(
+                S.ivf_assign(emb, cents=fzcents).select(
+                    "vec_id", "centroid_id"
+                )
+            )
         hit = (fzcents, fzassign)
         _FROZEN_CACHE[key] = hit
     return hit
@@ -148,7 +158,8 @@ def _frozen_books_shared(spark, sf_dir: str, m: int = 4, k: int = 16):
             del _FROZEN_BOOKS_CACHE[stale]
         emb = table(spark, sf_dir, "embeddings")
         sample = emb.filter(F.col("vec_id") < _FROZEN_TRAIN_N)
-        hit = materialize(S.pq_codebooks_kmeans(sample, m=m, k=k))
+        with pinned_blocks():
+            hit = materialize(S.pq_codebooks_kmeans(sample, m=m, k=k))
         _FROZEN_BOOKS_CACHE[key] = hit
     return hit
 
@@ -163,11 +174,12 @@ def _kmeans_cents_shared(spark, sf_dir: str, c: int = 8, iters: int = 1):
 
         for stale in [k for k in _KMEANS_CACHE if k[0] != key[0]]:
             del _KMEANS_CACHE[stale]
-        cents = materialize(
-            S.kmeans_centroid_vectors(
-                table(spark, sf_dir, "embeddings"), c=c, iters=iters
+        with pinned_blocks():
+            cents = materialize(
+                S.kmeans_centroid_vectors(
+                    table(spark, sf_dir, "embeddings"), c=c, iters=iters
+                )
             )
-        )
         _KMEANS_CACHE[key] = cents
     return cents
 
