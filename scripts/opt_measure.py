@@ -59,14 +59,15 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    rnd = os.environ.get("YAMR_PLANS_ROUND", "r15")
     if suffix is not None:
-        os.makedirs(os.path.join(repo, "plans", "r14"), exist_ok=True)
+        os.makedirs(os.path.join(repo, "plans", rnd), exist_ok=True)
         for n in names:
             df = queries[n](spark, sf_dir)
             p = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
-            out = os.path.join(repo, "plans", "r14", f"{n}_{suffix}.txt")
+            out = os.path.join(repo, "plans", rnd, f"{n}_{suffix}.txt")
             with open(out, "w") as fh:
                 fh.write(p)
             print(f"wrote {out}", flush=True)
@@ -86,14 +87,27 @@ def main() -> None:
                 queries[n](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
+        # mirror bench.py's r15 protocol so A/B numbers compare: shared
+        # caches cleared per pass, per-query blocks freed after each sink
+        try:
+            from yamr_spark import materialize as _M
+        except ImportError:  # pre-r15 tree
+            _M = None
+        if _M is not None and hasattr(_M, "free_blocks"):
+            _M.free_blocks()
+            _M.free_shared_caches()
         timings: dict[str, list[float]] = {n: [] for n in names}
         for _ in range(reps):
+            if _M is not None and hasattr(_M, "free_shared_caches"):
+                _M.free_shared_caches()
             for n in names:
                 spark.sparkContext.setJobDescription(f"opt:{n}")
                 t0 = time.perf_counter()
                 df = queries[n](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 timings[n].append(round(time.perf_counter() - t0, 3))
+                if _M is not None and hasattr(_M, "free_blocks"):
+                    _M.free_blocks()
                 spark.sparkContext.setJobDescription(None)
         out = {
             n: {"min": min(v), "all": v} for n, v in timings.items()

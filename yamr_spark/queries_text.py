@@ -135,9 +135,24 @@ def _winnow_fps_shared(spark, sf_dir: str):
 
         for stale in [k for k in _WINNOW_FP_CACHE if k[0] != key[0]]:
             del _WINNOW_FP_CACHE[stale]
+        from yamr_spark.tables import spread_scan
+
+        # The build is the per-char md5 gram kernel — the same regime
+        # as the substring char roots (spread kept there at −2.8 to
+        # −4.3 s each). Under r14's never-cleared cache the build ran
+        # once per process and the A/B only saw cache-hit consumers;
+        # with the r15 per-pass clearing the build is timed every pass,
+        # so its root is spread like the rest of the char family.
         with pinned_blocks():
             df = materialize(
-                T.winnowing_fingerprints(table(spark, sf_dir, "documents"))
+                T.winnowing_fingerprints(
+                    spread_scan(
+                        table(spark, sf_dir, "documents").select(
+                            "doc_id", "text"
+                        ),
+                        cost_factor=8192,
+                    )
+                )
             )
         _WINNOW_FP_CACHE[key] = df
     return df
