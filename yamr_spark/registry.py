@@ -558,30 +558,96 @@ _R15_BACKFILL: list[str] = [
     "substring_dedup_minimized_chunked",
 ]
 
-# ROUND-14 WINDOW (the driver checks the first 50 of queries()):
-# the r13 verdict's #1 plan with two changed-plan adjustments its own
-# #2/#3 tasks force. Slots 1-3: _R14_BACKFILL — the 3 round-13
-# registrations, never-stamped (all ALL-MATCH under the r13 judge's
-# replica run). Slot 4: ann_recall_at_k — its OUTPUT changed this
-# round (8th panel row: the production-geometry m=16/k=64 frozen
-# build, VERDICT r13 #3); a changed result must earn a fresh stamp
-# (the r13 ann_recall_at_k precedent — its r13 stamp certifies a
-# 7-row result that no longer exists). Slot 5:
-# streaming_substring_index — same output, but its standing-index
-# plan was rewritten this round (h-bucketed layout + broadcast probe,
-# VERDICT r13 #2), so the certification should cover the plan that
-# now ships. Slots 6-14: _R07_TAIL — the 9 remaining r07 stamps, the
-# oldest cohort (extinct after this window). Slots 15-50: the 36
-# alphabetically-first r09 stamps. 3 + 1 + 1 + 9 + 36 = 50. r14's own
-# registrations queue in _R15_BACKFILL below the window.
-DRIVER_PRIORITY = (
+# Round-15 changed-plan restamps: this optimization round changed these
+# queries' physical plans (values verified bit-identical by the full
+# 261-query oracle replica), and a changed plan must earn a fresh stamp
+# (the standing discipline since r09). Grouped by the change, most
+# structural first: persisted frozen store params (the probe now reads
+# trained params from parquet instead of rebuilding them), broadcast
+# hints in the power-iteration joins, the spread winnow-fingerprint
+# build root, the src/dst-projected shared containment probe hits, and
+# the data-sized spread_scan targets (at the driver's sf0.01 the spread
+# width drops from 32 manufactured partitions to a data-derived 4-12).
+_R15_RESTAMPS = [
+    "ivf_pq_store_frozen",
+    "ann_recall_at_k",
+    "pca_top_component",
+    "pca_top_components",
+    "winnow_near_dup",
+    "winnow_fingerprint_stats",
+    "winnow_incremental",
+    "llm_prep_pipeline_v5",
+    "containment_pairs_stratified",
+    "containment_pairs_bidir",
+    "substring_dedup_chars",
+    "substring_dedup_minimized",
+    "substring_dedup_minimized_incremental",
+    "streaming_minimized_index",
+    "substring_dedup_spans",
+    "span_dup_stats",
+    "llm_prep_pipeline_v4",
+    "chunk_documents",
+    "pii_redaction_stats",
+    "quality_score",
+    "semdedup",
+    "embedding_near_dup_p2",
+    "fuzzy_part_pairs",
+    "entity_resolution_parts",
+    "compat_word_count",
+]
+
+# The r09-stamp cohort remainder (stamp_age.py, computed at r15 start:
+# exactly these 12 queries' latest stamp is r09) — the oldest stale
+# cohort, promised the r15 window head by the r14 sequencing note.
+_R09_TAIL = [
+    "streaming_enrich_dim",
+    "streaming_kmv_distinct",
+    "streaming_parquet_sink",
+    "streaming_tumbling_counts",
+    "streaming_user_stats",
+    "tfidf_top_terms",
+    "token_budget_pack",
+    "value_percentiles",
+    "weighted_sample_docs",
+    "window_session_user",
+    "window_sliding_activity",
+    "window_tumbling_counts",
+]
+
+# ROUND-15 WINDOW (the driver checks the first 50 of queries()):
+# slots 1-2: _R15_BACKFILL — the two round-14 registrations, never
+# stamped. Slots 3-27: _R15_RESTAMPS — every query whose plan this
+# round's optimization changed (values replica-verified identical; the
+# restamp certifies the plan that now ships). Slots 28-39: _R09_TAIL —
+# the 12 remaining r09 stamps, the oldest cohort (extinct after this
+# window). Slots 40-50: the 11 alphabetically-first r10 stamps not
+# already in the window (ann_ivf_kmeans_topk .. dedup_incremental).
+# 2 + 25 + 12 + 11 = 50.
+_R10_COHORT_HEAD = [
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_topk",
+    "ann_quantized_ivf_topk",
+    "benchmark_decontaminate_n3",
+    "bigram_lm_score",
+    "bloom_semi_join_orders",
+    "bm25_search",
+    "chunk_dup_stats",
+    "corpus_version_diff",
+    "date_features",
+    "dedup_incremental",
+]
+
+DRIVER_PRIORITY = _R15_BACKFILL + _R15_RESTAMPS + _R09_TAIL + _R10_COHORT_HEAD
+
+# The retired r14 window, kept for the queue tail ordering below.
+_R14_WINDOW = (
     _R14_BACKFILL
     + ["ann_recall_at_k", "streaming_substring_index"]
     + _R07_TAIL
     + _R09_RESTAMPS
 )
 for _n in (
-    _R15_BACKFILL
+    _R14_WINDOW
     + _R13_BACKFILL
     + _R06_TAIL
     + _R07_RESTAMPS
